@@ -1,0 +1,278 @@
+package graft.kernels
+
+import scala.collection.mutable
+import graft.model.BBox
+import Geometry.pyRound2
+
+/** Reading-order resolution — a faithful re-derivation of the
+  * reference's `OrderGenerator`
+  * (deepdoctection/pipe/order.py:46-371): words→lines within a block,
+  * blocks→page via greedy column detection, column consolidation
+  * (IoA>0.9), vertically-connected components of columns, and final
+  * (row, column, y, x) ordering. Deterministic, row-local, O(n²)
+  * worst-case over the (small) per-turn block array — runs inside
+  * `mapPartitions`, never shuffles.
+  *
+  * Tie-breaking parity notes (SURVEY §7.4): all sorts are stable
+  * (the reference relies on Python Timsort; we use Scala's stable
+  * `sortBy`), coordinate tie-break keys use Python `round(x, 2)`
+  * semantics via [[Geometry.pyRound2]].
+  */
+object Order {
+
+  /** Mutable box used where the reference mutates `BoundingBox` in
+    * place (column growth, rounding inside `_connected_components`).
+    * Equality mirrors the reference's value-semantics equality on the
+    * 2-decimal rounded key (box.py:448-459).
+    */
+  private final class MBox(var ulx: Double, var uly: Double, var lrx: Double, var lry: Double) {
+    def height: Double = lry - uly
+    def key: (Double, Double, Double, Double) =
+      (pyRound2(ulx), pyRound2(uly), pyRound2(lrx), pyRound2(lry))
+    def toBBox: BBox = BBox(ulx, uly, lrx, lry, absCoords = false)
+  }
+
+  /** order.py:71 `group_words_into_lines`.
+    *
+    * Assigns each word to a horizontal row: a word joins the first row
+    * whose vertical bounds contain the word's y-center, or whose row
+    * y-center falls within the word's bounds; row bounds are fixed by
+    * the first word that defines the row. Rows are then sorted by their
+    * upper coordinate and words within by x-center.
+    *
+    * @param words (id, box) in input order
+    * @return triples (1-based reading position, line number, id) —
+    *         line number = numberRows - originalRowIndex, as in the
+    *         reference (order.py:133).
+    */
+  def groupWordsIntoLines(words: Seq[(String, BBox)]): List[(Int, Int, String)] = {
+    // (origRowIdx, id, cx) per word
+    val readingLines = mutable.ListBuffer.empty[(Int, String, Double)]
+    val rows = mutable.ArrayBuffer.empty[(Double, Double)] // (upper, lower)
+    for ((id, box) <- words) {
+      var rowFound = false
+      var idx = 0
+      while (idx < rows.length && !rowFound) {
+        val (upper, lower) = rows(idx)
+        val rowCy = (upper + lower) / 2.0
+        if ((upper < box.cy && box.cy < lower) || (box.uly < rowCy && rowCy < box.lry)) {
+          readingLines += ((idx, id, box.cx))
+          rowFound = true
+        }
+        idx += 1
+      }
+      if (!rowFound) {
+        rows += ((box.uly, box.lry))
+        readingLines += ((rows.length - 1, id, box.cx))
+      }
+    }
+    // order.py:120-123: map used with original index as key — the
+    // value is the ORIGINAL index of the row at that sorted position
+    // (ported literally, including the inverted lookup).
+    val sortedOrig: Array[Int] =
+      rows.indices.sortBy(i => rows(i)._1).toArray // position -> orig idx
+    val sorted = readingLines.toList.sortBy { case (origRow, _, cx) => (sortedOrig(origRow), cx) }
+    val numberRows = rows.length
+    sorted.zipWithIndex.map { case ((origRow, id, _), i) => (i + 1, numberRows - origRow, id) }
+  }
+
+  /** order.py:135 `group_lines_into_lines` — sort line annotations by
+    * y-center; returns (order, order, id).
+    */
+  def groupLinesIntoLines(lines: Seq[(String, BBox)]): List[(Int, Int, String)] =
+    lines
+      .map { case (id, box) => (box.cy, id) }
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((_, id), i) => (i + 1, i + 1, id) }
+      .toList
+
+  /** order.py:341 `_consolidate_columns`: child→parent where child
+    * column is ≥`ioaThreshold` inside parent (fraction of child area
+    * covered); like the reference's `dict(zip(nonzero))`, the LAST
+    * matching parent per child wins. Unmatched columns are renumbered
+    * 0,1,2,… in discovery order.
+    */
+  private def consolidateColumns(columns: IndexedSeq[MBox], ioaThreshold: Double): Map[Int, Int] = {
+    val n = columns.length
+    if (n == 0) return Map.empty
+    val dict = mutable.LinkedHashMap.empty[Int, Int]
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (i != j) {
+          val a = columns(i); val b = columns(j)
+          val interW = math.max(0.0, math.min(a.lrx, b.lrx) - math.max(a.ulx, b.ulx))
+          val interH = math.max(0.0, math.min(a.lry, b.lry) - math.max(a.uly, b.uly))
+          val areaI = math.max(0.0, a.lrx - a.ulx) * math.max(0.0, a.lry - a.uly)
+          val ioaOverI = if (areaI <= 0.0) 0.0 else interW * interH / areaI
+          if (ioaOverI > ioaThreshold) dict(i) = j // last parent wins
+        }
+        j += 1
+      }
+      i += 1
+    }
+    var counter = 0
+    var k = 0
+    while (k < n) {
+      if (!dict.contains(k)) { dict(k) = counter; counter += 1 }
+      k += 1
+    }
+    dict.toMap
+  }
+
+  private final case class Component(
+      var top: Double,
+      var bottom: Double,
+      var left: Double,
+      cols: mutable.ArrayBuffer[(Int, MBox)]
+  )
+
+  /** order.py:164 `_connected_components`: group columns that
+    * vertically overlap; within a component sort columns by rounded
+    * (ulx, uly) (mutating the boxes' rounded coords, as the reference
+    * does); components sorted by top. Returns flattened (origIdx, box)
+    * in final column order.
+    */
+  private def connectedComponents(columns: IndexedSeq[MBox]): List[(Int, MBox)] = {
+    val comps = mutable.ArrayBuffer.empty[Component]
+    for ((col, idx) <- columns.zipWithIndex) {
+      var found = false
+      var c = 0
+      while (c < comps.length && !found) {
+        val comp = comps(c)
+        if ((comp.top < col.uly && col.uly < comp.bottom) ||
+            (comp.top < col.lry && col.lry < comp.bottom) ||
+            (col.uly < comp.top && comp.top < col.lry) ||
+            (col.uly < comp.bottom && comp.bottom < col.lry)) {
+          comp.top = math.min(comp.top, col.uly)
+          comp.bottom = math.max(comp.bottom, col.lry)
+          comp.left = col.ulx
+          comp.cols += ((idx, col))
+          found = true
+        }
+        c += 1
+      }
+      if (!found)
+        comps += Component(col.uly, col.lry, col.ulx, mutable.ArrayBuffer((idx, col)))
+      // reference rounds ulx/uly in place and re-sorts on every
+      // insertion (order.py:189-196)
+      for (comp <- comps) {
+        for ((_, box) <- comp.cols) {
+          box.ulx = pyRound2(box.ulx)
+          box.uly = pyRound2(box.uly)
+        }
+        val sortedCols = comp.cols.sortBy { case (_, b) => (b.ulx, b.uly) }
+        comp.cols.clear(); comp.cols ++= sortedCols
+      }
+      val sortedComps = comps.sortBy(_.top)
+      comps.clear(); comps ++= sortedComps
+    }
+    comps.toList.flatMap(_.cols)
+  }
+
+  /** order.py:201 `order_blocks` — the block-level reading order.
+    *
+    * @param anns (id, box) per block; boxes absolute or relative
+    * @param pageWidth page width for absolute→relative transform
+    * @param pageHeight page height
+    * @return (1-based reading order, id), one per input block
+    */
+  def orderBlocks(
+      anns: Seq[(String, BBox)],
+      pageWidth: Double,
+      pageHeight: Double,
+      startingPointTolerance: Double = 0.005,
+      brokenLineTolerance: Double = 0.003,
+      heightTolerance: Double = 2.0,
+      ioaColumnThreshold: Double = 0.9
+  ): Seq[(Int, String)] = {
+    if (anns.isEmpty) return Nil
+    val rel: Map[String, BBox] =
+      anns.map { case (id, b) => id -> b.toRelative(pageWidth, pageHeight) }.toMap
+    val sortedAnns = anns.sortBy { case (id, _) => (rel(id).cy, rel(id).cx) }
+
+    val columns = mutable.ArrayBuffer.empty[MBox]
+    // (columnIdx, annId)
+    var readingBlocks = mutable.ListBuffer.empty[(Int, String)]
+    for ((id, _) <- sortedAnns) {
+      val box = rel(id)
+      var columnFound = false
+      var idx = 0
+      while (idx < columns.length && !columnFound) {
+        val col = columns(idx)
+        val first = (col.ulx - startingPointTolerance < box.ulx) &&
+          (box.lrx < col.lrx + startingPointTolerance)
+        val second = (box.ulx - startingPointTolerance < col.ulx) &&
+          (col.lrx < box.lrx + startingPointTolerance)
+        val third = math.abs(box.ulx - col.lrx) < brokenLineTolerance
+        val fourth = math.abs(box.uly - col.lry) < heightTolerance * box.height
+        val fifth = math.abs(box.lry - col.uly) < heightTolerance * box.height
+        if ((first && (fourth || fifth)) || (second && (fourth || fifth)) ||
+            (third && (fourth || fifth))) {
+          readingBlocks += ((idx, id))
+          col.ulx = math.min(box.ulx, col.ulx)
+          col.uly = math.min(box.uly, col.uly)
+          col.lrx = math.max(box.lrx, col.lrx)
+          col.lry = math.max(box.lry, col.lry)
+          columnFound = true
+        }
+        idx += 1
+      }
+      if (!columnFound) {
+        columns += new MBox(box.ulx, box.uly, box.lrx, box.lry)
+        readingBlocks += ((columns.length - 1, id))
+      }
+    }
+
+    val consolidated = consolidateColumns(columns.toIndexedSeq, ioaColumnThreshold)
+    // order.py:299-303: dedupe columns via value equality on the
+    // rounded key, indexing columns by the (mixed-number-space)
+    // consolidated value — ported literally.
+    val consolidatedColumns = mutable.ArrayBuffer.empty[MBox]
+    val seenKeys = mutable.LinkedHashSet.empty[(Double, Double, Double, Double)]
+    for (idx <- columns.indices) {
+      val target = columns(consolidated(idx))
+      if (!seenKeys.contains(target.key)) {
+        seenKeys += target.key
+        consolidatedColumns += target
+      }
+    }
+
+    readingBlocks = readingBlocks.map { case (c, id) => (consolidated.getOrElse(c, c), id) }
+
+    val columnsBox = connectedComponents(consolidatedColumns.toIndexedSeq)
+    val columnsDict: Map[Int, Int] = columnsBox.zipWithIndex.map { case ((origIdx, _), k) => origIdx -> k }.toMap
+
+    val blocks = readingBlocks.toList
+      .map { case (c, id) => (columnsDict.getOrElse(c, consolidated.getOrElse(c, c)), id) }
+      .sortBy(_._1)
+    val maxBlockNumber = if (columnsDict.isEmpty) 0 else columnsDict.values.max
+    val sortedBlocks = mutable.ListBuffer.empty[(Int, String)]
+    for (idx <- 0 to maxBlockNumber) {
+      val filtered = blocks.filter(_._1 == idx)
+      sortedBlocks ++= sortAnnsGroupedByBlocks(filtered, sortedAnns, rel)
+    }
+    sortedBlocks.toList.zipWithIndex.map { case ((_, id), i) => (i + 1, id) }
+  }
+
+  /** order.py:351 `_sort_anns_grouped_by_blocks` — within one column
+    * sort blocks by rounded (uly, ulx), preserving the caller's ann
+    * ordering on ties.
+    */
+  private def sortAnnsGroupedByBlocks(
+      block: Seq[(Int, String)],
+      anns: Seq[(String, BBox)],
+      rel: Map[String, BBox]
+  ): List[(Int, String)] = {
+    if (block.isEmpty) return Nil
+    val annIds = block.map(_._2).toSet
+    val blockNumber = block.head._1
+    anns
+      .collect { case (id, _) if annIds.contains(id) => id }
+      .sortBy(id => (pyRound2(rel(id).uly), pyRound2(rel(id).ulx)))
+      .map(id => (blockNumber, id))
+      .toList
+  }
+}

@@ -1,0 +1,48 @@
+package graft.model
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Deterministic content-derived ids — RFC 4122 version-3 (MD5) UUIDs,
+  * byte-compatible with Python's `uuid.uuid3(uuid.NAMESPACE_DNS, s)` as
+  * used by the reference (dd_core/utils/identifier.py:53-77,
+  * dd_core/datapoint/annotation.py:354-376). Content-derived ids make
+  * outputs reproducible across runs and cluster sizes.
+  */
+object Ids {
+  // uuid.NAMESPACE_DNS = 6ba7b810-9dad-11d1-80b4-00c04fd430c8
+  private val NamespaceDns: Array[Byte] = Array(
+    0x6b, 0xa7, 0xb8, 0x10, 0x9d, 0xad, 0x11, 0xd1,
+    0x80, 0xb4, 0x00, 0xc0, 0x4f, 0xd4, 0x30, 0xc8
+  ).map(_.toByte)
+
+  /** identifier.py:53 `get_uuid_from_str`. */
+  def uuid3(s: String): String = {
+    val md = MessageDigest.getInstance("MD5")
+    md.update(NamespaceDns)
+    md.update(s.getBytes(StandardCharsets.UTF_8))
+    val h = md.digest()
+    h(6) = ((h(6) & 0x0f) | 0x30).toByte // version 3
+    h(8) = ((h(8) & 0x3f) | 0x80).toByte // RFC 4122 variant
+    val sb = new StringBuilder(36)
+    var i = 0
+    while (i < 16) {
+      if (i == 4 || i == 6 || i == 8 || i == 10) sb.append('-')
+      sb.append(f"${h(i) & 0xff}%02x")
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** identifier.py:66 `get_uuid` — uuid3 of concatenated inputs. */
+  def uuid3(inputs: String*): String = uuid3(inputs.mkString(""))
+
+  /** image.py:373-388 analogue: stable id of one turn. */
+  def turnId(convId: String, turnIdx: Int): String = uuid3(convId + "#" + turnIdx)
+
+  /** annotation.py:354-376 analogue: block/word id from defining
+    * attributes + container context.
+    */
+  def annId(turnId: String, kind: String, begin: Int, end: Int): String =
+    uuid3(turnId + kind + begin + "_" + end)
+}
