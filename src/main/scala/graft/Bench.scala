@@ -1,24 +1,151 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Extract
+import graft.sources.Turns
+
+/** Benchmark main. Emits ONE JSON line:
+  *   - per-query wall times for every SparkEntry query (at
+  *     `SPARK_GRAFT_CPUS` parallelism),
+  *   - headline extraction throughput (turns/sec) on a scaled-up
+  *     synthetic transcript table,
+  *   - the north rule's two-cluster-size evidence: the same extraction
+  *     job at local[8] and local[32] on identical input, with scaling
+  *     efficiency = (T32/T8)/4.
+  */
 object Bench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      // 4 partitions per core: evens out per-partition load variance
+      // (job time = slowest task; at 1 partition/core a straggler
+      // costs a full wave)
+      .config("spark.sql.shuffle.partitions", cores * 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Scaled-up deterministic turn table: documents × multiplier. */
+  private def benchTurns(spark: SparkSession, sfDir: String, mult: Int): DataFrame = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+      .withColumn("doc_id", col("doc_id") * mult + col("rep"))
+      .drop("rep")
+      .createOrReplaceTempView("documents")
+    spark.sql(Turns.CoreSql)
+      .withColumn("ts", timestamp_seconds(lit(1767225600L) + col("doc_id")))
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+  }
+
+  /** Materialize the scaled turn table once (outside timing): the
+    * measured job is read-parquet → salted repartition → extraction →
+    * count, i.e. the same job on the same input at both widths.
+    */
+  private def materializeTurns(spark: SparkSession, sfDir: String, mult: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_turns").toString
+    // round-robin so input files are balanced; the skewed conversation
+    // (conv-big, 40% of turns) is still present IN the data and handled
+    // by the measured job's salted exchange
+    benchTurns(spark, sfDir, mult).repartition(64).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def warmKernel(session: SparkSession, turnsDir: String): Unit = {
+    import session.implicits._
+    val sample = session.read.parquet(turnsDir).as[graft.model.Turn].limit(20000).collect()
+    var r = 0
+    while (r < 3) {
+      val threads = sample.grouped(sample.length / 32 + 1).toArray.map(chunk =>
+        new Thread(() => chunk.foreach(t => Extract.extractTurn(t))))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      r += 1
+    }
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
+  private def timeExtraction(spark: SparkSession, turnsDir: String): (Long, Double) = {
+    import spark.implicits._
+    val turns = spark.read.parquet(turnsDir).as[graft.model.Turn]
+    val g0 = gcMillis()
+    val t0 = System.nanoTime()
+    val n = Extract.run(turns).filter(col("metrics.parseFailed") === false).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[bench] master=${spark.sparkContext.master} n=$n sec=$sec%.3f gc=${gcMillis() - g0}ms")
+    (n, sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "120").toInt
+
+    // ---- per-query timings ----
+    var spark = session(cpus)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- extraction throughput + scaling evidence ----
+    val turnsDir = materializeTurns(spark, sfDir, mult)
+    // JIT warm-up to steady state: hammer the pure kernel on a
+    // driver-collected sample (deepest codepaths), then two full
+    // pipeline passes for the scan/exchange/encoder paths. JIT state
+    // is JVM-wide, so both measured widths then run hot code.
+    // small slice for cheap full-pipeline warm-up passes (JIT doesn't
+    // care about input size; 6 quick passes warm scan/exchange/encoder)
+    val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_warm").toString
+    spark.read.parquet(turnsDir).limit(30000).repartition(32)
+      .write.mode("overwrite").parquet(warmDir)
+    warmKernel(spark, turnsDir)
+    for (_ <- 1 to 4) timeExtraction(spark, warmDir)
+    spark.stop()
+
+    // each fresh session regenerates whole-stage/encoder codegen
+    // classes → its first run re-JITs them; measure min of 3
+    // the sandbox VM's CPU throughput fluctuates in multi-second
+    // bursts (hypervisor sharing): use medians over runs, and
+    // interleave the two widths across cycles so bursts hit both
+    def median(xs: Seq[(Long, Double)]): (Long, Double) =
+      xs.sortBy(_._2).apply(xs.length / 2)
+    val runs8 = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+    val runs32 = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+    for (_ <- 1 to 2) {
+      spark = session(8)
+      timeExtraction(spark, warmDir) // per-session codegen warm-up
+      runs8 ++= Seq.fill(2)(timeExtraction(spark, turnsDir))
+      spark.stop()
+      spark = session(32)
+      timeExtraction(spark, warmDir)
+      runs32 ++= Seq.fill(2)(timeExtraction(spark, turnsDir))
+      spark.stop()
+    }
+    spark = session(32)
+    val (n8, sec8) = median(runs8.toList)
+    val (n32, sec32) = median(runs32.toList)
+    val tput8 = n8 / sec8
+    val tput32 = n32 / sec32
+    val eff = (tput32 / tput8) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(
+      s"""{"metric":"turns_per_sec","value":${f"$tput32%.1f"},"unit":"turns/sec",""" +
+      s""""queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.3f"},""" +
+      s""""turns":$n32,"turns_per_sec_8":${f"$tput8%.1f"},"turns_per_sec_32":${f"$tput32%.1f"},""" +
+      s""""sec_8":${f"$sec8%.3f"},"sec_32":${f"$sec32%.3f"},"scaling_efficiency":${f"$eff%.3f"}}""")
     spark.stop()
   }
 }

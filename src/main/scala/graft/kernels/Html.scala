@@ -65,9 +65,15 @@ object Html {
           i = next
           if (RawTextTags.contains(tag.name) && !tag.selfClosing) {
             // raw-text element: scan for matching close tag
+            // (case-insensitive without copying the payload)
             val closePat = "</" + tag.name
-            var j = s.toLowerCase.indexOf(closePat, i)
-            if (j < 0) j = n
+            var j = i
+            var found = -1
+            while (found < 0 && j <= n - closePat.length) {
+              if (s.regionMatches(true, j, closePat, 0, closePat.length)) found = j
+              else j += 1
+            }
+            j = if (found < 0) n else found
             if (j > i) out += Text(i, j, raw = true)
             if (j < n) {
               val gt = s.indexOf('>', j)

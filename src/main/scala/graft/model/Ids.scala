@@ -16,23 +16,32 @@ object Ids {
     0x80, 0xb4, 0x00, 0xc0, 0x4f, 0xd4, 0x30, 0xc8
   ).map(_.toByte)
 
+  private val mdPool: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** identifier.py:53 `get_uuid_from_str`. */
   def uuid3(s: String): String = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdPool.get()
+    md.reset()
     md.update(NamespaceDns)
     md.update(s.getBytes(StandardCharsets.UTF_8))
     val h = md.digest()
     h(6) = ((h(6) & 0x0f) | 0x30).toByte // version 3
     h(8) = ((h(8) & 0x3f) | 0x80).toByte // RFC 4122 variant
-    val sb = new StringBuilder(36)
+    val out = new Array[Char](36)
     var i = 0
+    var p = 0
     while (i < 16) {
-      if (i == 4 || i == 6 || i == 8 || i == 10) sb.append('-')
-      sb.append(f"${h(i) & 0xff}%02x")
+      if (i == 4 || i == 6 || i == 8 || i == 10) { out(p) = '-'; p += 1 }
+      val v = h(i) & 0xff
+      out(p) = Hex(v >>> 4); out(p + 1) = Hex(v & 0xf)
+      p += 2
       i += 1
     }
-    sb.toString
+    new String(out)
   }
+
+  private val Hex: Array[Char] = "0123456789abcdef".toCharArray
 
   /** identifier.py:66 `get_uuid` — uuid3 of concatenated inputs. */
   def uuid3(inputs: String*): String = uuid3(inputs.mkString(""))
