@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.model._
+import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
 import graft.pipeline.Extract
 import graft.sources.Turns
 
@@ -119,7 +121,98 @@ object SparkEntry {
     // document fingerprinting: md5 of normalized text
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint")))
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))),
+
+    // ---- extraction depth: chunk-level output with spans ----
+    "x2_chunks" -> ((s, dir) =>
+      Extract.chunks(Extract.run(Turns.synth(s, dir)))
+        .toDF().select(col("conv_id"), col("turn_idx"), col("reading_order"),
+          col("kind"), col("text"), col("span_begin"), col("span_end"))),
+
+    // ---- text analysis ----
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextStats.langId(col("text")).as("lang_id"))),
+    "q_quality" -> ((s, dir) => TextStats.quality(docs(s, dir), "text")),
+
+    // ---- dedup family ----
+    // near-dup input: docs < 200 plus exact copies shifted by 10000
+    "q_dedup_minhash" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200).select("doc_id", "text")
+      val dup = d.withColumn("doc_id", col("doc_id") + 10000)
+      Dedup.minhashLshExactPairs(d.unionByName(dup), "doc_id", "text")
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200).select("doc_id", "text")
+      val dup = d.withColumn("doc_id", col("doc_id") + 10000)
+      Dedup.simhashPairs(d.unionByName(dup), "doc_id", "text", maxHamming = 0)
+    }),
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 150), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    // ---- similarity search ----
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
+    }),
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // ---- dataflow operators, batch 2 ----
+    // JoinData positional zip (dataflow/common.py:255): stops at shortest
+    "q_zip_join" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(Window.orderBy("o_orderkey")))
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("rn", row_number().over(Window.orderBy("c_custkey")))
+      o.join(c, "rn").select("rn", "o_orderkey", "c_custkey")
+    }),
+    // BatchData (common.py:316): fixed-size batches + per-batch aggregate
+    "q_batch" -> ((s, dir) => {
+      val w = Window.orderBy("l_orderkey", "l_linenumber")
+      lineitem(s, dir).withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", floor((col("rn") - 1) / 1000).cast("int"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+    }),
+    // RepeatedData (common.py:173): finite repeat ×3
+    "q_repeat" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.unionByName(d).unionByName(d).groupBy("lang").agg(count(lit(1)).as("n"))
+    }),
+    // CustomDataFromList rebalance + max_datapoints (custom.py:101):
+    // deterministic filter + ordered limit
+    "q_limit_sample" -> ((s, dir) =>
+      docs(s, dir).filter(col("doc_id") % 10 < 3)
+        .orderBy("doc_id").limit(50).select("doc_id", "lang", "n_chars")),
+    // MapDataComponent (common.py:134): transform one field
+    "q_mapcomponent" -> ((s, dir) =>
+      s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), upper(col("c_name")).as("name_upper"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))),
+    // tumbling-window aggregation over the event stream (same transform
+    // Structured Streaming runs; batch here for the oracle)
+    "q_window_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(window(col("ts"), "5 minutes").getField("start").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
+
+    // ---- multimodal plumbing (decode is a deterministic stub) ----
+    "q_multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeMeta(Multimodal.withBinary(docs(s, dir), "text"), "doc_id")
+        .toDF().select(col("id").as("doc_id"), col("n_bytes"), col("width"),
+          col("height"), col("channels"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -167,7 +260,139 @@ object SparkEntry {
       "q_token_count" ->
         """SELECT doc_id, CAST(length(string_split(text, ' ')) AS INT) AS n_tokens, n_chars FROM documents""",
       "q_fingerprint" ->
-        """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint FROM documents"""
+        """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint FROM documents""",
+
+      "x2_chunks" -> {
+        // template prefix literals — MUST stay in lock-step with
+        // Turns.CoreSql
+        val t1p = """<html><head><title>Session Log</title></head><body><nav><a href="#">Home</a> <a href="#">Docs</a> <a href="#">About</a></nav><p>"""
+        val t3p = """<div class="sidebar"><a href="#">Link One</a> <a href="#">Link Two</a> <a href="#">Link Three</a></div><div class="main"><p>"""
+        val t4a = "<table><tr><td>lang</td><td>"
+        val t4b = "</td></tr><tr><td>origin</td><td>"
+        val t4c = "</td></tr></table><p>"
+        val t6a = """<div style="left:0%;width:48%"><p>"""
+        val t6b = """</p></div><div style="left:52%;width:48%;top:3%"><p>"""
+        s"""$cte, base AS (
+             SELECT conv_id, turn_idx, doc_id, src_text, lang, source,
+                    doc_id % 7 AS tpl, length(src_text) AS L,
+                    length(concat(doc_id)) AS D
+             FROM turns)
+           SELECT conv_id, turn_idx, CAST(1 AS INT) AS reading_order, kind, text,
+                  CAST(b AS INT) AS span_begin, CAST(b + len AS INT) AS span_end
+           FROM (
+             SELECT conv_id, turn_idx,
+               CASE WHEN tpl = 5 THEN 'title' ELSE 'text' END AS kind,
+               CASE WHEN tpl = 5 THEN concat('Report ', doc_id) ELSE src_text END AS text,
+               CASE tpl
+                 WHEN 0 THEN 0
+                 WHEN 1 THEN ${t1p.length}
+                 WHEN 2 THEN 8
+                 WHEN 3 THEN ${t3p.length}
+                 WHEN 4 THEN ${t4a.length + t4b.length + t4c.length} + length(lang) + length(source)
+                 WHEN 5 THEN 4
+                 ELSE ${t6a.length}
+               END AS b,
+               CASE WHEN tpl = 5 THEN 7 + D ELSE L END AS len
+             FROM base)
+           UNION ALL
+           SELECT conv_id, turn_idx, CAST(2 AS INT), 'text',
+                  CASE WHEN tpl = 6 THEN concat('Column two of report ', doc_id) ELSE src_text END,
+                  CAST(b2 AS INT), CAST(b2 + len2 AS INT)
+           FROM (
+             SELECT conv_id, turn_idx, tpl, doc_id, src_text,
+               CASE tpl WHEN 2 THEN 8 + L + 7
+                        WHEN 5 THEN 4 + 7 + D + 8
+                        ELSE ${t6a.length} + L + ${t6b.length} END AS b2,
+               CASE WHEN tpl = 6 THEN 21 + D ELSE L END AS len2
+             FROM base WHERE tpl IN (2, 5, 6))"""
+      },
+
+      "q_lang_id" ->
+        s"SELECT doc_id, ${TextStats.langIdSql("text")} AS lang_id FROM documents",
+      "q_quality" -> TextStats.QualitySqlSelect,
+
+      "q_dedup_minhash" ->
+        """WITH d AS (
+             SELECT doc_id, text FROM documents WHERE doc_id < 200
+             UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200
+           ),
+           sh AS (
+             SELECT doc_id AS id, list_distinct(list_transform(
+               range(1, greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 2, 1) + 1),
+               i -> substring(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 3))) AS s
+             FROM d)
+           SELECT a.id AS id_a, b.id AS id_b,
+                  round(CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+                        length(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+           FROM sh a JOIN sh b ON a.id < b.id
+           WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 length(list_distinct(list_concat(a.s, b.s))) >= 0.95
+           ORDER BY id_a, id_b""",
+
+      "q_dedup_ngram" ->
+        """WITH base AS (
+             SELECT doc_id AS id,
+               list_distinct(list_transform(
+                 range(1, greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 2, 1) + 1),
+                 i -> substring(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 3))) AS s,
+               CAST(floor(length(string_split(text, ' ')) / 10) AS INT) AS bucket
+             FROM documents WHERE doc_id < 150)
+           SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+             SELECT a.id AS id_a, b.id AS id_b,
+               CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+               length(list_distinct(list_concat(a.s, b.s))) AS j
+             FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id)
+           WHERE j >= 0.5 ORDER BY id_a, id_b""",
+
+      "q_ann_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                      FROM embeddings WHERE vec_id < 10),
+           scored AS (
+             SELECT q.query_id, e.vec_id AS corpus_id,
+                    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+             FROM embeddings e, q WHERE q.query_id <> e.vec_id),
+           ranked AS (
+             SELECT query_id, corpus_id, cos,
+                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS INT) AS rank
+             FROM scored)
+           SELECT query_id, rank, corpus_id, round(cos, 4) AS cos
+           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      "q_zip_join" ->
+        """WITH o AS (SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS rn FROM orders),
+                c AS (SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS rn FROM customer)
+           SELECT o.rn AS rn, o_orderkey, c_custkey FROM o JOIN c ON o.rn = c.rn""",
+
+      "q_batch" ->
+        """SELECT batch_id, count(*) AS n, round(sum(l_quantity), 2) AS qty FROM (
+             SELECT l_quantity, CAST(floor((row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) / 1000) AS INT) AS batch_id
+             FROM lineitem)
+           GROUP BY batch_id""",
+
+      "q_repeat" ->
+        """SELECT lang, count(*) AS n FROM (
+             SELECT lang FROM documents UNION ALL SELECT lang FROM documents
+             UNION ALL SELECT lang FROM documents) GROUP BY lang""",
+
+      "q_limit_sample" ->
+        """SELECT doc_id, lang, n_chars FROM documents
+           WHERE doc_id % 10 < 3 ORDER BY doc_id LIMIT 50""",
+
+      "q_mapcomponent" ->
+        """SELECT c_custkey, upper(c_name) AS name_upper,
+                  CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents FROM customer""",
+
+      "q_window_agg" ->
+        """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w, event_type,
+                  count(*) AS n, round(sum(value), 2) AS sum_value
+           FROM events GROUP BY 1, 2""",
+
+      "q_multimodal_meta" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                  CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+                  CAST(1 + octet_length(encode(text)) % 48 AS INT) AS height,
+                  CAST(3 AS INT) AS channels
+           FROM documents"""
     )
   }
 }

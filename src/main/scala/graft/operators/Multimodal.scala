@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata structs, batched decode/feature-extract kernels.
+  *
+  * The actual byte→pixels decode is a STUB by design (no image/audio
+  * libraries in this environment, per the task brief): `fakeDecode`
+  * derives deterministic pseudo-metadata from the bytes. Everything
+  * Spark-side — schema, batching shape, partitioning, the
+  * mapPartitions signature a real decoder would plug into — is real
+  * and tested.
+  */
+object Multimodal {
+
+  /** Typed metadata a decoder returns per media object. */
+  final case class MediaMeta(
+      id: Long, n_bytes: Int, width: Int, height: Int, channels: Int, checksum: Long)
+
+  /** Attach a binary payload column (here synthesized from text via
+    * UTF-8 encode; in production this is the raw media column).
+    */
+  def withBinary(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("media", encode(col(textCol), "UTF-8"))
+
+  /** STUB decode: deterministic fake header parse. A real
+    * implementation swaps this body for an image decoder; the
+    * signature (bytes → meta) and the batched mapPartitions driver
+    * below stay unchanged.
+    */
+  def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length
+    MediaMeta(id, n, 1 + n % 64, 1 + n % 48, 3, XxHash.hashBytes(bytes, 0L))
+  }
+
+  /** Batched decode over the binary column: one kernel invocation per
+    * partition, rows streamed in `batchSize` groups (the Scala
+    * analogue of `mapInPandas` batch shape — a real decoder would
+    * amortize model/codec setup per batch).
+    */
+  def decodeMeta(df: DataFrame, idCol: String, batchSize: Int = 64): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would go here (decoder handle, model, …)
+        batch.iterator.map { case (id, bytes) => fakeDecode(id, bytes) }
+      })
+  }
+
+  /** Frame sampling stub: every `stride`-th window of `frameBytes`
+    * bytes stands in for video frame extraction; demonstrates the
+    * 1-row → n-rows explode shape with deterministic output.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, frameBytes: Int = 16,
+      stride: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val frames = bytes.grouped(frameBytes).toArray
+        frames.indices.by(stride).map(i => (id, i, frames(i).length, XxHash.hashBytes(frames(i), 0L)))
+      }
+      .toDF("id", "frame_idx", "frame_bytes", "frame_hash")
+  }
+}

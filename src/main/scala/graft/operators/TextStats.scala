@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: language
+  * identification, quality scoring, token counting, fingerprinting.
+  *
+  * Reference analogues: `LanguageDetectionService`
+  * (deepdoctection/pipe/language.py:33) runs a fasttext model; here a
+  * deterministic marker-count heuristic whose semantics are expressible
+  * in BOTH Spark and ANSI SQL (so the DuckDB oracle can verify it
+  * bit-for-bit). All pure Column expressions — codegen'd, no UDFs.
+  */
+object TextStats {
+
+  /** Non-overlapping left-to-right occurrence count of `marker` in
+    * `' ' || text || ' '` via replace-length arithmetic — the exact
+    * semantics `replace()` has in every SQL dialect, so Spark and the
+    * oracle agree by construction.
+    */
+  def markerCount(text: Column, marker: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(marker), ""))) / marker.length
+  }
+
+  /** SQL fragment with identical semantics (for oracles). */
+  def markerCountSql(textExpr: String, marker: String): String =
+    s"(length(concat(' ', $textExpr, ' ')) - length(replace(concat(' ', $textExpr, ' '), '$marker', ''))) / ${marker.length}"
+
+  /** Language markers: tiny stopword sets per language. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a "),
+    "de" -> Seq(" der ", " und "),
+    "es" -> Seq(" el ", " la "),
+    "fr" -> Seq(" le ", " est ")
+  )
+
+  /** Deterministic language id: argmax of marker counts; ties broken by
+    * declaration order; all-zero → 'und'.
+    */
+  def langId(text: Column): Column = {
+    val scores = Markers.map { case (lang, ms) =>
+      lang -> ms.map(m => markerCount(text, m)).reduce(_ + _)
+    }
+    // argmax with first-wins tie-break, 'und' when max == 0
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** SQL equivalent of [[langId]] (DuckDB + Spark compatible). */
+  def langIdSql(textExpr: String): String = {
+    val scoreSql = Markers.map { case (lang, ms) =>
+      lang -> ms.map(m => markerCountSql(textExpr, m)).mkString("(", " + ", ")")
+    }
+    val maxSql = scoreSql.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    scoreSql.foldRight("'und'") { case ((lang, s), acc) =>
+      s"CASE WHEN $s = $maxSql AND $maxSql > 0 THEN '$lang' ELSE $acc END"
+    }
+  }
+
+  /** Quality metrics, integer-valued for engine-exact comparison:
+    * token count, mean token length ×100 (floored), stopword count,
+    * and a keep/drop verdict (boilerpipe-style length gates).
+    */
+  def quality(df: DataFrame, textCol: String): DataFrame = {
+    val toks = size(split(col(textCol), " "))
+    val meanLen100 = floor((length(col(textCol)) - toks + 1) * 100 / toks).cast("long")
+    val stop = Markers.flatMap(_._2).map(m => markerCount(col(textCol), m)).reduce(_ + _)
+    df.select(
+      col("doc_id"),
+      toks.cast("int").as("n_tokens"),
+      meanLen100.as("mean_token_len_x100"),
+      stop.cast("int").as("n_stopwords"),
+      (toks >= 10 && toks <= 1000 && meanLen100 >= 200 && meanLen100 <= 1200).as("quality_ok"))
+  }
+
+  val QualitySqlSelect: String = {
+    val toks = "length(string_split(text, ' '))"
+    val meanLen = s"CAST(floor((length(text) - $toks + 1) * 100 / $toks) AS BIGINT)"
+    val stop = Markers.flatMap(_._2).map(m => markerCountSql("text", m)).mkString(" + ")
+    s"""SELECT doc_id, CAST($toks AS INT) AS n_tokens, $meanLen AS mean_token_len_x100,
+       CAST($stop AS INT) AS n_stopwords,
+       ($toks >= 10 AND $toks <= 1000 AND $meanLen >= 200 AND $meanLen <= 1200) AS quality_ok
+       FROM documents"""
+  }
+
+  /** Rolling polynomial fingerprint over tokens (document
+    * fingerprinting for near-dup bucketing): h = (h*31 + tokenHash)
+    * mod p. Pure Scala kernel, unit-tested; the md5 variant
+    * (q_fingerprint) is the SQL-oracle-able one.
+    */
+  def rollingFingerprint(tokens: Iterable[String], p: Long = 1000000007L): Long = {
+    var h = 0L
+    for (t <- tokens) {
+      var th = 0L
+      var i = 0
+      while (i < t.length) { th = (th * 131 + t.charAt(i)) % p; i += 1 }
+      h = (h * 31 + th) % p
+    }
+    h
+  }
+}
