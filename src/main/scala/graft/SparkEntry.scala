@@ -129,6 +129,15 @@ object SparkEntry {
         .toDF().select(col("conv_id"), col("turn_idx"), col("reading_order"),
           col("kind"), col("text"), col("span_begin"), col("span_end"))),
 
+    // table reconstruction: rows/cols/cells + reference-format HTML
+    "x5_tables" -> ((s, dir) => {
+      import s.implicits._
+      Extract.run(Turns.synth(s, dir))
+        .flatMap(et => et.tables.map(tb =>
+          (et.conv_id, et.turn_idx, tb.nRows, tb.nCols, tb.html)))
+        .toDF("conv_id", "turn_idx", "n_rows", "n_cols", "html")
+    }),
+
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextStats.langId(col("text")).as("lang_id"))),
@@ -306,6 +315,13 @@ object SparkEntry {
                CASE WHEN tpl = 6 THEN 21 + D ELSE L END AS len2
              FROM base WHERE tpl IN (2, 5, 6))"""
       },
+
+      "x5_tables" ->
+        s"""$cte SELECT conv_id, turn_idx, CAST(2 AS INT) AS n_rows, CAST(2 AS INT) AS n_cols,
+            concat('<table><tr><td>lang</td><td>', lang,
+                   '</td></tr><tr><td>origin</td><td>', source,
+                   '</td></tr></table>') AS html
+            FROM turns WHERE doc_id % 7 = 4""",
 
       "q_lang_id" ->
         s"SELECT doc_id, ${TextStats.langIdSql("text")} AS lang_id FROM documents",

@@ -1,0 +1,163 @@
+package graft.kernels
+
+import scala.collection.mutable
+
+/** Table segmentation over markup — the transcript analogue of the
+  * reference's `TableSegmentationService` + refinement + HTML/CSV
+  * assembly (deepdoctection/pipe/segment.py:492-584 cell→row/col
+  * numbering with spans; pipe/refine.py:271-348 HTML generation with
+  * `rowspan=`/`colspan=` attributes and filled-position bookkeeping;
+  * view.py:787-858 HTML resolution and CSV tiling with content at the
+  * upper-left tile only).
+  *
+  * Where the reference infers the grid geometrically from detector
+  * boxes (row_num = min matched row by weighted IoA, span = count of
+  * matches), markup already carries the grid; the same outputs
+  * (row/col numbers, spans, html, csv) are produced via the standard
+  * HTML placement algorithm (cursor + occupancy from spans).
+  * Row-local, pure, error-tolerant.
+  */
+object Table {
+
+  final case class TableCell(
+      row: Int, col: Int, rowSpan: Int, colSpan: Int,
+      text: String, begin: Int, end: Int, header: Boolean)
+
+  final case class TableResult(
+      begin: Int, end: Int, nRows: Int, nCols: Int,
+      cells: Array[TableCell], html: String, csv: Array[Array[String]])
+
+  private final class CellB(val rowSpan: Int, val colSpan: Int, val header: Boolean) {
+    val words = mutable.ListBuffer.empty[String]
+    var begin: Int = -1
+    var end: Int = -1
+    def text: String = words.mkString(" ")
+  }
+
+  private final class TableB(val start: Int) {
+    val rows = mutable.ListBuffer.empty[mutable.ListBuffer[CellB]]
+    var cur: CellB = null
+    def newRow(): Unit = { rows += mutable.ListBuffer.empty; cur = null }
+    def newCell(rs: Int, cs: Int, header: Boolean): Unit = {
+      if (rows.isEmpty) newRow()
+      cur = new CellB(rs, cs, header)
+      rows.last += cur
+    }
+  }
+
+  /** Parse every `<table>` in the payload (nested tables become their
+    * own results; their content does not leak into the enclosing
+    * cell's text — the reference's sub-layout re-segmentation slot,
+    * pipe/sub_layout.py:158).
+    */
+  def parseTables(payload: String): List[TableResult] = {
+    val events = Html.tokenize(payload)
+    val results = mutable.ListBuffer.empty[TableResult]
+    val stack = mutable.Stack.empty[TableB]
+
+    def intAttr(attrs: Map[String, String], name: String): Int =
+      attrs.get(name).flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .filter(_ >= 1).getOrElse(1)
+
+    for (ev <- events) ev match {
+      case Html.StartTag("table", _, begin, _, false) =>
+        stack.push(new TableB(begin))
+      case Html.StartTag("tr", _, _, _, _) if stack.nonEmpty =>
+        stack.top.newRow()
+      case Html.StartTag(n @ ("td" | "th"), attrs, _, _, _) if stack.nonEmpty =>
+        stack.top.newCell(intAttr(attrs, "rowspan"), intAttr(attrs, "colspan"), n == "th")
+      case Html.EndTag("td" | "th", _, _) if stack.nonEmpty =>
+        stack.top.cur = null
+      case Html.EndTag("table", _, end) if stack.nonEmpty =>
+        val tb = stack.pop()
+        results += build(tb.start, end, tb.rows.map(_.toList).toList)
+      case Html.Text(begin, end, raw) if stack.nonEmpty && !raw =>
+        val cell = stack.top.cur
+        if (cell != null) {
+          var i = begin
+          while (i < end) {
+            while (i < end && payload.charAt(i).isWhitespace) i += 1
+            if (i < end) {
+              val ws = i
+              while (i < end && !payload.charAt(i).isWhitespace) i += 1
+              cell.words += Html.decodeEntities(payload.substring(ws, i))
+              if (cell.begin < 0) cell.begin = ws
+              cell.end = i
+            }
+          }
+        }
+      case _ => ()
+    }
+    while (stack.nonEmpty) { // unclosed at EOF: emit what was parsed
+      val tb = stack.pop()
+      results += build(tb.start, payload.length, tb.rows.map(_.toList).toList)
+    }
+    results.toList.sortBy(_.begin)
+  }
+
+  private def build(begin: Int, end: Int, rows: List[List[CellB]]): TableResult = {
+    // standard placement: cursor per row, occupancy from row/col spans
+    val occupied = mutable.Set.empty[(Int, Int)]
+    val cells = mutable.ListBuffer.empty[TableCell]
+    var nCols = 0
+    for ((row, r0) <- rows.zipWithIndex) {
+      val r = r0 + 1 // 1-based (reference CellKey.ROW_NUMBER)
+      var c = 1
+      for (cb <- row) {
+        while (occupied.contains((r, c))) c += 1
+        cells += TableCell(r, c, cb.rowSpan, cb.colSpan, cb.text, cb.begin, cb.end, cb.header)
+        for (dr <- 0 until cb.rowSpan; dc <- 0 until cb.colSpan)
+          occupied += ((r + dr, c + dc))
+        c += cb.colSpan
+      }
+      nCols = math.max(nCols, c - 1)
+    }
+    val nRows = rows.length
+    nCols = math.max(nCols, if (cells.isEmpty) 0 else cells.map(c => c.col + c.colSpan - 1).max)
+    TableResult(begin, end, nRows, nCols, cells.toArray,
+      htmlOf(nRows, nCols, cells.toList), csvOf(nRows, nCols, cells.toList))
+  }
+
+  /** refine.py:233-348 `_html_cell`/`_html_row`/`_html_table` format:
+    * `<td rowspan=R colspan=C>` attributes only when ≠ 1; slots
+    * covered by an earlier span are skipped; missing cells render as
+    * bare `<td></td>`.
+    */
+  def htmlOf(nRows: Int, nCols: Int, cells: List[TableCell]): String = {
+    val sb = new StringBuilder("<table>")
+    val filled = mutable.Set.empty[(Int, Int)]
+    for (r <- 1 to nRows) {
+      sb.append("<tr>")
+      val rowCells = cells.filter(_.row == r).sortBy(_.col)
+      for (c <- 1 to nCols) {
+        if (!filled.contains((r, c))) {
+          rowCells.find(_.col == c) match {
+            case Some(cell) =>
+              sb.append("<td")
+              if (cell.rowSpan != 1) sb.append(s" rowspan=${cell.rowSpan}")
+              if (cell.colSpan != 1) sb.append(s" colspan=${cell.colSpan}")
+              if (cell.rowSpan != 1 || cell.colSpan != 1)
+                for (dr <- 0 until cell.rowSpan; dc <- 0 until cell.colSpan)
+                  filled += ((r + dr, c + dc))
+              sb.append(">").append(cell.text).append("</td>")
+            case None =>
+              sb.append("<td></td>")
+          }
+        }
+      }
+      sb.append("</tr>")
+    }
+    sb.append("</table>").toString
+  }
+
+  /** view.py:831-858 `csv`: content at the upper-left tile of a
+    * spanning cell; covered tiles stay blank.
+    */
+  def csvOf(nRows: Int, nCols: Int, cells: List[TableCell]): Array[Array[String]] = {
+    val grid = Array.fill(nRows, nCols)("")
+    for (cell <- cells if cell.row >= 1 && cell.col >= 1 &&
+         cell.row <= nRows && cell.col <= nCols)
+      grid(cell.row - 1)(cell.col - 1) = cell.text
+    grid
+  }
+}

@@ -93,6 +93,20 @@ final case class TurnMetrics(
     parseFailed: Boolean
 )
 
+/** One reconstructed table cell (reference `CellKey.ROW_NUMBER` /
+  * `COLUMN_NUMBER` / spans sub-categories, segment.py:492-584).
+  */
+final case class TableCellOut(
+    row: Int, col: Int, rowSpan: Int, colSpan: Int,
+    text: String, begin: Int, end: Int)
+
+/** One reconstructed table (reference `Table` view with html/csv,
+  * view.py:787-858).
+  */
+final case class TableData(
+    id: String, begin: Int, end: Int, nRows: Int, nCols: Int,
+    html: String, cells: Array[TableCellOut])
+
 /** Pipeline output row: the reference's `Page` view flattened
   * (dd_core/datapoint/view.py:1038).
   */
@@ -105,6 +119,7 @@ final case class ExtractedTurn(
     extractedText: String,
     blocks: Array[Block],
     words: Array[Word],
+    tables: Array[TableData],
     metrics: TurnMetrics
 )
 

@@ -46,7 +46,7 @@ object Extract {
       case Success(et) => et
       case Failure(_) =>
         ExtractedTurn(t.conv_id, t.turn_idx, turnId, t.role, t.ts, "",
-          Array.empty, Array.empty,
+          Array.empty, Array.empty, Array.empty,
           TurnMetrics(0, 0, 0, 0, parseFailed = true))
     }
   }
@@ -123,13 +123,25 @@ object Extract {
         b.textDensity, b.linkDensity, b.tagDepth, blockTexts(i))
     }.toArray
 
+    // ---- table reconstruction (TableSegmentationService analogue,
+    // pipe/segment.py:840) — only when markup contains a table ----
+    val tables: Array[TableData] =
+      if (payload.contains("<table")) {
+        graft.kernels.Table.parseTables(payload).map { tr =>
+          TableData(Ids.annId(turnId, LayoutLabel.TABLE, tr.begin, tr.end),
+            tr.begin, tr.end, tr.nRows, tr.nCols, tr.html,
+            tr.cells.map(c => TableCellOut(c.row, c.col, c.rowSpan, c.colSpan,
+              c.text, c.begin, c.end)))
+        }.toArray
+      } else Array.empty[TableData]
+
     // ---- projection (`Page.text` analogue, view.py:1318-1336):
     // kept blocks by reading order, '\n'-joined ----
     val extractedText = blocks.filter(_.kept).sortBy(_.readingOrder).map(_.text).mkString("\n")
 
     val kept = blocks.count(_.kept)
     ExtractedTurn(t.conv_id, t.turn_idx, turnId, t.role, t.ts, extractedText,
-      blocks, orderedWords,
+      blocks, orderedWords, tables,
       TurnMetrics(kept, blocks.length - kept, orderedWords.length,
         orderedWords.count(_.readingOrder > 0), parseFailed = false))
   }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernels.Table
+
+class TableSpec extends AnyFunSuite {
+
+  test("simple 2x2 grid with reference HTML format") {
+    val s = "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>"
+    val List(t) = Table.parseTables(s)
+    assert(t.nRows == 2 && t.nCols == 2)
+    assert(t.cells.map(c => (c.row, c.col, c.text)).toList ==
+      List((1, 1, "a"), (1, 2, "b"), (2, 1, "c"), (2, 2, "d")))
+    assert(t.html == s)
+    assert(t.csv.map(_.toList).toList == List(List("a", "b"), List("c", "d")))
+  }
+
+  test("colspan/rowspan placement skips occupied slots (refine.py:293-316)") {
+    val s = "<table><tr><td rowspan=2>a</td><td>b</td></tr><tr><td>c</td></tr></table>"
+    val List(t) = Table.parseTables(s)
+    // c must land at (2,2) because (2,1) is covered by a's rowspan
+    assert(t.cells.map(c => (c.row, c.col, c.rowSpan, c.colSpan)).toList ==
+      List((1, 1, 2, 1), (1, 2, 1, 1), (2, 2, 1, 1)))
+    assert(t.html == "<table><tr><td rowspan=2>a</td><td>b</td></tr><tr><td>c</td></tr></table>")
+    // csv: spanning content at upper-left tile only (view.py:831-858)
+    assert(t.csv.map(_.toList).toList == List(List("a", "b"), List("", "c")))
+  }
+
+  test("colspan emits attribute and missing cells render empty td") {
+    val s = "<table><tr><td colspan=2>wide</td></tr><tr><td>x</td></tr></table>"
+    val List(t) = Table.parseTables(s)
+    assert(t.nCols == 2)
+    assert(t.html ==
+      "<table><tr><td colspan=2>wide</td></tr><tr><td>x</td><td></td></tr></table>")
+  }
+
+  test("nested table is its own result, content excluded from outer cell") {
+    val s = "<table><tr><td>outer <table><tr><td>inner</td></tr></table></td></tr></table>"
+    val ts = Table.parseTables(s)
+    assert(ts.length == 2)
+    val outer = ts.head
+    val inner = ts(1)
+    assert(outer.cells.head.text == "outer")
+    assert(inner.cells.head.text == "inner")
+  }
+
+  test("cell spans index the raw payload") {
+    val s = "<table><tr><td>alpha beta</td></tr></table>"
+    val List(t) = Table.parseTables(s)
+    val c = t.cells.head
+    assert(s.substring(c.begin, c.end) == "alpha beta")
+  }
+
+  test("malformed: unclosed table, stray text, bad span attrs") {
+    val t1 = Table.parseTables("<table><tr><td>a")
+    assert(t1.length == 1 && t1.head.cells.head.text == "a")
+    val t2 = Table.parseTables("""<table><tr><td rowspan=x colspan=-2>a</td></tr></table>""")
+    assert(t2.head.cells.head.rowSpan == 1 && t2.head.cells.head.colSpan == 1)
+    assert(Table.parseTables("no tables here").isEmpty)
+  }
+
+  test("th cells flagged as header, entities decoded") {
+    val s = "<table><tr><th>Name &amp; Id</th></tr><tr><td>x</td></tr></table>"
+    val List(t) = Table.parseTables(s)
+    assert(t.cells.head.header && t.cells.head.text == "Name & Id")
+  }
+}
