@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
+import graft.model.{ExtractedTurn, Turn}
+import graft.pipeline.{Extract, ExtractConfig}
+
+/** Structured Streaming surface. The reference is batch-only (its
+  * "streaming" means constant-memory iteration — SURVEY §2.5), so this
+  * is an extension the 100 TB deployment needs: continuous extraction
+  * over arriving transcript files and watermarked windowed aggregation
+  * over the event stream. The SAME per-turn kernel runs in both modes
+  * — `Extract.extractTurn` inside `mapPartitions` is mode-agnostic.
+  */
+object Stream {
+
+  val turnSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+    StructField("role", StringType), StructField("text", StringType),
+    StructField("tool", StringType), StructField("ts", TimestampType)))
+
+  /** Continuous extraction: file stream of turn .jsonl → per-turn
+    * extraction. No shuffle in the streaming plan — partition-local
+    * kernel, so throughput scales with input partitioning.
+    */
+  def extractStream(spark: SparkSession, inputDir: String,
+      cfg: ExtractConfig = ExtractConfig()): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    spark.readStream.schema(turnSchema).json(inputDir)
+      .as[Turn]
+      .mapPartitions(_.map(t => Extract.extractTurn(t, cfg)))
+  }
+
+  /** Watermarked tumbling-window aggregation over events — the
+    * streaming twin of the batch `q_window_agg` query (same window
+    * semantics, plus late-data eviction).
+    */
+  def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).getField("start").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+
+  /** Parquet sink with checkpointing (exactly-once file sink). */
+  def toParquetSink(ds: Dataset[ExtractedTurn], outDir: String,
+      checkpointDir: String): DataStreamWriter[ExtractedTurn] =
+    ds.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.Checkpoint
+import graft.pipeline.{Extract, ExtractConfig}
+import graft.sources.{Serializers, Turns}
+
+class SerializersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("jsonl round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val turns = Turns.synth(spark, TestSpark.sfDir).toDF().limit(100)
+    Serializers.writeJsonl(turns, dir)
+    val back = Serializers.readJsonl(spark, dir, turns.schema)
+    assert(back.count() == 100)
+    val a = turns.orderBy("conv_id", "turn_idx").collect()
+    val b = back.orderBy("conv_id", "turn_idx").collect()
+    assert(a.sameElements(b))
+    assert(Serializers.readJsonl(spark, dir, turns.schema, maxDatapoints = Some(7)).count() == 7)
+  }
+
+  test("tabsep round-trip") {
+    val dir = Files.createTempDirectory("graft_tsv").toString
+    val df = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id").cast("string"), col("lang"), col("source")).limit(50)
+    Serializers.writeTabsep(df, dir)
+    val back = Serializers.readTabsep(spark, dir, Seq("doc_id", "lang", "source"))
+    assert(back.count() == 50)
+    assert(back.orderBy("doc_id").collect().sameElements(df.orderBy("doc_id").collect()))
+  }
+
+  test("binary file directory source sorted by path") {
+    val dir = Files.createTempDirectory("graft_bin")
+    Files.writeString(dir.resolve("b.txt"), "bravo")
+    Files.writeString(dir.resolve("a.txt"), "alpha")
+    Files.writeString(dir.resolve("c.skip"), "nope")
+    val df = Serializers.readFilesDir(spark, dir.toString, "txt")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).toList == rows.map(_.getString(0)).sorted.toList)
+    assert(new String(rows(0).getAs[Array[Byte]]("content")) == "alpha")
+  }
+
+  test("coco-style pre-join: annotations grouped onto images") {
+    import spark.implicits._
+    val images = Seq((1L, "img1"), (2L, "img2"), (3L, "empty")).toDF("id", "name")
+    val anns = Seq((10L, 1L, "cat"), (11L, 1L, "dog"), (12L, 2L, "fish"))
+      .toDF("id", "image_id", "label")
+    val joined = Serializers.cocoPreJoin(images, anns)
+    val byId = joined.collect().map(r => r.getLong(0) -> r.getAs[Long]("n_anns")).toMap
+    assert(byId == Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("dataset registry + merge") {
+    val d = Serializers.dataset("documents")(spark, TestSpark.sfDir)
+    val merged = Serializers.mergeDatasets(Seq(d, d))
+    assert(merged.count() == 2 * d.count())
+  }
+}
+
+class CheckpointSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("kill-after-k-chunks then resume equals a single run") {
+    import spark.implicits._
+    val turns = Turns.synth(spark, TestSpark.sfDir)
+    val cfg = ExtractConfig(saltChunkSize = 16)
+
+    val single = Extract.run(turns, cfg)
+      .select($"conv_id", $"turn_idx", $"extractedText").as[(String, Int, String)]
+      .collect().sortBy(r => (r._1, r._2))
+
+    val outDir = Files.createTempDirectory("graft_ckpt").toString
+    // simulate a crash: run only chunks 0 and 1 of 4
+    Checkpoint.runChunk(turns, outDir, 0, 4, cfg)
+    Checkpoint.runChunk(turns, outDir, 1, 4, cfg)
+    // resume: chunk 0/1 must be skipped, 2/3 executed
+    val results = Checkpoint.runAll(turns, outDir, 4, cfg)
+    assert(results.count(_.skipped) == 2)
+    assert(results.count(!_.skipped) == 2)
+
+    val resumed = Checkpoint.readOutput(spark, outDir)
+      .select($"conv_id", $"turn_idx", $"extractedText").as[(String, Int, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(resumed.sameElements(single))
+    // markers carry row counts
+    val marker = Files.readString(Paths.get(outDir, "_DONE_0"))
+    assert(marker.contains("\"rows\""))
+  }
+
+  test("partial chunk overwrite is idempotent (re-run after marker loss)") {
+    import spark.implicits._
+    val turns = Turns.synth(spark, TestSpark.sfDir).limit(100)
+    val cfg = ExtractConfig(saltChunkSize = 16)
+    val outDir = Files.createTempDirectory("graft_ckpt2").toString
+    val r1 = Checkpoint.runChunk(turns, outDir, 0, 2, cfg)
+    Files.delete(Paths.get(outDir, "_DONE_0")) // lost marker → retry
+    val r2 = Checkpoint.runChunk(turns, outDir, 0, 2, cfg)
+    assert(!r1.skipped && !r2.skipped && r1.rows == r2.rows)
+  }
+}
+
+class StreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming extraction over a file source equals the batch run") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft_stream_in").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ck").toString
+    val turns = graft.sources.Turns.synth(spark, TestSpark.sfDir).limit(200)
+    turns.toDF().coalesce(2).write.mode("overwrite").json(inDir)
+
+    val q = graft.streaming.Stream
+      .toParquetSink(graft.streaming.Stream.extractStream(spark, inDir), outDir, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(outDir)
+      .select($"conv_id", $"turn_idx", $"extractedText").as[(String, Int, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    val batch = Extract.run(turns)
+      .select($"conv_id", $"turn_idx", $"extractedText").as[(String, Int, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(streamed.sameElements(batch))
+  }
+
+  test("watermarked windowed aggregation with late-data handling") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = graft.streaming.Stream.windowedEventCounts(events, "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("update").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    mem.addData((t(0), "click", 1.0), (t(1), "click", 2.0), (t(7), "view", 3.0))
+    q.processAllAvailable()
+    mem.addData((t(2), "click", 4.0)) // within watermark → still counted
+    q.processAllAvailable()
+    val rows = spark.table("winagg").collect()
+    q.stop()
+    val clicks = rows.filter(_.getString(1) == "click").map(_.getLong(2)).max
+    assert(clicks == 3) // the late row updated the first window
+  }
+}
