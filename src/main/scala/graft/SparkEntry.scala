@@ -138,6 +138,29 @@ object SparkEntry {
         .toDF("conv_id", "turn_idx", "n_rows", "n_cols", "html")
     }),
 
+    // per-turn language id over the extracted text
+    "x6_lang" -> ((s, dir) => {
+      import s.implicits._
+      Extract.run(Turns.synth(s, dir))
+        .select($"conv_id", $"turn_idx", $"lang".as("lang_id"))
+    }),
+
+    // ---- evaluation metrics (reference eval/accmetric.py) ----
+    "q_eval_lang_confusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Eval.confusion(
+        d.select(col("doc_id"), TextStats.langId(col("text")).as("v")),
+        d.select(col("doc_id"), col("lang").as("v")),
+        Seq("doc_id"), "v")
+    }),
+    "q_eval_prf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Eval.precisionRecallF1(
+        d.select(col("doc_id"), TextStats.langId(col("text")).as("v")),
+        d.select(col("doc_id"), col("lang").as("v")),
+        Seq("doc_id"), "v", positive = "en")
+    }),
+
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextStats.langId(col("text")).as("lang_id"))),
@@ -325,6 +348,27 @@ object SparkEntry {
 
       "q_lang_id" ->
         s"SELECT doc_id, ${TextStats.langIdSql("text")} AS lang_id FROM documents",
+
+      "x6_lang" ->
+        s"""$cte SELECT conv_id, turn_idx,
+            ${TextStats.langIdSql("(" + Turns.ExpectedExtractedSql + ")")} AS lang_id FROM turns""",
+
+      "q_eval_lang_confusion" ->
+        s"""SELECT gold, predicted, count(*) AS n FROM (
+              SELECT lang AS gold, ${TextStats.langIdSql("text")} AS predicted FROM documents)
+            GROUP BY gold, predicted ORDER BY gold, predicted""",
+
+      "q_eval_prf" ->
+        s"""WITH j AS (
+              SELECT CAST(${TextStats.langIdSql("text")} = 'en' AS INT) AS pp,
+                     CAST(lang = 'en' AS INT) AS gp FROM documents)
+            SELECT CAST(sum(pp * gp) AS BIGINT) AS tp,
+                   CAST(sum(pp * (1 - gp)) AS BIGINT) AS fp,
+                   CAST(sum((1 - pp) * gp) AS BIGINT) AS fn,
+                   round(sum(pp * gp) / greatest(sum(pp * gp) + sum(pp * (1 - gp)), 1), 4) AS precision,
+                   round(sum(pp * gp) / greatest(sum(pp * gp) + sum((1 - pp) * gp), 1), 4) AS recall,
+                   round(2 * sum(pp * gp) / greatest(2 * sum(pp * gp) + sum(pp * (1 - gp)) + sum((1 - pp) * gp), 1), 4) AS f1
+            FROM j""",
       "q_quality" -> TextStats.QualitySqlSelect,
 
       "q_dedup_minhash" ->

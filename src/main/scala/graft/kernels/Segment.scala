@@ -188,7 +188,7 @@ object Segment {
             val ws = i
             while (i < run.end && !payload.charAt(i).isWhitespace) i += 1
             val rawWord = payload.substring(ws, i)
-            val text = Html.decodeEntities(rawWord)
+            val text = Normalize.nfc(Html.decodeEntities(rawWord))
             val w = CharW * text.length
             if (x > x0 && x + w > x0 + colW) { y += LineH; x = x0; lineCount += 1 }
             words += SegWord(ws, i, text, BBox(x, y, x + w, y + LineH, absCoords = true),
@@ -261,7 +261,7 @@ object Segment {
           if (p < end) {
             val ws = p
             while (p < end && !payload.charAt(p).isWhitespace) p += 1
-            val text = payload.substring(ws, p)
+            val text = Normalize.nfc(payload.substring(ws, p))
             val w = CharW * text.length
             if (x > 0.0 && x + w > PageWidth) { y += LineH; x = 0.0; lineCount += 1 }
             words += SegWord(ws, p, text, BBox(x, y, x + w, y + LineH, absCoords = true), anchor = false)

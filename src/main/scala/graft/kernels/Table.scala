@@ -80,7 +80,7 @@ object Table {
             if (i < end) {
               val ws = i
               while (i < end && !payload.charAt(i).isWhitespace) i += 1
-              cell.words += Html.decodeEntities(payload.substring(ws, i))
+              cell.words += Normalize.nfc(Html.decodeEntities(payload.substring(ws, i)))
               if (cell.begin < 0) cell.begin = ws
               cell.end = i
             }

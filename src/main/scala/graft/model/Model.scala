@@ -60,7 +60,19 @@ final case class Word(
     box: BBox,
     blockId: String,   // parent block (filled by the matching kernel)
     readingOrder: Int, // 1-based position within its block (filled by order kernel)
-    lineNo: Int        // text line within the block
+    lineNo: Int,       // text line within the block
+    tokenClass: String // LM token-class slot (reference lm.py:215-233 default OTHER)
+)
+
+/** One synthesized text line (reference `TextLineService`,
+  * pipe/order.py:581 — LINE annotations with child word ids).
+  */
+final case class LineOut(
+    id: String,
+    blockId: String,
+    begin: Int,
+    end: Int,
+    nWords: Int
 )
 
 /** One layout block (reference: layout `ImageAnnotation` with a
@@ -117,8 +129,10 @@ final case class ExtractedTurn(
     role: String,
     ts: Timestamp,
     extractedText: String,
+    lang: String, // LanguageDetectionService analogue (pipe/language.py:33)
     blocks: Array[Block],
     words: Array[Word],
+    lines: Array[LineOut],
     tables: Array[TableData],
     metrics: TurnMetrics
 )
@@ -157,6 +171,8 @@ object LayoutLabel {
   val CAPTION = "caption"
   val CODE = "code"
   val KEY_VALUE_AREA = "key_value_area"
+  /** Default token class (reference lm.py:215-233 `OTHER`). */
+  val TOKEN_OTHER = "other"
   /** Reference default floating text categories
     * (view.py:959-1013 `IMAGE_DEFAULTS`): these contribute to
     * `Page.text`; everything else is residual.

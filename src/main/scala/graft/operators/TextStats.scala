@@ -87,6 +87,27 @@ object TextStats {
        FROM documents"""
   }
 
+  /** Scala twin of [[markerCount]] — same replace-count semantics
+    * (non-overlapping, left-to-right), for use inside row kernels.
+    */
+  def markerCountScala(text: String, marker: String): Int = {
+    val padded = " " + text + " "
+    var i = padded.indexOf(marker)
+    var n = 0
+    while (i >= 0) { n += 1; i = padded.indexOf(marker, i + marker.length) }
+    n
+  }
+
+  /** Scala twin of [[langId]]: argmax of marker counts, first-wins
+    * tie-break in [[Markers]] order, 'und' when all zero.
+    */
+  def langIdScala(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val scores = Markers.map { case (lang, ms) => lang -> ms.map(markerCountScala(text, _)).sum }
+    val max = scores.map(_._2).max
+    if (max == 0) "und" else scores.find(_._2 == max).get._1
+  }
+
   /** Rolling polynomial fingerprint over tokens (document
     * fingerprinting for near-dup bucketing): h = (h*31 + tokenHash)
     * mod p. Pure Scala kernel, unit-tested; the md5 variant

@@ -45,8 +45,8 @@ object Extract {
     Try(extractTurnUnsafe(t, turnId, cfg)) match {
       case Success(et) => et
       case Failure(_) =>
-        ExtractedTurn(t.conv_id, t.turn_idx, turnId, t.role, t.ts, "",
-          Array.empty, Array.empty, Array.empty,
+        ExtractedTurn(t.conv_id, t.turn_idx, turnId, t.role, t.ts, "", "und",
+          Array.empty, Array.empty, Array.empty, Array.empty,
           TurnMetrics(0, 0, 0, 0, parseFailed = true))
     }
   }
@@ -94,7 +94,7 @@ object Extract {
         val wi = key.toInt
         val w = allWords(wi)
         orderedWords(wi) = Word(wordIds(wi), w.text, w.begin, w.end, w.box,
-          blockIds(bi), pos, line)
+          blockIds(bi), pos, line, LayoutLabel.TOKEN_OTHER)
         if (sb.nonEmpty) sb.append(' ')
         sb.append(w.text)
       }
@@ -103,7 +103,25 @@ object Extract {
     // unassigned words (no parent above threshold) stay residual
     for (wi <- allWords.indices if orderedWords(wi) == null) {
       val w = allWords(wi)
-      orderedWords(wi) = Word(wordIds(wi), w.text, w.begin, w.end, w.box, "", -1, -1)
+      orderedWords(wi) = Word(wordIds(wi), w.text, w.begin, w.end, w.box, "", -1, -1,
+        LayoutLabel.TOKEN_OTHER)
+    }
+
+    // ---- synthetic text lines (TextLineService analogue,
+    // pipe/order.py:581): per block, rows split at paragraph breaks ----
+    val lines: Array[LineOut] = wordsByBlock.toArray.sortBy(_._1).flatMap { case (bi, wis) =>
+      if (bi < 0) Array.empty[LineOut]
+      else {
+        graft.kernels.Lines.createLines(
+          wis.map(wi => (wi.toString, allWords(wi).box)).toIndexedSeq,
+          seg.pageWidth, seg.pageHeight, makeSubLines = true, cfg.paragraphBreak)
+          .map { lr =>
+            val ws = lr.childIds.map(_.toInt)
+            val b = ws.map(allWords(_).begin).min
+            val e = ws.map(allWords(_).end).max
+            LineOut(Ids.annId(turnId, LayoutLabel.LINE, b, e), blockIds(bi), b, e, ws.length)
+          }.toArray
+      }
     }
 
     // ---- main-content classification + block-level reading order
@@ -141,7 +159,8 @@ object Extract {
 
     val kept = blocks.count(_.kept)
     ExtractedTurn(t.conv_id, t.turn_idx, turnId, t.role, t.ts, extractedText,
-      blocks, orderedWords, tables,
+      graft.operators.TextStats.langIdScala(extractedText),
+      blocks, orderedWords, lines, tables,
       TurnMetrics(kept, blocks.length - kept, orderedWords.length,
         orderedWords.count(_.readingOrder > 0), parseFailed = false))
   }
