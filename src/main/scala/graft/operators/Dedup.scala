@@ -17,6 +17,11 @@ object Dedup {
 
   /** MinHash signature, pure Column space:
     * sig[i] = min over distinct char-k-shingles s of xxhash64(s, i).
+    *
+    * NOTE: kept for reference/tests, but [[minhashSignatures]] (typed
+    * kernel) is what the LSH operators use — nested `transform`
+    * lambdas re-evaluate the shingle subtree once per outer index
+    * (64× per row), which is a 50× slowdown Catalyst cannot CSE away.
     */
   def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
     val norm = lower(regexp_replace(text, "\\s+", " "))
@@ -27,6 +32,56 @@ object Dedup {
       i => array_min(transform(sh, s => xxhash64(s, i))))
   }
 
+  /** Normalized distinct char-k-shingles (pure Scala). */
+  def shinglesOf(text: String, k: Int): Array[String] = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ")
+    if (norm.length <= k) Array(norm)
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + k <= norm.length) { seen.add(norm.substring(i, i + k)); i += 1 }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
+  /** One-pass MinHash signature kernel: each shingle is hashed ONCE
+    * (XXH64 seed 42), then re-seeded per signature slot with a cheap
+    * avalanche mix — O(shingles + numHashes·shingles-long-mixes)
+    * instead of the Column-space O(numHashes × full-shingle-recompute).
+    */
+  def minhashSig(text: String, k: Int, numHashes: Int): Array[Long] = {
+    val sh = shinglesOf(if (text == null) "" else text, k)
+    val base = sh.map(s => XxHash.hashUtf8(s, 42L))
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < numHashes) {
+      val seed = i * -7046029288634856825L + 2870177450012600261L
+      var j = 0
+      while (j < base.length) {
+        // xorshift-multiply avalanche of (h0 ^ seed)
+        var h = base(j) ^ seed
+        h ^= h >>> 33; h *= -4417276706812531889L; h ^= h >>> 29
+        if (h < sig(i)) sig(i) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** (id, signature, shingles) per row via one typed pass. */
+  private def signatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, minhashSig(t, k, numHashes), shinglesOf(if (t == null) "" else t, k))
+      })
+      .toDF("id", "sig", "sh")
+  }
+
   /** LSH near-duplicate pairs via banded MinHash: band-bucket join on
     * (band, bandHash), then signature-agreement Jaccard estimate.
     * Returns (id_a, id_b, jaccard_est) with id_a < id_b.
@@ -35,8 +90,7 @@ object Dedup {
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       jaccardThreshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    val sigs = signatures(df, idCol, textCol, k, numHashes).select("id", "sig")
 
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -70,9 +124,8 @@ object Dedup {
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       jaccardThreshold: Double = 0.95): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
-    val banded = sigs.select(col("id"),
+    val withSh = signatures(df, idCol, textCol, k, numHashes)
+    val banded = withSh.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -81,11 +134,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
 
-    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
-    val sh = array_distinct(transform(
-      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
-      i => norm.substr(i, lit(k))))
-    val shingled = df.select(col(idCol).as("id"), sh.as("sh"))
+    val shingled = withSh.select(col("id"), col("sh"))
     cand
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
