@@ -238,6 +238,12 @@ object SparkEntry {
         .groupBy(window(col("ts"), "5 minutes").getField("start").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
 
+    // gap-based sessionization (gaps-and-islands; streaming twin in
+    // operators.Sessionize.sessionizeStream)
+    "q_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.sessions(
+        s.read.parquet(s"$dir/events.parquet"), gapSeconds = 1800)),
+
     // ---- multimodal plumbing (decode is a deterministic stub) ----
     "q_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
@@ -446,6 +452,20 @@ object SparkEntry {
         """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w, event_type,
                   count(*) AS n, round(sum(value), 2) AS sum_value
            FROM events GROUP BY 1, 2""",
+
+      "q_sessionize" ->
+        """WITH e AS (
+             SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           s AS (
+             SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM e)
+           SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+                  min(ts) AS session_start, max(ts) AS session_end,
+                  count(*) AS n_events, round(sum(value), 2) AS sum_value
+           FROM s GROUP BY user_id, session_idx""",
 
       "q_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,

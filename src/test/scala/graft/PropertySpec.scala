@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.kernels.{Html, Order, Segment, Table}
+import graft.model.{BBox, Turn}
+import graft.pipeline.Extract
+
+/** ScalaCheck properties protecting the north-rule invariant —
+  * coverage the reference's fixture-only suite lacks (SURVEY §5).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic sampler (the scalatest-scalacheck bridge is not in
+    * the offline cache): evaluates the property on `n` seeded samples.
+    */
+  private def forAll[A](gen: Gen[A], n: Int = 60)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(params, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val payloadGen: Gen[String] = {
+    val junk = Gen.oneOf("<", ">", "&", "&amp;", "<p>", "</p>", "<div>", "</div>",
+      "<table>", "<tr>", "<td>", "</td>", "<nav>", "</nav>", "<br>", "<!-- c -->",
+      "<script>x<y</script>", "\n", "\n\n", " ", "\t")
+    val word = Gen.alphaNumStr.map(_.take(8)).suchThat(_.nonEmpty)
+    Gen.listOf(Gen.frequency(4 -> word, 2 -> junk)).map(_.mkString(" ")).map(_.take(2000))
+  }
+
+  test("extraction never throws and is deterministic on arbitrary payloads") {
+    forAll(payloadGen) { payload =>
+      val t = Turn("c", 0, "user", payload, "", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      val a = Extract.extractTurn(t)
+      val b = Extract.extractTurn(t)
+      assert(a.extractedText == b.extractedText)
+      assert(a.blocks.toList == b.blocks.toList)
+      assert(!a.metrics.parseFailed || a.extractedText.isEmpty)
+    }
+  }
+
+  test("word spans always slice the raw payload to the emitted word") {
+    forAll(payloadGen) { payload =>
+      for (b <- Segment.segment(payload).blocks; w <- b.words) {
+        assert(graft.kernels.Normalize.nfc(
+          Html.decodeEntities(payload.substring(w.begin, w.end))) == w.text)
+      }
+    }
+  }
+
+  test("tokenizer events cover disjoint, in-bounds, ordered ranges") {
+    forAll(payloadGen) { payload =>
+      val evs = Html.tokenize(payload)
+      var last = 0
+      for (e <- evs) {
+        assert(e.begin >= 0 && e.end <= payload.length && e.begin <= e.end)
+        assert(e.begin >= last || e.isInstanceOf[Html.EndTag])
+        last = math.max(last, e.end)
+      }
+    }
+  }
+
+  private val boxesGen: Gen[List[(String, BBox)]] =
+    Gen.choose(1, 8).flatMap { n =>
+      Gen.sequence[List[(String, BBox)], (String, BBox)]((0 until n).map { i =>
+        for {
+          col <- Gen.choose(0, 1)
+          y <- Gen.choose(0, 900)
+          h <- Gen.choose(20, 80)
+          w <- Gen.choose(100, 400)
+        } yield (s"b$i", BBox(col * 500.0, y.toDouble, col * 500.0 + w, (y + h).toDouble, absCoords = true))
+      }.toList)
+    }
+
+  test("reading order is a permutation-invariant total order") {
+    forAll(boxesGen) { boxes =>
+      val base = Order.orderBlocks(boxes, 1000, 1000)
+      assert(base.map(_._1).sorted == (1 to boxes.length).toList)
+      val shuffled = scala.util.Random.shuffle(boxes)
+      assert(Order.orderBlocks(shuffled, 1000, 1000).toMap == base.toMap.map(identity))
+    }
+  }
+
+  test("table csv dimensions always match nRows x nCols; html parses back") {
+    val gridGen = for {
+      r <- Gen.choose(1, 4); c <- Gen.choose(1, 4)
+    } yield (r, c, (1 to r).map(i => (1 to c).map(j => s"v$i$j").mkString("<td>", "</td><td>", "</td>"))
+      .mkString("<table><tr>", "</tr><tr>", "</tr></table>"))
+    forAll(gridGen) { case (r, c, markup) =>
+      val List(t) = Table.parseTables(markup)
+      assert(t.nRows == r && t.nCols == c)
+      assert(t.csv.length == r && t.csv.forall(_.length == c))
+      val List(t2) = Table.parseTables(t.html)
+      assert(t2.cells.map(x => (x.row, x.col, x.text)).toList ==
+        t.cells.map(x => (x.row, x.col, x.text)).toList)
+    }
+  }
+}
