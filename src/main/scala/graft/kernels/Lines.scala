@@ -7,25 +7,99 @@ import Geometry.mergeBoxes
 /** Synthetic text-line generation from words — re-derivation of the
   * reference's `TextLineGenerator`
   * (deepdoctection/pipe/order.py:389-524): rows by y-center membership
-  * (via [[Order.groupWordsIntoLines]]), sub-lines split where the
+  * (via [[Order.groupWordsIntoLinesIdx]]), sub-lines split where the
   * horizontal gap between consecutive words exceeds `paragraphBreak`
-  * (relative coords), recursive re-split of emitted sub-lines.
+  * (relative coords), recursive re-split of emitted sub-lines —
+  * including the reference's reset-only-on-single-row accumulator
+  * quirk (order.py:517-519).
+  *
+  * Index-based core (hot path); the id-keyed API wraps it.
   */
 object Lines {
 
   /** A detected line: merged box + child word ids (the reference's
-    * `DetectionResult` with `class_name=LINE` and child relationships,
-    * order.py:415-421).
+    * `DetectionResult` with `class_name=LINE`, order.py:415-421).
     */
   final case class LineResult(box: BBox, childIds: List[String])
 
-  /** order.py:423 `create_detection_result`.
-    *
-    * @param words (id, box) word annotations; boxes absolute or relative
-    * @param pageWidth for absolute→relative gap computation
-    * @param makeSubLines split lines at paragraph breaks
-    * @param paragraphBreak relative-x gap threshold (conf default 0.035)
-    */
+  /** Index-keyed result for the hot path. */
+  final case class LineIdxResult(box: BBox, childIdx: List[Int])
+
+  /** order.py:423 `create_detection_result`, index-based core. */
+  def createLinesIdx(
+      boxes: IndexedSeq[BBox],
+      pageWidth: Double,
+      pageHeight: Double,
+      makeSubLines: Boolean,
+      paragraphBreak: Double,
+      highestLevel: Boolean = true,
+      precomputedOrder: List[(Int, Int, Int)] = null
+  ): List[LineIdxResult] = {
+    if (boxes.isEmpty) return Nil
+    // the caller may pass the triples it already computed for word
+    // ordering (identical input → identical result)
+    val wordOrder =
+      if (precomputedOrder != null) precomputedOrder
+      else Order.groupWordsIntoLinesIdx(boxes)
+    var numberRows = 0
+    for ((_, line, _) <- wordOrder) if (line > numberRows) numberRows = line
+    if (numberRows == 1 && !highestLevel) return Nil
+
+    // bucket word indices by line in one pass (keeps wordOrder order)
+    val rowBuckets = Array.fill(numberRows + 1)(List.newBuilder[Int])
+    for ((_, line, wi) <- wordOrder) rowBuckets(line) += wi
+
+    val out = mutable.ListBuffer.empty[LineIdxResult]
+    var numberRow = 1
+    while (numberRow <= numberRows) {
+      // word indices of this row, sorted by ulx (order.py:466-469)
+      val perRow = rowBuckets(numberRow).result().sortBy(wi => boxes(wi).ulx)
+
+      def emitMerged(wis: Seq[Int]): Unit =
+        out += LineIdxResult(mergeBoxes(wis.map(boxes(_))), wis.toList)
+
+      def recurseOrMerge(wis: Seq[Int]): Boolean = {
+        // re-line the sub-line: it may span multiple visual lines
+        // (order.py:500-510); returns true if recursion emitted
+        val sub = wis.toIndexedSeq
+        val rec = createLinesIdx(sub.map(boxes(_)), pageWidth, pageHeight,
+          makeSubLines, paragraphBreak, highestLevel = false)
+        if (rec.nonEmpty) {
+          rec.foreach(lr => out += LineIdxResult(lr.box, lr.childIdx.map(sub(_))))
+          true
+        } else false
+      }
+
+      if (perRow.length < 2 || !makeSubLines) {
+        emitMerged(perRow)
+      } else {
+        var subLine = mutable.ListBuffer(perRow.head)
+        var idx = 1
+        while (idx < perRow.length) {
+          val prev = boxes(perRow(idx - 1)).toRelative(pageWidth, pageHeight)
+          val cur = boxes(perRow(idx)).toRelative(pageWidth, pageHeight)
+          if (cur.ulx - prev.lrx < paragraphBreak) {
+            subLine += perRow(idx)
+          } else {
+            // reference resets the accumulator only when the recursion
+            // found a single row (order.py:517-519) — quirk preserved
+            if (!recurseOrMerge(subLine.toList)) {
+              emitMerged(subLine.toList)
+              subLine = mutable.ListBuffer(perRow(idx))
+            }
+          }
+          if (idx == perRow.length - 1) {
+            if (!recurseOrMerge(subLine.toList)) emitMerged(subLine.toList)
+          }
+          idx += 1
+        }
+      }
+      numberRow += 1
+    }
+    out.toList
+  }
+
+  /** Id-keyed API (fixtures/tests); delegates to the index core. */
   def createLines(
       words: Seq[(String, BBox)],
       pageWidth: Double,
@@ -34,51 +108,10 @@ object Lines {
       paragraphBreak: Double,
       highestLevel: Boolean = true
   ): List[LineResult] = {
-    if (words.isEmpty) return Nil
-    val byId = words.toMap
-    val wordOrder = Order.groupWordsIntoLines(words)
-    val numberRows = wordOrder.map(_._2).max
-    if (numberRows == 1 && !highestLevel) return Nil
-
-    val out = mutable.ListBuffer.empty[LineResult]
-    for (numberRow <- 1 to numberRows) {
-      val perRow = wordOrder.filter(_._2 == numberRow).map(_._3)
-      val annsPerRow = perRow.map(id => (id, byId(id))).sortBy(_._2.ulx)
-
-      if (annsPerRow.length < 2 || !makeSubLines) {
-        out += LineResult(mergeBoxes(annsPerRow.map(_._2)), annsPerRow.map(_._1).toList)
-      } else {
-        var subLine = mutable.ListBuffer(annsPerRow.head)
-        for (idx <- 1 until annsPerRow.length) {
-          val (_, prevRaw) = annsPerRow(idx - 1)
-          val (_, curRaw) = annsPerRow(idx)
-          val prev = prevRaw.toRelative(pageWidth, pageHeight)
-          val cur = curRaw.toRelative(pageWidth, pageHeight)
-          if (cur.ulx - prev.lrx < paragraphBreak) {
-            subLine += annsPerRow(idx)
-          } else {
-            // split: recursively re-line the accumulated sub-line —
-            // it may itself span multiple visual lines (order.py:500-510).
-            // NB the reference resets the accumulator only when the
-            // recursion found a single row (order.py:517-519) — ported
-            // literally, quirk included.
-            val rec = createLines(subLine.toList, pageWidth, pageHeight, makeSubLines,
-              paragraphBreak, highestLevel = false)
-            if (rec.nonEmpty) out ++= rec
-            else {
-              out += LineResult(mergeBoxes(subLine.map(_._2)), subLine.map(_._1).toList)
-              subLine = mutable.ListBuffer(annsPerRow(idx))
-            }
-          }
-          if (idx == annsPerRow.length - 1) {
-            val rec = createLines(subLine.toList, pageWidth, pageHeight, makeSubLines,
-              paragraphBreak, highestLevel = false)
-            if (rec.nonEmpty) out ++= rec
-            else out += LineResult(mergeBoxes(subLine.map(_._2)), subLine.map(_._1).toList)
-          }
-        }
-      }
-    }
-    out.toList
+    val ids = words.map(_._1).toIndexedSeq
+    createLinesIdx(words.map(_._2).toIndexedSeq, pageWidth, pageHeight,
+      makeSubLines, paragraphBreak, highestLevel)
+      .map(lr => LineIdxResult(lr.box, lr.childIdx))
+      .map(lr => LineResult(lr.box, lr.childIdx.map(ids(_))))
   }
 }

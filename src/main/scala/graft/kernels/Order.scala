@@ -46,34 +46,47 @@ object Order {
     *         reference (order.py:133).
     */
   def groupWordsIntoLines(words: Seq[(String, BBox)]): List[(Int, Int, String)] = {
-    // (origRowIdx, id, cx) per word
-    val readingLines = mutable.ListBuffer.empty[(Int, String, Double)]
-    val rows = mutable.ArrayBuffer.empty[(Double, Double)] // (upper, lower)
-    for ((id, box) <- words) {
+    val ids = words.map(_._1).toIndexedSeq
+    groupWordsIntoLinesIdx(words.map(_._2).toIndexedSeq)
+      .map { case (pos, line, i) => (pos, line, ids(i)) }
+  }
+
+  /** Index-based core of [[groupWordsIntoLines]] (hot path: no string
+    * keys, no boxing beyond the result list).
+    */
+  def groupWordsIntoLinesIdx(boxes: IndexedSeq[BBox]): List[(Int, Int, Int)] = {
+    val n = boxes.length
+    val wordRow = new Array[Int](n) // orig row idx per word, in input order
+    val rowUpper = mutable.ArrayBuffer.empty[Double]
+    val rowLower = mutable.ArrayBuffer.empty[Double]
+    var w = 0
+    while (w < n) {
+      val box = boxes(w)
       var rowFound = false
       var idx = 0
-      while (idx < rows.length && !rowFound) {
-        val (upper, lower) = rows(idx)
+      while (idx < rowUpper.length && !rowFound) {
+        val upper = rowUpper(idx); val lower = rowLower(idx)
         val rowCy = (upper + lower) / 2.0
         if ((upper < box.cy && box.cy < lower) || (box.uly < rowCy && rowCy < box.lry)) {
-          readingLines += ((idx, id, box.cx))
+          wordRow(w) = idx
           rowFound = true
         }
         idx += 1
       }
       if (!rowFound) {
-        rows += ((box.uly, box.lry))
-        readingLines += ((rows.length - 1, id, box.cx))
+        rowUpper += box.uly; rowLower += box.lry
+        wordRow(w) = rowUpper.length - 1
       }
+      w += 1
     }
     // order.py:120-123: map used with original index as key — the
     // value is the ORIGINAL index of the row at that sorted position
     // (ported literally, including the inverted lookup).
     val sortedOrig: Array[Int] =
-      rows.indices.sortBy(i => rows(i)._1).toArray // position -> orig idx
-    val sorted = readingLines.toList.sortBy { case (origRow, _, cx) => (sortedOrig(origRow), cx) }
-    val numberRows = rows.length
-    sorted.zipWithIndex.map { case ((origRow, id, _), i) => (i + 1, numberRows - origRow, id) }
+      rowUpper.indices.sortBy(i => rowUpper(i)).toArray // position -> orig idx
+    val order = (0 until n).sortBy(i => (sortedOrig(wordRow(i)), boxes(i).cx))
+    val numberRows = rowUpper.length
+    order.zipWithIndex.map { case (wi, i) => (i + 1, numberRows - wordRow(wi), wi) }.toList
   }
 
   /** order.py:135 `group_lines_into_lines` — sort line annotations by

@@ -21,7 +21,13 @@ final case class ExtractConfig(
     nmsThreshold: Double = 0.9,
     maxLinkDensity: Double = 0.4,
     /** turns per salt bucket for skewed long conversations (north rule) */
-    saltChunkSize: Int = 256
+    saltChunkSize: Int = 256,
+    /** emit synthetic text lines (disable when the consumer doesn't
+      * read them — saves a second line-grouping pass per block) */
+    emitLines: Boolean = true,
+    /** emit per-word uuid3 ids (disable for id-free consumers — one
+      * MD5 per word otherwise) */
+    emitWordIds: Boolean = true
 )
 
 /** The extraction pipeline: `Dataset[Turn] → Dataset[ExtractedTurn]`.
@@ -71,34 +77,62 @@ object Extract {
     // ---- words + word↔block assignment via the IoA matching kernel
     // (MatchingService analogue, pipe/common.py:271) ----
     val allWords = blocks0.flatMap(_.words)
-    val wordIds = allWords.map(w => Ids.annId(turnId, LayoutLabel.WORD, w.begin, w.end))
+    val wordIds =
+      if (cfg.emitWordIds) allWords.map(w => Ids.annId(turnId, LayoutLabel.WORD, w.begin, w.end))
+      else Array.fill(allWords.length)("")
     val parentBoxes = blocks0.map(_.box).toIndexedSeq
     val childBoxes = allWords.map(_.box).toIndexedSeq
-    val assignment: Map[Int, Int] = Match.matchByIntersection(
+    val parentOf = Array.fill(allWords.length)(-1)
+    Match.matchByIntersection(
       parentBoxes, childBoxes, cfg.matchRule, cfg.matchThreshold,
       maxParentOnly = cfg.maxParentOnly
-    ).map { case (c, p) => c -> p }.toMap
+    ).foreach { case (c, p) => parentOf(c) = p }
 
     // ---- per-block word ordering (TextOrderService level (a):
     // group_words_into_lines, pipe/order.py:71) ----
-    val wordsByBlock: Map[Int, Array[Int]] =
-      allWords.indices.toArray.groupBy(wi => assignment.getOrElse(wi, -1))
+    val wordsByBlock: Array[Array[Int]] = {
+      val builders = Array.fill(blocks0.length)(new scala.collection.mutable.ArrayBuffer[Int])
+      var wi = 0
+      while (wi < allWords.length) {
+        val p = parentOf(wi)
+        if (p >= 0) builders(p) += wi
+        wi += 1
+      }
+      builders.map(_.toArray)
+    }
 
     val orderedWords = Array.fill[Word](allWords.length)(null)
     val blockTexts = Array.fill(blocks0.length)("")
-    for ((bi, wis) <- wordsByBlock if bi >= 0) {
-      val triples = Order.groupWordsIntoLines(
-        wis.map(wi => (wi.toString, allWords(wi).box)).toIndexedSeq)
-      val sb = new StringBuilder
-      for ((pos, line, key) <- triples) {
-        val wi = key.toInt
-        val w = allWords(wi)
-        orderedWords(wi) = Word(wordIds(wi), w.text, w.begin, w.end, w.box,
-          blockIds(bi), pos, line, LayoutLabel.TOKEN_OTHER)
-        if (sb.nonEmpty) sb.append(' ')
-        sb.append(w.text)
+    val linesBuf = scala.collection.mutable.ArrayBuffer.empty[LineOut]
+    var bi = 0
+    while (bi < wordsByBlock.length) {
+      val wis = wordsByBlock(bi)
+      if (wis.nonEmpty) {
+        val boxes: IndexedSeq[BBox] = wis.map(allWords(_).box).toIndexedSeq
+        val triples = Order.groupWordsIntoLinesIdx(boxes)
+        val sb = new StringBuilder
+        for ((pos, line, li) <- triples) {
+          val wi = wis(li)
+          val w = allWords(wi)
+          orderedWords(wi) = Word(wordIds(wi), w.text, w.begin, w.end, w.box,
+            blockIds(bi), pos, line, LayoutLabel.TOKEN_OTHER)
+          if (sb.nonEmpty) sb.append(' ')
+          sb.append(w.text)
+        }
+        blockTexts(bi) = sb.toString
+
+        // ---- synthetic text lines (TextLineService analogue,
+        // pipe/order.py:581): rows split at paragraph breaks ----
+        if (cfg.emitLines)
+        for (lr <- graft.kernels.Lines.createLinesIdx(boxes, seg.pageWidth, seg.pageHeight,
+            makeSubLines = true, cfg.paragraphBreak, precomputedOrder = triples)) {
+          val ws = lr.childIdx.map(wis(_))
+          val b = ws.map(allWords(_).begin).min
+          val e = ws.map(allWords(_).end).max
+          linesBuf += LineOut(Ids.annId(turnId, LayoutLabel.LINE, b, e), blockIds(bi), b, e, ws.length)
+        }
       }
-      blockTexts(bi) = sb.toString
+      bi += 1
     }
     // unassigned words (no parent above threshold) stay residual
     for (wi <- allWords.indices if orderedWords(wi) == null) {
@@ -106,23 +140,7 @@ object Extract {
       orderedWords(wi) = Word(wordIds(wi), w.text, w.begin, w.end, w.box, "", -1, -1,
         LayoutLabel.TOKEN_OTHER)
     }
-
-    // ---- synthetic text lines (TextLineService analogue,
-    // pipe/order.py:581): per block, rows split at paragraph breaks ----
-    val lines: Array[LineOut] = wordsByBlock.toArray.sortBy(_._1).flatMap { case (bi, wis) =>
-      if (bi < 0) Array.empty[LineOut]
-      else {
-        graft.kernels.Lines.createLines(
-          wis.map(wi => (wi.toString, allWords(wi).box)).toIndexedSeq,
-          seg.pageWidth, seg.pageHeight, makeSubLines = true, cfg.paragraphBreak)
-          .map { lr =>
-            val ws = lr.childIds.map(_.toInt)
-            val b = ws.map(allWords(_).begin).min
-            val e = ws.map(allWords(_).end).max
-            LineOut(Ids.annId(turnId, LayoutLabel.LINE, b, e), blockIds(bi), b, e, ws.length)
-          }.toArray
-      }
-    }
+    val lines: Array[LineOut] = linesBuf.toArray
 
     // ---- main-content classification + block-level reading order
     // (TextOrderService level (b): order_blocks, pipe/order.py:201) ----
