@@ -88,7 +88,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "120").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "360").toInt
 
     // ---- per-query timings ----
     var spark = session(cpus)

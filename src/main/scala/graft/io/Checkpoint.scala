@@ -40,10 +40,16 @@ object Checkpoint {
     val part = turns.filter(chunkExpr === k)
     val extracted = Extract.run(part, cfg)
     extracted.write.mode("overwrite").parquet(s"$outDir/chunk=$k")
-    // count from the written files (what actually committed)
-    val rows = turns.sparkSession.read.parquet(s"$outDir/chunk=$k").count()
+    // metrics from the written files (what actually committed) — the
+    // Iceberg analogue stores these in snapshot summary properties
+    val stats = turns.sparkSession.read.parquet(s"$outDir/chunk=$k")
+      .agg(count(lit(1)), coalesce(sum(col("metrics.wordCount")), lit(0L)),
+        coalesce(sum(when(col("metrics.parseFailed"), 1).otherwise(0)), lit(0L)))
+      .head()
+    val rows = stats.getLong(0)
     Files.createDirectories(Paths.get(outDir))
-    Files.writeString(markerPath(outDir, k), s"""{"chunk":$k,"rows":$rows}""")
+    Files.writeString(markerPath(outDir, k),
+      s"""{"chunk":$k,"rows":$rows,"words":${stats.getLong(1)},"parse_failures":${stats.getLong(2)}}""")
     ChunkResult(k, rows, skipped = false)
   }
 

@@ -188,6 +188,12 @@ object Extract {
     * conversation spreads over many partitions (north rule: skew), then
     * one fused mapPartitions kernel. Only one exchange in the job.
     */
+  /** Name under which [[run]] registers observed metrics — read them
+    * from `QueryExecution.observedMetrics` (or a
+    * `QueryExecutionListener`) after any action on the result.
+    */
+  val MetricsName = "graft_extract"
+
   def run(ds: Dataset[Turn], cfg: ExtractConfig = ExtractConfig(),
           numPartitions: Option[Int] = None): Dataset[ExtractedTurn] = {
     val spark = ds.sparkSession
@@ -195,6 +201,15 @@ object Extract {
     val parts = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     ds.repartition(parts, hash(col("conv_id"), floor(col("turn_idx") / cfg.saltChunkSize)))
       .mapPartitions(_.map(t => extractTurn(t, cfg)))
+      // north rule: extraction metrics ride every action (reference
+      // `Extras` side-channel, image.py:186 — here observe(), so they
+      // reach listeners/snapshot summaries without a second pass)
+      .observe(MetricsName,
+        count(lit(1)).as("turns"),
+        sum(col("metrics.wordCount")).as("words"),
+        sum(col("metrics.blocksKept")).as("blocks_kept"),
+        sum(col("metrics.blocksDropped")).as("blocks_dropped"),
+        sum(when(col("metrics.parseFailed"), 1).otherwise(0)).as("parse_failures"))
   }
 
   /** Chunk-level exploded output (the reference's `Page.chunks`,

@@ -79,3 +79,15 @@ class ExtractPipelineSpec extends AnyFunSuite {
     assert(perTurn.forall(identity))
   }
 }
+
+class ObserveSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  test("extraction metrics observable without a second pass") {
+    val ds = graft.pipeline.Extract.run(graft.sources.Turns.synth(spark, TestSpark.sfDir))
+    ds.collect() // an action on THIS plan (count() builds its own QE)
+    val m = ds.queryExecution.observedMetrics(graft.pipeline.Extract.MetricsName)
+    assert(m.getAs[Long]("turns") == 500L)
+    assert(m.getAs[Long]("parse_failures") == 0L)
+    assert(m.getAs[Long]("words") > 0L)
+  }
+}
