@@ -145,6 +145,14 @@ object SparkEntry {
         .select($"conv_id", $"turn_idx", $"lang".as("lang_id"))
     }),
 
+    // tool-payload (JSON) value extraction
+    "x7_tool" -> ((s, dir) => {
+      import s.implicits._
+      Extract.run(Turns.synth(s, dir))
+        .filter($"toolText" =!= "")
+        .select($"conv_id", $"turn_idx", $"toolText".as("tool_text"))
+    }),
+
     // ---- evaluation metrics (reference eval/accmetric.py) ----
     "q_eval_lang_confusion" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -358,6 +366,10 @@ object SparkEntry {
       "x6_lang" ->
         s"""$cte SELECT conv_id, turn_idx,
             ${TextStats.langIdSql("(" + Turns.ExpectedExtractedSql + ")")} AS lang_id FROM turns""",
+
+      "x7_tool" ->
+        s"""$cte SELECT conv_id, turn_idx, concat('search ', source) AS tool_text
+            FROM turns WHERE doc_id % 4 = 2""",
 
       "q_eval_lang_confusion" ->
         s"""SELECT gold, predicted, count(*) AS n FROM (

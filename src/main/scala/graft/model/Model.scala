@@ -129,6 +129,7 @@ final case class ExtractedTurn(
     role: String,
     ts: Timestamp,
     extractedText: String,
+    toolText: String, // values extracted from the tool (JSON) payload
     lang: String, // LanguageDetectionService analogue (pipe/language.py:33)
     blocks: Array[Block],
     words: Array[Word],

@@ -51,7 +51,7 @@ object Extract {
     Try(extractTurnUnsafe(t, turnId, cfg)) match {
       case Success(et) => et
       case Failure(_) =>
-        ExtractedTurn(t.conv_id, t.turn_idx, turnId, t.role, t.ts, "", "und",
+        ExtractedTurn(t.conv_id, t.turn_idx, turnId, t.role, t.ts, "", "", "und",
           Array.empty, Array.empty, Array.empty, Array.empty,
           TurnMetrics(0, 0, 0, 0, parseFailed = true))
     }
@@ -175,8 +175,15 @@ object Extract {
     // kept blocks by reading order, '\n'-joined ----
     val extractedText = blocks.filter(_.kept).sortBy(_.readingOrder).map(_.text).mkString("\n")
 
+    // tool payload (JSON) values — extracted alongside, not instead of,
+    // the text payload (north star: "text/tool payload is tokenized")
+    val toolText =
+      if (t.tool != null && t.tool.nonEmpty && (t.tool ne payload))
+        graft.kernels.Json.toolText(t.tool)
+      else ""
+
     val kept = blocks.count(_.kept)
-    ExtractedTurn(t.conv_id, t.turn_idx, turnId, t.role, t.ts, extractedText,
+    ExtractedTurn(t.conv_id, t.turn_idx, turnId, t.role, t.ts, extractedText, toolText,
       graft.operators.TextStats.langIdScala(extractedText),
       blocks, orderedWords, lines, tables,
       TurnMetrics(kept, blocks.length - kept, orderedWords.length,

@@ -131,3 +131,32 @@ class ExtractKernelSpec extends AnyFunSuite {
     assert(et.metrics.spanCount == 4)
   }
 }
+
+class JsonSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.kernels.Json
+
+  test("values only — keys excluded, nesting and arrays handled") {
+    val s = """{"name":"search","args":{"q":"cats","n":5},"tags":["a","b"],"ok":true}"""
+    assert(Json.stringValues(s).map(_.text) == List("search", "cats", "5", "a", "b", "true"))
+    assert(Json.toolText(s) == "search cats 5 a b true")
+  }
+  test("escapes decoded, spans index raw source") {
+    val s = """{"msg":"line\nbreak \"quoted\" A"}"""
+    val List(v) = Json.stringValues(s)
+    assert(v.text == "line\nbreak \"quoted\" A")
+    assert(s.substring(v.begin, v.end).startsWith("\"line"))
+  }
+  test("malformed input never throws") {
+    assert(Json.toolText("{broken") == "")
+    assert(Json.toolText("""{"a": "unterminated""").nonEmpty)
+    assert(Json.toolText("not json at all") == "")
+    assert(Json.toolText("") == "")
+  }
+  test("tool text populated alongside extracted text") {
+    val t = graft.model.Turn("c", 0, "tool", "<p>visible</p>",
+      """{"name":"search","args":{"q":"xyz"}}""", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    val et = graft.pipeline.Extract.extractTurn(t)
+    assert(et.extractedText == "visible")
+    assert(et.toolText == "search xyz")
+  }
+}
