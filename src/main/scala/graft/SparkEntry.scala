@@ -145,6 +145,17 @@ object SparkEntry {
         .select($"conv_id", $"turn_idx", $"lang".as("lang_id"))
     }),
 
+    // per-conversation rollup after extraction (the skewed conv-big
+    // key exercises AQE + the salted upstream partitioning)
+    "x8_conv_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Extract.run(Turns.synth(s, dir))
+        .groupBy($"conv_id")
+        .agg(count(lit(1)).as("n_turns"),
+          sum(length($"extractedText")).as("sum_chars"),
+          sum($"metrics.wordCount").as("sum_words"))
+    }),
+
     // tool-payload (JSON) value extraction
     "x7_tool" -> ((s, dir) => {
       import s.implicits._
@@ -366,6 +377,12 @@ object SparkEntry {
       "x6_lang" ->
         s"""$cte SELECT conv_id, turn_idx,
             ${TextStats.langIdSql("(" + Turns.ExpectedExtractedSql + ")")} AS lang_id FROM turns""",
+
+      "x8_conv_rollup" ->
+        s"""$cte SELECT conv_id, count(*) AS n_turns,
+            CAST(sum(length(${Turns.ExpectedExtractedSql})) AS BIGINT) AS sum_chars,
+            CAST(sum(${Turns.ExpectedWordCountSql}) AS BIGINT) AS sum_words
+            FROM turns GROUP BY conv_id""",
 
       "x7_tool" ->
         s"""$cte SELECT conv_id, turn_idx, concat('search ', source) AS tool_text
