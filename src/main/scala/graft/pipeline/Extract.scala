@@ -27,7 +27,11 @@ final case class ExtractConfig(
     emitLines: Boolean = true,
     /** emit per-word uuid3 ids (disable for id-free consumers — one
       * MD5 per word otherwise) */
-    emitWordIds: Boolean = true
+    emitWordIds: Boolean = true,
+    /** reference `include_residual_text_container` (pipe/order.py:737,
+      * factory default True): words matched to no block become
+      * synthetic LINE blocks that join the floating-text ordering */
+    includeResidualTextContainer: Boolean = true
 )
 
 /** The extraction pipeline: `Dataset[Turn] → Dataset[ExtractedTurn]`.
@@ -140,24 +144,65 @@ object Extract {
       orderedWords(wi) = Word(wordIds(wi), w.text, w.begin, w.end, w.box, "", -1, -1,
         LayoutLabel.TOKEN_OTHER)
     }
+    // ---- residual words → synthetic LINE blocks (TextOrderService
+    // include_residual_text_container, pipe/order.py:737-748) ----
+    val residual = allWords.indices.filter(parentOf(_) == -1).toArray
+    final case class ResLine(id: String, box: BBox, members: Array[Int],
+        text: String, begin: Int, end: Int)
+    val residualLines: Array[ResLine] =
+      if (cfg.includeResidualTextContainer && residual.nonEmpty) {
+        val rboxes = residual.map(allWords(_).box).toIndexedSeq
+        graft.kernels.Lines.createLinesIdx(rboxes, seg.pageWidth, seg.pageHeight,
+          makeSubLines = true, cfg.paragraphBreak).map { lr =>
+          val members = lr.childIdx.map(residual(_)).toArray
+          val b = members.map(allWords(_).begin).min
+          val e = members.map(allWords(_).end).max
+          // order words within the synthetic line + assemble its text
+          val triples = Order.groupWordsIntoLinesIdx(members.map(allWords(_).box).toIndexedSeq)
+          val lineId = Ids.annId(turnId, LayoutLabel.LINE, b, e)
+          val sb = new StringBuilder
+          for ((pos, line, li) <- triples) {
+            val wi = members(li)
+            val w = allWords(wi)
+            orderedWords(wi) = Word(wordIds(wi), w.text, w.begin, w.end, w.box,
+              lineId, pos, line, LayoutLabel.TOKEN_OTHER)
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(w.text)
+          }
+          ResLine(lineId, lr.box, members, sb.toString, b, e)
+        }.toArray
+      } else Array.empty[ResLine]
+    if (residualLines.nonEmpty) linesBuf ++= residualLines.map(rl =>
+      LineOut(rl.id, "", rl.begin, rl.end, rl.members.length))
     val lines: Array[LineOut] = linesBuf.toArray
 
     // ---- main-content classification + block-level reading order
-    // (TextOrderService level (b): order_blocks, pipe/order.py:201) ----
+    // (TextOrderService level (b): order_blocks over floating blocks +
+    // residual lines, pipe/order.py:201/:752) ----
     val keptIdx = blocks0.indices.filter(i => Segment.isMainContent(blocks0(i), cfg.maxLinkDensity))
+    val orderCandidates =
+      keptIdx.map(i => ("b" + i, blocks0(i).box)) ++
+        residualLines.zipWithIndex.map { case (rl, j) => ("l" + j, rl.box) }
     val orderPairs = Order.orderBlocks(
-      keptIdx.map(i => (i.toString, blocks0(i).box)),
+      orderCandidates,
       seg.pageWidth, seg.pageHeight,
       cfg.startingPointTolerance, cfg.brokenLineTolerance, cfg.heightTolerance
     )
-    val readingOrder: Map[Int, Int] = orderPairs.map { case (ord, key) => key.toInt -> ord }.toMap
+    val readingOrder: Map[Int, Int] =
+      orderPairs.collect { case (ord, key) if key.startsWith("b") => key.drop(1).toInt -> ord }.toMap
+    val lineOrder: Map[Int, Int] =
+      orderPairs.collect { case (ord, key) if key.startsWith("l") => key.drop(1).toInt -> ord }.toMap
 
-    val blocks = blocks0.indices.map { i =>
+    val blocks = (blocks0.indices.map { i =>
       val b = blocks0(i)
       Block(blockIds(i), b.kind, b.begin, b.end, b.box, 1.0,
         readingOrder.getOrElse(i, -1), kept = readingOrder.contains(i),
         b.textDensity, b.linkDensity, b.tagDepth, blockTexts(i))
-    }.toArray
+    } ++ residualLines.zipWithIndex.map { case (rl, j) =>
+      Block(rl.id, LayoutLabel.LINE, rl.begin, rl.end, rl.box, 1.0,
+        lineOrder.getOrElse(j, -1), kept = lineOrder.contains(j),
+        0.0, 0.0, 0, rl.text)
+    }).toArray
 
     // ---- table reconstruction (TableSegmentationService analogue,
     // pipe/segment.py:840) — only when markup contains a table ----

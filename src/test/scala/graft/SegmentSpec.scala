@@ -160,3 +160,32 @@ class JsonSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(et.toolText == "search xyz")
   }
 }
+
+class ResidualSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.pipeline.{Extract, ExtractConfig}
+  private def turn(text: String) =
+    graft.model.Turn("c", 0, "user", text, "", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+
+  test("unmatched words become synthetic LINE blocks in the text flow") {
+    // ioa can never exceed 1.0, so threshold 2.0 leaves every word residual
+    val cfg = ExtractConfig(matchThreshold = 2.0)
+    val et = Extract.extractTurn(turn("<p>alpha beta</p><p>gamma</p>"), cfg)
+    val parts = et.extractedText.split("\n").filter(_.nonEmpty).toList
+    assert(parts == List("alpha beta", "gamma"))
+    val lineBlocks = et.blocks.filter(_.kind == graft.model.LayoutLabel.LINE)
+    assert(lineBlocks.length == 2 && lineBlocks.forall(_.kept))
+    assert(et.words.forall(w => w.blockId.nonEmpty && w.readingOrder > 0))
+  }
+
+  test("residuals disabled: unmatched words stay out of the text") {
+    val cfg = ExtractConfig(matchThreshold = 2.0, includeResidualTextContainer = false)
+    val et = Extract.extractTurn(turn("<p>alpha beta</p>"), cfg)
+    assert(!et.extractedText.contains("alpha"))
+    assert(et.words.exists(_.readingOrder == -1))
+  }
+
+  test("no residuals in the normal path (default config)") {
+    val et = Extract.extractTurn(turn("<p>alpha beta</p>"))
+    assert(!et.blocks.exists(_.kind == graft.model.LayoutLabel.LINE))
+  }
+}
