@@ -92,6 +92,10 @@ object Bench {
 
     // ---- per-query timings ----
     var spark = session(cpus)
+    // warm the extraction + codegen paths once so the first query in
+    // the map doesn't absorb the whole JIT cold start
+    try { SparkEntry.entry(spark).count(); SparkEntry.entry(spark).count() }
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
