@@ -92,11 +92,16 @@ object Bench {
 
     // ---- per-query timings ----
     var spark = session(cpus)
-    // warm the extraction + codegen paths once so the first query in
-    // the map doesn't absorb the whole JIT cold start
-    try { SparkEntry.entry(spark).count(); SparkEntry.entry(spark).count() }
+    // warm the extraction + codegen paths on the SAME sfDir the timed
+    // queries use (round 1 warmed entry()'s hardcoded sf0.001, which
+    // silently no-ops on other hosts), then warm EACH query once —
+    // first-execution JIT otherwise lands on whichever query runs
+    // first and makes per-query numbers useless for regression
+    // tracking (x6_lang absorbed 11.7 s in BENCH_r01).
+    try { SparkEntry.queries("x1_extract")(spark, sfDir).count() }
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L } // warm
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

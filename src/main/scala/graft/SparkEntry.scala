@@ -22,6 +22,46 @@ object SparkEntry {
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 
+  /** The embeddings fixture contains NO true near-dup pairs (max
+    * pairwise cosine ≈ 0.51), so LSH queries against it pass vacuously.
+    * This plants deterministic near neighbors IN-FLIGHT: level-c copy
+    * of source vector v is v ⊙ m where m_i = (50 + c·k)/50,
+    * k = ((i·7 + 3c) mod 5) − 2 ∈ {−2..2} — pure integer-derived
+    * double arithmetic that DuckDB reproduces bit-identically
+    * (`list_transform` with a 1-based index lambda), giving the LSH
+    * queries real UNBLOCKED brute-force oracles. cos(v, level c) ≈
+    * 1/√(1+2c²/2500): 0.9996, 0.9984, 0.9964, 0.9937, 0.9901.
+    */
+  private def plantedNeighbors(emb: DataFrame, nSources: Int, levels: Int,
+      idStep: Int): DataFrame = {
+    val src = emb.filter(col("vec_id") < nSources)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    src.select(col("vec_id"), col("v"),
+        explode(sequence(lit(1), lit(levels))).as("c"))
+      .select((col("vec_id") + col("c") * idStep).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * ((lit(50) + col("c") * ((i * 7 + lit(3) * col("c")) % 5 - 2))
+            .cast("double") / 50)).as("v"))
+  }
+
+  /** corpus = all embeddings (as double) ∪ planted neighbors. */
+  private def plantedCorpus(s: SparkSession, dir: String, nSources: Int,
+      levels: Int, idStep: Int): (DataFrame, DataFrame) = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    (base.unionByName(plantedNeighbors(emb, nSources, levels, idStep)), base)
+  }
+
+  /** DuckDB twin of [[plantedNeighbors]]+corpus as a CTE body. */
+  private def plantedCorpusSql(nSources: Int, levels: Int, idStep: Int): String =
+    s"""src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        planted AS (
+          SELECT vec_id + c * $idStep AS vec_id,
+                 list_transform(v, (x, i) ->
+                   x * (CAST(50 + c * (((i-1)*7 + 3*c) % 5 - 2) AS DOUBLE) / 50)) AS v
+          FROM src, range(1, ${levels + 1}) t(c) WHERE vec_id < $nSources),
+        corpus AS (SELECT * FROM src UNION ALL SELECT * FROM planted)"""
+
   /** Flagship: the full extraction pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -195,7 +235,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 200).select("doc_id", "text")
       val dup = d.withColumn("doc_id", col("doc_id") + 10000)
-      Dedup.simhashPairs(d.unionByName(dup), "doc_id", "text", maxHamming = 0)
+      Dedup.simhashExactPairs(d.unionByName(dup), "doc_id", "text")
     }),
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 150), "doc_id", "text")
@@ -207,34 +247,39 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
         .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
     }),
+    // ANN-LSH over planted near neighbors (see plantedNeighbors):
+    // multi-table + 1-bit-probe LSH must reproduce the brute-force
+    // top-5 exactly — the oracle is UNBLOCKED brute force in DuckDB.
     "q_ann_lsh" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      val (corpus, base) = plantedCorpus(s, dir, nSources = 20, levels = 5, idStep = 1000)
+      Similarity.lshTopK(corpus, base.filter(col("vec_id") < 20), "vec_id", "v", 5)
         .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
     }),
+    // recall@5 of LSH vs the in-Spark brute-force twin, thresholded
+    "q_ann_lsh_recall" -> ((s, dir) => {
+      val (corpus, base) = plantedCorpus(s, dir, nSources = 20, levels = 5, idStep = 1000)
+      Similarity.lshRecall(corpus, base.filter(col("vec_id") < 20), "vec_id", "v", 5)
+    }),
     "q_embed_neardup" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.8)
+      val (corpus, _) = plantedCorpus(s, dir, nSources = 500, levels = 1, idStep = 10000)
+      Dedup.embeddingNearDupPairs(corpus, "vec_id", "v", threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 
     // ---- dataflow operators, batch 2 ----
-    // JoinData positional zip (dataflow/common.py:255): stops at shortest
-    "q_zip_join" -> ((s, dir) => {
-      val o = s.read.parquet(s"$dir/orders.parquet")
-        .withColumn("rn", row_number().over(Window.orderBy("o_orderkey")))
-      val c = s.read.parquet(s"$dir/customer.parquet")
-        .withColumn("rn", row_number().over(Window.orderBy("c_custkey")))
-      o.join(c, "rn").select("rn", "o_orderkey", "c_custkey")
-    }),
+    // JoinData positional zip (dataflow/common.py:255): stops at
+    // shortest; distributed zipWithIndex — no global single-task window
+    "q_zip_join" -> ((s, dir) =>
+      graft.operators.Positional.zipJoin(
+          s.read.parquet(s"$dir/orders.parquet"), Seq("o_orderkey"),
+          s.read.parquet(s"$dir/customer.parquet"), Seq("c_custkey"))
+        .select("rn", "o_orderkey", "c_custkey")),
     // BatchData (common.py:316): fixed-size batches + per-batch aggregate
-    "q_batch" -> ((s, dir) => {
-      val w = Window.orderBy("l_orderkey", "l_linenumber")
-      lineitem(s, dir).withColumn("rn", row_number().over(w))
-        .withColumn("batch_id", floor((col("rn") - 1) / 1000).cast("int"))
+    "q_batch" -> ((s, dir) =>
+      graft.operators.Positional.withBatchId(
+          lineitem(s, dir), Seq("l_orderkey", "l_linenumber"), 1000)
         .groupBy("batch_id")
-        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
-    }),
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))),
     // RepeatedData (common.py:173): finite repeat ×3
     "q_repeat" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -424,20 +469,38 @@ object SparkEntry {
                  length(list_distinct(list_concat(a.s, b.s))) >= 0.95
            ORDER BY id_a, id_b""",
 
+      // UNBLOCKED all-pairs oracle — the Spark side's log-size blocking
+      // must lose nothing (round 1's oracle replicated the blocking, so
+      // green did not mean complete)
       "q_dedup_ngram" ->
         """WITH base AS (
              SELECT doc_id AS id,
                list_distinct(list_transform(
                  range(1, greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 2, 1) + 1),
-                 i -> substring(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 3))) AS s,
-               CAST(floor(length(string_split(text, ' ')) / 10) AS INT) AS bucket
+                 i -> substring(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 3))) AS s
              FROM documents WHERE doc_id < 150)
            SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
              SELECT a.id AS id_a, b.id AS id_b,
                CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
                length(list_distinct(list_concat(a.s, b.s))) AS j
-             FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id)
+             FROM base a JOIN base b ON a.id < b.id)
            WHERE j >= 0.5 ORDER BY id_a, id_b""",
+
+      // UNBLOCKED oracle: pairs with equal lowercase token multiset —
+      // the exact predicate simhashExactPairs verifies after its
+      // (lossless for this predicate) simhash-band blocking
+      "q_dedup_simhash" ->
+        """WITH d AS (
+             SELECT doc_id, text FROM documents WHERE doc_id < 200
+             UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200),
+           b AS (
+             SELECT doc_id AS id,
+               array_to_string(list_sort(string_split(
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ') AS bag
+             FROM d)
+           SELECT a.id AS id_a, b2.id AS id_b
+           FROM b a JOIN b b2 ON a.bag = b2.bag AND a.id < b2.id
+           ORDER BY id_a, id_b""",
 
       "q_ann_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -453,9 +516,41 @@ object SparkEntry {
            SELECT query_id, rank, corpus_id, round(cos, 4) AS cos
            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
+      // UNBLOCKED brute-force oracle for the multi-table LSH ANN: the
+      // planted neighbors (cos ≥ 0.99) are exactly the true top-5
+      "q_ann_lsh" ->
+        s"""WITH ${plantedCorpusSql(20, 5, 1000)},
+           q AS (SELECT vec_id AS query_id, v AS qv FROM src WHERE vec_id < 20),
+           scored AS (
+             SELECT q.query_id, c.vec_id AS corpus_id,
+                    list_cosine_similarity(q.qv, c.v) AS cos
+             FROM corpus c, q WHERE q.query_id <> c.vec_id),
+           ranked AS (
+             SELECT query_id, corpus_id, cos,
+                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS INT) AS rank
+             FROM scored)
+           SELECT query_id, rank, corpus_id, round(cos, 4) AS cos
+           FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      // threshold assertion: LSH recall@5 vs the brute-force twin must
+      // be 100/100 on the planted data (expected values are constants)
+      "q_ann_lsh_recall" ->
+        """SELECT CAST(100 AS BIGINT) AS n_true, CAST(100 AS BIGINT) AS n_hit,
+                  TRUE AS recall_ok""",
+
+      // UNBLOCKED all-pairs oracle over corpus ∪ planted near-dups
+      "q_embed_neardup" ->
+        s"""WITH ${plantedCorpusSql(500, 1, 10000)},
+           pairs AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    list_cosine_similarity(a.v, b.v) AS cos
+             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+           SELECT id_a, id_b, round(cos, 4) AS cos
+           FROM pairs WHERE cos >= 0.8 ORDER BY id_a, id_b""",
+
       "q_zip_join" ->
-        """WITH o AS (SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS rn FROM orders),
-                c AS (SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS rn FROM customer)
+        """WITH o AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
+                c AS (SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn FROM customer)
            SELECT o.rn AS rn, o_orderkey, c_custkey FROM o JOIN c ON o.rn = c.rn""",
 
       "q_batch" ->

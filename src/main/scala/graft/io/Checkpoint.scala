@@ -1,7 +1,7 @@
 package graft.io
 
-import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{Dataset, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{ExtractedTurn, Turn}
 import graft.pipeline.{Extract, ExtractConfig}
@@ -10,16 +10,31 @@ import graft.pipeline.{Extract, ExtractConfig}
   * per-partition progress, exactly-once resumability, lineage +
   * metrics).
   *
-  * The input is split into `numChunks` deterministic chunks by the
-  * same salted key the kernel partitions on
-  * (`pmod(hash(conv_id, turn_idx/salt), numChunks)`); each chunk is
-  * extracted and written to `out/chunk=<k>` with mode=overwrite, and a
-  * `_DONE_<k>` marker (carrying the chunk's row count + metrics JSON)
-  * is committed only after the write succeeds. Resume skips chunks
-  * whose marker exists; a chunk that crashed mid-write is simply
-  * overwritten — overwrite-by-chunk makes the retry idempotent, so
-  * the end state equals a single uninterrupted run (exactly-once
-  * observable effect, at-least-once execution).
+  * Two phases, so the ORIGINAL input is scanned exactly once no matter
+  * how many chunks there are (round-1 re-filtered the full input per
+  * chunk — k full scans at 100 TB):
+  *
+  *  1. '''Stage''' (one scan): the input is written to
+  *     `out/_staged/chunk=<k>`, partitioned by the same salted key the
+  *     kernel partitions on
+  *     (`pmod(hash(conv_id, turn_idx/salt), numChunks)`), committed
+  *     with a `_STAGED_DONE` marker. On a real deployment the input is
+  *     an Iceberg table already bucketed by `bucket(conv_id)` (SURVEY
+  *     §4), and this phase disappears — the per-chunk reads below
+  *     partition-prune the source directly.
+  *  2. '''Per chunk''': read ONLY `_staged/chunk=k` (partition-pruned
+  *     scan), extract, write `out/chunk=<k>` with mode=overwrite, and
+  *     commit a `_DONE_<k>` marker carrying the chunk's row count +
+  *     metrics. Metrics come from an [[Observation]] on the write job
+  *     itself — the written files are never re-read.
+  *
+  * Markers are committed via write-temp + ATOMIC_MOVE, so a crash
+  * mid-marker-write can never leave a truncated marker that resume
+  * would treat as a completed chunk. Resume skips chunks whose marker
+  * exists; a chunk that crashed mid-write is simply overwritten —
+  * overwrite-by-chunk makes the retry idempotent, so the end state
+  * equals a single uninterrupted run (exactly-once observable effect,
+  * at-least-once execution).
   *
   * On a real cluster the same protocol rides Iceberg: one
   * `overwrite-by-filter(chunk = k)` snapshot commit per chunk with the
@@ -31,35 +46,64 @@ object Checkpoint {
   final case class ChunkResult(chunk: Int, rows: Long, skipped: Boolean)
 
   private def markerPath(outDir: String, k: Int) = Paths.get(outDir, s"_DONE_$k")
+  private def stagedDir(outDir: String) = s"$outDir/_staged"
+  private def stagedMarker(outDir: String) = Paths.get(outDir, "_STAGED_DONE")
 
-  def runChunk(turns: Dataset[Turn], outDir: String, k: Int, numChunks: Int,
-      cfg: ExtractConfig): ChunkResult = {
-    if (Files.exists(markerPath(outDir, k))) return ChunkResult(k, 0L, skipped = true)
+  private def commitMarker(path: Path, content: String): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Phase 1: one scan of the input, written partitioned by chunk.
+    * Skipped when `_STAGED_DONE` exists (resume).
+    */
+  def stage(turns: Dataset[Turn], outDir: String, numChunks: Int,
+      cfg: ExtractConfig = ExtractConfig()): Boolean = {
+    Files.createDirectories(Paths.get(outDir))
+    if (Files.exists(stagedMarker(outDir))) return false
     val chunkExpr = pmod(hash(col("conv_id"), floor(col("turn_idx") / cfg.saltChunkSize)),
       lit(numChunks))
-    val part = turns.filter(chunkExpr === k)
-    val extracted = Extract.run(part, cfg)
-    extracted.write.mode("overwrite").parquet(s"$outDir/chunk=$k")
-    // metrics from the written files (what actually committed) — the
-    // Iceberg analogue stores these in snapshot summary properties
-    val stats = turns.sparkSession.read.parquet(s"$outDir/chunk=$k")
-      .agg(count(lit(1)), coalesce(sum(col("metrics.wordCount")), lit(0L)),
-        coalesce(sum(when(col("metrics.parseFailed"), 1).otherwise(0)), lit(0L)))
-      .head()
-    val rows = stats.getLong(0)
-    Files.createDirectories(Paths.get(outDir))
-    Files.writeString(markerPath(outDir, k),
-      s"""{"chunk":$k,"rows":$rows,"words":${stats.getLong(1)},"parse_failures":${stats.getLong(2)}}""")
+    turns.toDF().withColumn("chunk", chunkExpr)
+      .write.mode("overwrite").partitionBy("chunk").parquet(stagedDir(outDir))
+    commitMarker(stagedMarker(outDir), s"""{"num_chunks":$numChunks}""")
+    true
+  }
+
+  /** Phase 2: extract one staged chunk (partition-pruned read), commit
+    * output + marker. Idempotent on retry.
+    */
+  def runChunk(spark: SparkSession, outDir: String, k: Int,
+      cfg: ExtractConfig = ExtractConfig()): ChunkResult = {
+    if (Files.exists(markerPath(outDir, k))) return ChunkResult(k, 0L, skipped = true)
+    import spark.implicits._
+    val part = spark.read.parquet(stagedDir(outDir))
+      .filter(col("chunk") === k).drop("chunk").as[Turn]
+    // metrics observed on the write job itself — no re-read of the
+    // written files (the Iceberg analogue stores these in snapshot
+    // summary properties)
+    val obs = Observation(s"chunk_$k")
+    Extract.run(part, cfg).observe(obs,
+        count(lit(1)).as("rows"),
+        coalesce(sum(col("metrics.wordCount")), lit(0L)).as("words"),
+        coalesce(sum(when(col("metrics.parseFailed"), 1L).otherwise(0L)), lit(0L)).as("parse_failures"))
+      .write.mode("overwrite").parquet(s"$outDir/chunk=$k")
+    val m = obs.get
+    val rows = m("rows").asInstanceOf[Long]
+    commitMarker(markerPath(outDir, k),
+      s"""{"chunk":$k,"rows":$rows,"words":${m("words")},"parse_failures":${m("parse_failures")}}""")
     ChunkResult(k, rows, skipped = false)
   }
 
-  /** Run all chunks (resuming past completed ones). Returns per-chunk
-    * results; the completed output is `readOutput(outDir)`.
+  /** Run everything (resuming past completed work): stage once if
+    * needed, then all pending chunks. The input is scanned at most
+    * once per `runAll` lifetime across any number of resumes.
     */
   def runAll(turns: Dataset[Turn], outDir: String, numChunks: Int,
       cfg: ExtractConfig = ExtractConfig()): Seq[ChunkResult] = {
-    Files.createDirectories(Paths.get(outDir))
-    (0 until numChunks).map(k => runChunk(turns, outDir, k, numChunks, cfg))
+    stage(turns, outDir, numChunks, cfg)
+    (0 until numChunks).map(k => runChunk(turns.sparkSession, outDir, k, cfg))
   }
 
   def readOutput(spark: SparkSession, outDir: String): Dataset[ExtractedTurn] = {

@@ -67,11 +67,14 @@ object Geometry {
   }
 
   /** Python round(x, 2) — banker's rounding at 2 decimals, used by the
-    * ordering tie-breaks (pipe/order.py:191-193, :367-369). Python's
-    * round() is round-half-to-even on the shortest-repr decimal;
-    * BigDecimal(HALF_EVEN) over the double's exact binary value matches
-    * it for the coordinate magnitudes used here.
+    * ordering tie-breaks (pipe/order.py:191-193, :367-369). CPython
+    * rounds the double's EXACT binary value half-to-even (so
+    * round(2.675, 2) == 2.67, because 2.675 is exactly 2.67499…);
+    * `new java.math.BigDecimal(x)` takes that exact value, whereas
+    * `BigDecimal(x)` (via Double.toString) would see the shortest
+    * decimal repr "2.675" and round it UP to 2.68.
     */
   def pyRound2(x: Double): Double =
-    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    new java.math.BigDecimal(x)
+      .setScale(2, java.math.RoundingMode.HALF_EVEN).doubleValue()
 }

@@ -240,15 +240,18 @@ object Order {
     }
 
     val consolidated = consolidateColumns(columns.toIndexedSeq, ioaColumnThreshold)
-    // order.py:299-303: dedupe columns via value equality on the
-    // rounded key, indexing columns by the (mixed-number-space)
-    // consolidated value — ported literally.
+    // order.py:296-298: dedupe columns via BoundingBox.__eq__, which
+    // compares the EXACT internal coords (box.py:448-459 `_key`), not
+    // the 2-decimal-rounded values — rounding happens later, inside
+    // `_connected_components`. Two parents that would only collide
+    // after rounding stay separate here, exactly as in the reference.
     val consolidatedColumns = mutable.ArrayBuffer.empty[MBox]
     val seenKeys = mutable.LinkedHashSet.empty[(Double, Double, Double, Double)]
     for (idx <- columns.indices) {
       val target = columns(consolidated(idx))
-      if (!seenKeys.contains(target.key)) {
-        seenKeys += target.key
+      val exactKey = (target.ulx, target.uly, target.lrx, target.lry)
+      if (!seenKeys.contains(exactKey)) {
+        seenKeys += exactKey
         consolidatedColumns += target
       }
     }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Positional dataflow operators (`JoinData` zip / `BatchData`,
+  * reference dd_core/dataflow/common.py:255/:316).
+  *
+  * Round 1 numbered rows with `row_number() OVER (ORDER BY …)` — a
+  * global window with no partition key, which funnels every row
+  * through ONE task (fine at sf0.1, a scale-killer at 100×). The
+  * positional semantics don't need that: this is the classic
+  * distributed zipWithIndex — range-partition on the sort key, sort
+  * within partitions, then a cheap count pass computes per-partition
+  * prefix-sum offsets (pure metadata, one long per partition) and the
+  * second pass stamps `offset + position`. Both passes share the same
+  * shuffle output (the count job's stages are reused/skipped), so the
+  * cost is one range shuffle + one metadata pass — fully parallel.
+  */
+object Positional {
+
+  /** Global 1-based row index in `ORDER BY sortCols` order, attached as
+    * `idxName` (long — positional ids overflow int at 10¹² rows).
+    */
+  def withGlobalIndex(df: DataFrame, sortCols: Seq[String],
+      idxName: String = "rn", numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = numPartitions match {
+      case Some(n) => df.repartitionByRange(n, sortCols.map(col): _*)
+      case None    => df.repartitionByRange(sortCols.map(col): _*) // AQE-sized
+    }
+    val sorted = ranged.sortWithinPartitions(sortCols.map(col): _*)
+    val schema = sorted.schema.add(idxName, LongType, nullable = false)
+    // RDD zipWithIndex = count-per-partition job + offset-stamped map;
+    // the second job skips the already-materialized range shuffle.
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** `JoinData` positional zip: row i of `left` joined to row i of
+    * `right` (in the given per-side orders); stops at the shorter side,
+    * like the reference's zip.
+    */
+  def zipJoin(left: DataFrame, leftSort: Seq[String],
+      right: DataFrame, rightSort: Seq[String]): DataFrame = {
+    val l = withGlobalIndex(left, leftSort)
+    val r = withGlobalIndex(right, rightSort)
+    l.join(r, "rn")
+  }
+
+  /** `BatchData`: fixed-size batches in `ORDER BY sortCols` order;
+    * returns the input plus a `batch_id` column.
+    */
+  def withBatchId(df: DataFrame, sortCols: Seq[String], batchSize: Int): DataFrame =
+    withGlobalIndex(df, sortCols)
+      .withColumn("batch_id", floor((col("rn") - 1) / batchSize).cast("int"))
+}

@@ -63,24 +63,114 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN top-k: candidates = corpus vectors in the same
-    * sign-bit bucket as the query (the scale path — per-query work is
-    * one bucket, the join key is a long).
+  /** Signed-random-projection buckets, one per hash table, computed in
+    * ONE typed pass (the Column-space [[signBits]] nests an aggregate
+    * per plane — `tables × planes` re-evaluations of the zip subtree,
+    * the nested-lambda CSE failure documented at Dedup.scala). Plane
+    * component signs come from splitmix64(planeId, i) — deterministic
+    * pseudo-random Rademacher hyperplanes, reproducible everywhere.
+    */
+  def srpBuckets(v: Array[Double], planes: Int, tables: Int): Array[Long] = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val planeId = (t * planes + p).toLong
+        var proj = 0.0
+        var i = 0
+        while (i < v.length) {
+          var z = (planeId << 32) | i.toLong
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= z >>> 31
+          proj += (if ((z & 1L) == 1L) v(i) else -v(i))
+          i += 1
+        }
+        if (proj > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
+  /** (id, buckets[tables]) per row — vectors stay behind, only ids ride
+    * the bucket join.
+    */
+  private[operators] def bucketed(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, tables: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, srpBuckets(v, planes, tables)) })
+      .toDF("id", "buckets")
+  }
+
+  /** Multi-table + multi-probe LSH ANN top-k (the scale path: per-query
+    * work is `tables × (1 + planes)` bucket lookups, join keys are
+    * longs, corpus vectors are shuffled only for the candidate ids).
+    *
+    * Round-1's single 8-plane bucket returned 16 of 50 expected rows
+    * (a query bucket can be empty → silent <k results). Recall now
+    * comes from two standard levers (Lv & Indyk et al., multi-probe
+    * LSH): `tables` independent hash tables, and 1-bit probing — each
+    * query also looks in every bucket at hamming distance 1. For a
+    * neighbor at cos ≥ 0.99 (θ ≈ 0.14, per-plane collision
+    * p = 1 − θ/π ≈ 0.955): per-table hit ≈ p⁸ + 8p⁷(1−p) ≈ 0.95, miss
+    * across 12 tables ≈ 1e−16 — measured against [[bruteForceTopK]] in
+    * `q_ann_lsh_recall`.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      signBits(col(vecCol), planes).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      signBits(col(vecCol), planes).as("bucket"))
-    val scored = c.join(broadcast(q), "bucket")
+      vecCol: String, k: Int, planes: Int = 8, tables: Int = 12,
+      probeBits: Int = 1): DataFrame = {
+    // corpus side: explode (table, bucket, id) — ids only, no vectors
+    val cBuckets = bucketed(corpus, idCol, vecCol, planes, tables)
+      .select(col("id").as("corpus_id"), posexplode(col("buckets")))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    // query side: each table bucket plus its `planes` 1-bit probes
+    val probes = if (probeBits >= 1) {
+      (b: Column) => array(b +: (0 until planes).map(p => b.bitwiseXOR(lit(1L << p))): _*)
+    } else (b: Column) => array(b)
+    val qProbes = bucketed(queries, idCol, vecCol, planes, tables)
+      .select(col("id").as("query_id"), posexplode(col("buckets")))
+      .withColumnRenamed("pos", "table")
+      .select(col("query_id"), col("table"), explode(probes(col("col"))).as("bucket"))
+    val cand = cBuckets.join(broadcast(qProbes), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id").distinct()
+    // vectors join candidates by id (queries broadcast-small by contract)
+    val cv = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = cand.join(cv, "corpus_id").join(broadcast(qv), "query_id")
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "corpus_id", "cos")
       .orderBy("query_id", "rank")
+  }
+
+  /** Recall of [[lshTopK]] against the [[bruteForceTopK]] ground truth:
+    * |LSH ∩ BF| / |BF| over (query_id, corpus_id) pairs.
+    */
+  def lshRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 8, tables: Int = 12): DataFrame = {
+    val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select("query_id", "corpus_id")
+    val lsh = lshTopK(corpus, queries, idCol, vecCol, k, planes, tables)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    bf.join(lsh, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true") >= 0.9).as("recall_ok"))
   }
 }
 

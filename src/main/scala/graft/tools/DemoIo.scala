@@ -19,9 +19,10 @@ object DemoIo {
     val turns = Turns.synth(spark, "/root/testdata/sf0.001")
     val out = Files.createTempDirectory("demo_ckpt").toString
     val cfg = ExtractConfig(saltChunkSize = 16)
-    println("[demo] chunk 0+1 then simulated crash:")
-    println("  " + Checkpoint.runChunk(turns, out, 0, 4, cfg))
-    println("  " + Checkpoint.runChunk(turns, out, 1, 4, cfg))
+    println("[demo] stage + chunk 0+1 then simulated crash:")
+    Checkpoint.stage(turns, out, 4, cfg)
+    println("  " + Checkpoint.runChunk(spark, out, 0, cfg))
+    println("  " + Checkpoint.runChunk(spark, out, 1, cfg))
     println("[demo] resume (expect 2 skipped, 2 executed):")
     Checkpoint.runAll(turns, out, 4, cfg).foreach(r => println("  " + r))
     val n = Checkpoint.readOutput(spark, out).count()

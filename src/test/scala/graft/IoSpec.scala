@@ -64,31 +64,42 @@ class SerializersSpec extends AnyFunSuite {
 class CheckpointSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("kill-after-k-chunks then resume equals a single run") {
+  test("kill-after-k-chunks then resume equals a single run; input scanned once") {
     import spark.implicits._
+    // accumulator counts every ORIGINAL input row consumed — the
+    // one-pass-staging guarantee is acc.value == input rows (k chunks
+    // would have made it k× under the round-1 filter-per-chunk design)
+    val scanned = spark.sparkContext.longAccumulator("input_rows_scanned")
     val turns = Turns.synth(spark, TestSpark.sfDir)
+      .map { t => scanned.add(1L); t }
     val cfg = ExtractConfig(saltChunkSize = 16)
 
-    val single = Extract.run(turns, cfg)
+    val single = Extract.run(Turns.synth(spark, TestSpark.sfDir), cfg)
       .select($"conv_id", $"turn_idx", $"extractedText").as[(String, Int, String)]
       .collect().sortBy(r => (r._1, r._2))
+    val nInput = Turns.synth(spark, TestSpark.sfDir).count()
 
     val outDir = Files.createTempDirectory("graft_ckpt").toString
-    // simulate a crash: run only chunks 0 and 1 of 4
-    Checkpoint.runChunk(turns, outDir, 0, 4, cfg)
-    Checkpoint.runChunk(turns, outDir, 1, 4, cfg)
-    // resume: chunk 0/1 must be skipped, 2/3 executed
+    scanned.reset()
+    // simulate a crash: stage + run only chunks 0 and 1 of 4
+    Checkpoint.stage(turns, outDir, 4, cfg)
+    Checkpoint.runChunk(spark, outDir, 0, cfg)
+    Checkpoint.runChunk(spark, outDir, 1, cfg)
+    // resume: staging + chunk 0/1 must be skipped, 2/3 executed
     val results = Checkpoint.runAll(turns, outDir, 4, cfg)
     assert(results.count(_.skipped) == 2)
     assert(results.count(!_.skipped) == 2)
+    // the original input was scanned exactly once (by staging)
+    assert(scanned.value == nInput)
 
     val resumed = Checkpoint.readOutput(spark, outDir)
       .select($"conv_id", $"turn_idx", $"extractedText").as[(String, Int, String)]
       .collect().sortBy(r => (r._1, r._2))
     assert(resumed.sameElements(single))
-    // markers carry row counts
+    // markers carry row counts + metrics, committed atomically
     val marker = Files.readString(Paths.get(outDir, "_DONE_0"))
-    assert(marker.contains("\"rows\""))
+    assert(marker.contains("\"rows\"") && marker.contains("\"words\""))
+    assert(!Files.exists(Paths.get(outDir, "_DONE_0.tmp")))
   }
 
   test("partial chunk overwrite is idempotent (re-run after marker loss)") {
@@ -96,10 +107,13 @@ class CheckpointSpec extends AnyFunSuite {
     val turns = Turns.synth(spark, TestSpark.sfDir).limit(100)
     val cfg = ExtractConfig(saltChunkSize = 16)
     val outDir = Files.createTempDirectory("graft_ckpt2").toString
-    val r1 = Checkpoint.runChunk(turns, outDir, 0, 2, cfg)
+    Checkpoint.stage(turns, outDir, 2, cfg)
+    val r1 = Checkpoint.runChunk(spark, outDir, 0, cfg)
     Files.delete(Paths.get(outDir, "_DONE_0")) // lost marker → retry
-    val r2 = Checkpoint.runChunk(turns, outDir, 0, 2, cfg)
+    val r2 = Checkpoint.runChunk(spark, outDir, 0, cfg)
     assert(!r1.skipped && !r2.skipped && r1.rows == r2.rows)
+    // second stage call is a no-op (resume path)
+    assert(!Checkpoint.stage(turns, outDir, 2, cfg))
   }
 }
 

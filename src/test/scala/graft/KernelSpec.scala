@@ -55,6 +55,14 @@ class GeometrySpec extends AnyFunSuite {
     assert(Geometry.pyRound2(0.125) == 0.12)  // half-even
     assert(Geometry.pyRound2(0.135) == 0.14)  // 0.135 is stored as 0.135000...04
     assert(Geometry.pyRound2(1.005) == 1.0)   // 1.005 stored below half
+    // CPython vectors where shortest-repr rounding diverges from the
+    // exact binary value: round(2.675, 2) == 2.67 because the double
+    // is exactly 2.67499999999999982236431605997495353221893310546875
+    assert(Geometry.pyRound2(2.675) == 2.67)
+    assert(Geometry.pyRound2(2.665) == 2.67)
+    assert(Geometry.pyRound2(0.145) == 0.14)  // stored as 0.14499999…
+    assert(Geometry.pyRound2(2.5) == 2.5)
+    assert(Geometry.pyRound2(-2.675) == -2.67)
   }
 }
 

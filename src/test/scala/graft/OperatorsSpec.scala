@@ -152,3 +152,143 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.getInt(1) % 4 == 0)) // stride 4
   }
 }
+
+/** Round-2 additions: recall-measured LSH, lossless blocking, and the
+  * distributed positional index (VERDICT r1 "What's wrong" items 1-4).
+  */
+class DedupRecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("simhash banded pairs equal brute force over signatures at hamming<=3") {
+    import spark.implicits._
+    // near-dup fixture: base sentences + one-token edits (small hamming)
+    val base = (0 until 40).map(i => (i.toLong,
+      s"alpha bravo charlie delta echo foxtrot golf hotel item$i juliet kilo lima"))
+    val edited = (0 until 40).map(i => (i + 100L,
+      s"alpha bravo charlie delta echo foxtrot golf hotel item$i juliet kilo CHANGED"))
+    val df = (base ++ edited).toDF("id", "text")
+    val got = Dedup.simhashPairs(df, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same signature function
+    val sigs = (base ++ edited).map { case (id, t) => (id, Dedup.simhash64(t)) }
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must contain true near-dups")
+  }
+
+  test("ngram log-size blocking is lossless vs unblocked brute force") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .filter(col("doc_id") < 80).select("doc_id", "text")
+    // crafted pair straddling a log2 bucket boundary: 31 vs 41 shingles
+    // (buckets 4 and 5), jaccard 31/41 ≈ 0.76 — the round-1 equal-bucket
+    // blocking class of miss
+    val a = ('a' to 'z').mkString + "0123456"        // len 33 → 31 shingles
+    val b = a + " 890ABCDEF"                          // len 43 → 41 shingles
+    val crafted = Seq((9001L, a), (9002L, b)).toDF("doc_id", "text")
+    val df = docs.unionByName(crafted)
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val sh = array_distinct(transform(sequence(lit(1), greatest(length(norm) - 2, lit(1))),
+      i => norm.substr(i, lit(3))))
+    val bs = df.select(col("doc_id").as("id"), sh.as("sh"))
+    val want = bs.as("a").join(bs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+         size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.contains((9001L, 9002L)), "bucket-boundary pair must be found")
+  }
+
+  test("banded embedding LSH finds planted near-dups (recall 1.0 here)") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = base.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("v"), (x, i) => x * ((lit(50) + (i * 7 + 3) % 5 - 2).cast("double") / 50)).as("v"))
+    val pairs = Dedup.embeddingNearDupPairs(base.unionByName(planted), "vec_id", "v",
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 50)
+    assert(pairs.forall { case (a, b, c) => b == a + 10000 && c > 0.99 })
+  }
+}
+
+class LshRecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plantedFixture = {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = base.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), explode(sequence(lit(1), lit(5))).as("c"))
+      .select((col("vec_id") + col("c") * 1000).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * ((lit(50) + col("c") * ((i * 7 + lit(3) * col("c")) % 5 - 2)).cast("double") / 50)).as("v"))
+    (base.unionByName(planted), base.filter(col("vec_id") < 10))
+  }
+
+  test("multi-table+probe LSH reproduces brute-force top-5 on planted neighbors") {
+    val (corpus, queries) = plantedFixture
+    val lsh = Similarity.lshTopK(corpus, queries, "vec_id", "v", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "v", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(lsh.toSet == bf.toSet)
+    assert(lsh.length == 50)
+  }
+
+  test("lshRecall reports the thresholded recall") {
+    val (corpus, queries) = plantedFixture
+    val row = Similarity.lshRecall(corpus, queries, "vec_id", "v", 5).head()
+    assert(row.getLong(0) == 50 && row.getLong(1) == 50 && row.getBoolean(2))
+  }
+
+  test("srpBuckets deterministic, tables independent") {
+    val v = Array.tabulate(64)(i => math.sin(i + 1))
+    val b1 = Similarity.srpBuckets(v, 8, 12)
+    val b2 = Similarity.srpBuckets(v, 8, 12)
+    assert(b1.sameElements(b2))
+    assert(b1.distinct.length > 1, "independent tables should mostly differ")
+  }
+}
+
+class PositionalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("withGlobalIndex equals global row_number, without a single-partition exchange") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+    val got = Positional.withGlobalIndex(orders, Seq("o_orderkey"))
+      .select("rn", "o_orderkey").as[(Long, Long)].collect().sortBy(_._1)
+    val want = orders.orderBy("o_orderkey")
+      .collect().map(_.getAs[Long]("o_orderkey")).zipWithIndex
+      .map { case (k, i) => (i + 1L, k) }
+    assert(got.sameElements(want))
+    // scale guarantee: the numbering work spreads over the requested
+    // partitions (AQE right-sizes tiny test inputs down to 1 otherwise)
+    val multi = Positional.withGlobalIndex(orders, Seq("o_orderkey"),
+      numPartitions = Some(8))
+    assert(multi.rdd.getNumPartitions == 8)
+    val got8 = multi.select("rn", "o_orderkey").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got8.sameElements(want))
+  }
+
+  test("zipJoin stops at the shorter side; batch ids are contiguous blocks") {
+    import spark.implicits._
+    val l = (1 to 100).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val r = (1 to 37).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    val z = Positional.zipJoin(l, Seq("k"), r, Seq("k"))
+    assert(z.count() == 37)
+    val batched = Positional.withBatchId(l, Seq("k"), 30)
+      .groupBy("batch_id").count().collect()
+      .map(rw => rw.getInt(0) -> rw.getLong(1)).toMap
+    assert(batched == Map(0 -> 30L, 1 -> 30L, 2 -> 30L, 3 -> 10L))
+  }
+}
