@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model._
-import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
+import graft.operators.{Coco, Dedup, Multimodal, Similarity, TextStats}
 import graft.pipeline.Extract
 import graft.sources.Turns
 
@@ -42,6 +42,43 @@ object SparkEntry {
         transform(col("v"), (x, i) =>
           x * ((lit(50) + col("c") * ((i * 7 + lit(3) * col("c")) % 5 - 2))
             .cast("double") / 50)).as("v"))
+  }
+
+  /** Synthetic detection fixture for the COCO metric: one gt box and
+    * two detections per (image ∈ doc_id<200, category ∈ {1,2}), all
+    * coordinates/scores derived from doc_id with integer arithmetic so
+    * DuckDB reproduces them bit-identically. Detections are the gt box
+    * shifted in x (IoU = (w−s)/(w+s) spans ~0.3–1.0 across images), so
+    * the PR curves are non-trivial. One gt per cell keeps the greedy
+    * matching SQL-expressible (first eligible detection by score wins)
+    * — the full oracle for the mAP pipeline; multi-gt greedy is
+    * spec-tested in CocoSpec.
+    */
+  private def cocoFixture(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.Dataset[Coco.GtBox], org.apache.spark.sql.Dataset[Coco.DetBox]) = {
+    import s.implicits._
+    val cells = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long").as("img"))
+      .crossJoin(Seq(1, 2).toDF("cat"))
+    val gx0 = ((col("img") * 7 + col("cat") * 13) % 50).cast("double")
+    val gy0 = ((col("img") * 11 + col("cat") * 17) % 50).cast("double")
+    val w = (lit(20) + (col("img") + col("cat")) % 10).cast("double")
+    val h = (lit(20) + (col("img") + col("cat") * 2) % 7).cast("double")
+    val gt = cells.select(col("img"), col("cat").cast("int").as("cat"),
+      gx0.as("ulx"), gy0.as("uly"), (gx0 + w).as("lrx"), (gy0 + h).as("lry"))
+      .as[Coco.GtBox]
+    val dets = cells.crossJoin(Seq(0, 1).toDF("which"))
+    val shift = when(col("which") === 0, (col("img") + col("cat")) % 12)
+      .otherwise(lit(5) + (col("img") * 3 + col("cat")) % 25).cast("double")
+    val score = when(col("which") === 0, (col("img") * 37 + col("cat") * 101) % 1000)
+      .otherwise((col("img") * 53 + col("cat") * 211) % 1000).cast("double") / 1000.0
+    val det = dets.select(col("img"), col("cat").cast("int").as("cat"),
+      (col("img") * 10 + col("cat") * 2 + col("which")).as("detId"),
+      score.as("score"),
+      (gx0 + shift).as("ulx"), gy0.as("uly"),
+      (gx0 + w + shift).as("lrx"), (gy0 + h).as("lry"))
+      .as[Coco.DetBox]
+    (gt, det)
   }
 
   /** corpus = all embeddings (as double) ∪ planted neighbors. */
@@ -220,6 +257,38 @@ object SparkEntry {
         Seq("doc_id"), "v", positive = "en")
     }),
 
+    // per-category P/R/F1 (accmetric.py:149-215, nan→1.0 convention)
+    "q_eval_prf_by_cat" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Eval.precisionRecallF1ByCategory(
+        d.select(col("doc_id"), TextStats.langId(col("text")).as("v")),
+        d.select(col("doc_id"), col("lang").as("v")),
+        Seq("doc_id"), "v")
+    }),
+    // COCO AP/AR per category × IoU threshold over the synthetic
+    // detection fixture (full SQL oracle; greedy matching + 101-point
+    // interpolation both replicated in DuckDB)
+    "q_eval_map" -> ((s, dir) => {
+      val (gt, det) = cocoFixture(s, dir)
+      val gtCounts = gt.toDF().groupBy("cat").agg(count(lit(1)).as("n_gt"))
+      Coco.accumulate(Coco.matchDetections(gt, det, Seq(0.5, 0.75)),
+          gtCounts, Seq(0.5, 0.75))
+        .select(col("cat"), col("thr"), col("n_gt"),
+          round(col("ap"), 6).as("ap"), round(col("ar"), 6).as("ar"))
+    }),
+    // Evaluator.run analogue (eval/eval.py:57): golden vs re-extracted,
+    // with a deterministic corruption so the metric is non-trivial
+    "q_eval_run" -> ((s, dir) => {
+      val turns = Turns.synth(s, dir)
+      val golden = Extract.run(turns).toDF()
+        .withColumn("extractedText",
+          when(col("turn_idx") % 7 === 3, concat(col("extractedText"), lit("!")))
+            .otherwise(col("extractedText")))
+        .withColumn("lang",
+          when(col("turn_idx") % 5 === 2, lit("xx")).otherwise(col("lang")))
+      graft.operators.Evaluator.run(turns, golden)
+    }),
+
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextStats.langId(col("text")).as("lang_id"))),
@@ -307,6 +376,21 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       graft.operators.Sessionize.sessions(
         s.read.parquet(s"$dir/events.parquet"), gapSeconds = 1800)),
+
+    // SimpleTransformService analogue: NFC + newline canonicalization
+    // with raw-offset lineage — DuckDB's nfc_normalize is the oracle
+    "q_normalize_remap" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select(col("doc_id"), concat(lit("Café of\r\n"), col("text")).as("raw"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, raw) =>
+          val (norm, m) = graft.kernels.Normalize.nfcWithMap(raw)
+          // first word over the NORMALIZED text is "Café" = [0, 4);
+          // its raw lineage must cover "Cafe" + U+0301 = [0, 5)
+          (id, norm, raw.length, norm.length, m.toRawBegin(0), m.toRawEnd(4))
+        }).toDF("doc_id", "norm", "raw_len", "norm_len", "raw_begin", "raw_end")
+    }),
 
     // ---- multimodal plumbing (decode is a deterministic stub) ----
     "q_multimodal_meta" -> ((s, dir) => {
@@ -451,6 +535,92 @@ object SparkEntry {
             FROM j""",
       "q_quality" -> TextStats.QualitySqlSelect,
 
+      "q_eval_prf_by_cat" ->
+        s"""WITH j AS (SELECT ${TextStats.langIdSql("text")} AS p, lang AS g FROM documents),
+            labels AS (SELECT p AS label FROM j UNION SELECT g FROM j),
+            t AS (SELECT g AS label, count(*) AS tp FROM j WHERE p = g GROUP BY g),
+            pc AS (SELECT p AS label, count(*) AS n_pred FROM j GROUP BY p),
+            gc AS (SELECT g AS label, count(*) AS n_gold FROM j GROUP BY g),
+            base AS (
+              SELECT l.label, coalesce(t.tp, 0) AS tp,
+                     coalesce(pc.n_pred, 0) AS n_pred, coalesce(gc.n_gold, 0) AS n_gold
+              FROM labels l LEFT JOIN t USING (label)
+                LEFT JOIN pc USING (label) LEFT JOIN gc USING (label)),
+            pr AS (
+              SELECT label, tp, n_pred, n_gold,
+                CASE WHEN n_pred = 0 THEN 1.0 ELSE CAST(tp AS DOUBLE) / n_pred END AS p_raw,
+                CASE WHEN n_gold = 0 THEN 1.0 ELSE CAST(tp AS DOUBLE) / n_gold END AS r_raw
+              FROM base)
+            SELECT label, CAST(tp AS BIGINT) AS tp, CAST(n_pred AS BIGINT) AS n_pred,
+                   CAST(n_gold AS BIGINT) AS n_gold,
+                   round(p_raw, 6) AS prec, round(r_raw, 6) AS rec,
+                   round(CASE WHEN p_raw + r_raw = 0 THEN 0.0
+                         ELSE 2 * p_raw * r_raw / (p_raw + r_raw) END, 6) AS f1
+            FROM pr ORDER BY label""",
+
+      // full closed-form COCO oracle: the synthetic fixture (integer-
+      // derived boxes/scores), single-gt greedy matching as a window,
+      // and the 101-point interpolated AP — all replicated in DuckDB
+      "q_eval_map" ->
+        """WITH cells AS (
+             SELECT doc_id AS img, c.cat FROM documents, (VALUES (1),(2)) c(cat)
+             WHERE doc_id < 200),
+           geo AS (
+             SELECT img, cat,
+               CAST(20 + (img + cat) % 10 AS DOUBLE) AS w,
+               CAST(20 + (img + cat*2) % 7 AS DOUBLE) AS h
+             FROM cells),
+           det AS (
+             SELECT img, cat, img*10 + cat*2 + d.which AS det_id,
+               CAST(CASE WHEN d.which = 0 THEN (img*37 + cat*101) % 1000
+                         ELSE (img*53 + cat*211) % 1000 END AS DOUBLE)
+                 / CAST(1000 AS DOUBLE) AS score,
+               CASE WHEN d.which = 0 THEN CAST((img + cat) % 12 AS DOUBLE)
+                    ELSE CAST(5 + (img*3 + cat) % 25 AS DOUBLE) END AS s,
+               w, h
+             FROM geo, (VALUES (0),(1)) d(which)),
+           iou AS (
+             SELECT img, cat, det_id, score,
+               CASE WHEN w - s > 0 THEN (w - s) * h / (w*h + w*h - (w - s)*h)
+                    ELSE 0.0 END AS iou
+             FROM det),
+           thrs AS (SELECT CAST(t.thr AS DOUBLE) AS thr FROM (VALUES (0.5),(0.75)) t(thr)),
+           m AS (
+             SELECT i.cat, t.thr, i.det_id, i.score,
+               CASE WHEN i.iou >= t.thr AND row_number() OVER (
+                   PARTITION BY i.img, i.cat, t.thr, (i.iou >= t.thr)
+                   ORDER BY i.score DESC, i.det_id) = 1
+                 THEN 1 ELSE 0 END AS tp
+             FROM iou i, thrs t),
+           r AS (
+             SELECT cat, thr, det_id, score, tp,
+               row_number() OVER (PARTITION BY cat, thr ORDER BY score DESC, det_id) AS rn,
+               sum(tp) OVER (PARTITION BY cat, thr ORDER BY score DESC, det_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtp
+             FROM m),
+           p AS (
+             SELECT cat, thr, rn, cumtp,
+               CAST(cumtp AS DOUBLE) / CAST(200 AS DOUBLE) AS recall_i,
+               max(CAST(cumtp AS DOUBLE) / rn) OVER (PARTITION BY cat, thr
+                 ORDER BY score DESC, det_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pmax,
+               coalesce(lag(CAST(cumtp AS DOUBLE) / CAST(200 AS DOUBLE)) OVER (
+                 PARTITION BY cat, thr ORDER BY score DESC, det_id), 0.0) AS prev_recall
+             FROM r)
+           SELECT cat, thr, CAST(200 AS BIGINT) AS n_gt,
+             round(sum(pmax * (floor(recall_i*100) - floor(prev_recall*100) +
+               CASE WHEN rn = 1 THEN 1 ELSE 0 END)) / 101.0, 6) AS ap,
+             round(max(cumtp) / CAST(200 AS DOUBLE), 6) AS ar
+           FROM p GROUP BY cat, thr ORDER BY cat, thr""",
+
+      "q_eval_run" ->
+        s"""$cte SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_joined,
+            CAST(sum(CASE WHEN turn_idx % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_text_match,
+            CAST(sum(CASE WHEN turn_idx % 5 <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_match,
+            round(CAST(sum(CASE WHEN turn_idx % 7 <> 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS text_accuracy,
+            round(CAST(sum(CASE WHEN turn_idx % 5 <> 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS lang_accuracy
+            FROM turns""",
+
       "q_dedup_minhash" ->
         """WITH d AS (
              SELECT doc_id, text FROM documents WHERE doc_id < 200
@@ -590,6 +760,20 @@ object SparkEntry {
                   min(ts) AS session_start, max(ts) AS session_end,
                   count(*) AS n_events, round(sum(value), 2) AS sum_value
            FROM s GROUP BY user_id, session_idx""",
+
+      // DuckDB nfc_normalize + newline replace = the kernel's
+      // normalization; the remapped raw span of "Café" is closed-form
+      "q_normalize_remap" ->
+        """WITH r AS (
+             SELECT doc_id,
+               'Cafe' || chr(769) || ' of' || chr(13) || chr(10) || text AS raw
+             FROM documents)
+           SELECT doc_id,
+             nfc_normalize(replace(raw, chr(13) || chr(10), chr(10))) AS norm,
+             CAST(length(raw) AS INT) AS raw_len,
+             CAST(length(nfc_normalize(replace(raw, chr(13) || chr(10), chr(10)))) AS INT) AS norm_len,
+             CAST(0 AS INT) AS raw_begin, CAST(5 AS INT) AS raw_end
+           FROM r""",
 
       "q_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,

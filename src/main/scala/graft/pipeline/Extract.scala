@@ -31,7 +31,14 @@ final case class ExtractConfig(
     /** reference `include_residual_text_container` (pipe/order.py:737,
       * factory default True): words matched to no block become
       * synthetic LINE blocks that join the floating-text ordering */
-    includeResidualTextContainer: Boolean = true
+    includeResidualTextContainer: Boolean = true,
+    /** SimpleTransformService analogue (pipe/transform.py:32-96):
+      * NFC + newline canonicalization applied to the payload BEFORE
+      * segmentation, so every emitted span indexes the normalized
+      * text; kernels.Normalize.nfcWithMap carries the raw-offset
+      * lineage. Default false — raw-offset semantics (round-1 goldens)
+      * stay the default. */
+    normalizeText: Boolean = false
 )
 
 /** The extraction pipeline: `Dataset[Turn] → Dataset[ExtractedTurn]`.
@@ -62,8 +69,11 @@ object Extract {
   }
 
   private def extractTurnUnsafe(t: Turn, turnId: String, cfg: ExtractConfig): ExtractedTurn = {
-    val payload = if (t.text != null && t.text.nonEmpty) t.text
-                  else if (t.tool != null) t.tool else ""
+    val payload0 = if (t.text != null && t.text.nonEmpty) t.text
+                   else if (t.tool != null) t.tool else ""
+    val payload =
+      if (cfg.normalizeText) graft.kernels.Normalize.nfcCanonical(payload0)
+      else payload0
     val seg = Segment.segment(payload)
 
     // ---- NMS over block candidates (AnnotationNmsService analogue,
@@ -240,11 +250,15 @@ object Extract {
     * conversation spreads over many partitions (north rule: skew), then
     * one fused mapPartitions kernel. Only one exchange in the job.
     */
-  /** Name under which [[run]] registers observed metrics — read them
+  /** Prefix under which [[run]] registers observed metrics — read them
     * from `QueryExecution.observedMetrics` (or a
-    * `QueryExecutionListener`) after any action on the result.
+    * `QueryExecutionListener`) after any action on the result. Each
+    * run() gets a unique suffix: Spark requires observation names to
+    * be unique within a query, and one query may contain several
+    * extraction runs (e.g. Evaluator joins golden vs re-extracted).
     */
   val MetricsName = "graft_extract"
+  private val metricsSeq = new java.util.concurrent.atomic.AtomicLong()
 
   def run(ds: Dataset[Turn], cfg: ExtractConfig = ExtractConfig(),
           numPartitions: Option[Int] = None): Dataset[ExtractedTurn] = {
@@ -256,7 +270,7 @@ object Extract {
       // north rule: extraction metrics ride every action (reference
       // `Extras` side-channel, image.py:186 — here observe(), so they
       // reach listeners/snapshot summaries without a second pass)
-      .observe(MetricsName,
+      .observe(s"${MetricsName}_${metricsSeq.incrementAndGet()}",
         count(lit(1)).as("turns"),
         sum(col("metrics.wordCount")).as("words"),
         sum(col("metrics.blocksKept")).as("blocks_kept"),

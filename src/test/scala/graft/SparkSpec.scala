@@ -85,7 +85,9 @@ class ObserveSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("extraction metrics observable without a second pass") {
     val ds = graft.pipeline.Extract.run(graft.sources.Turns.synth(spark, TestSpark.sfDir))
     ds.collect() // an action on THIS plan (count() builds its own QE)
-    val m = ds.queryExecution.observedMetrics(graft.pipeline.Extract.MetricsName)
+    val m = ds.queryExecution.observedMetrics
+      .collectFirst { case (k, v) if k.startsWith(graft.pipeline.Extract.MetricsName) => v }
+      .get
     assert(m.getAs[Long]("turns") == 500L)
     assert(m.getAs[Long]("parse_failures") == 0L)
     assert(m.getAs[Long]("words") > 0L)
