@@ -377,6 +377,25 @@ object SparkEntry {
       graft.operators.Sessionize.sessions(
         s.read.parquet(s"$dir/events.parquet"), gapSeconds = 1800)),
 
+    // COCO dataset pre-join (SerializerCoco → publaynet-style labels):
+    // synthesized images/annotations, grouped + label-mapped
+    "q_coco_prejoin" -> ((s, dir) => {
+      val images = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id"),
+          concat(lit("doc_"), col("doc_id"), lit(".png")).as("file_name"))
+      val anns = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("image_id"), explode(sequence(lit(1), lit(3))).as("k0"))
+        .filter(col("k0") <= col("doc_id") % 3)
+        .select((col("image_id") * 10 + col("k0") - 1).as("id"), col("image_id"),
+          (lit(1) + (col("image_id") + col("k0") - 1) % 5).cast("int").as("category_id"))
+        .withColumn("category",
+          element_at(typedLit(graft.sources.Serializers.PublaynetCategories), col("category_id")))
+      graft.sources.Serializers.cocoPreJoin(images, anns)
+        .select(col("id"), col("n_anns"),
+          coalesce(element_at(col("anns"), 1).getField("id"), lit(-1L)).as("first_ann_id"),
+          coalesce(element_at(col("anns"), 1).getField("category"), lit("none")).as("first_label"))
+    }),
+
     // SimpleTransformService analogue: NFC + newline canonicalization
     // with raw-offset lineage — DuckDB's nfc_normalize is the oracle
     "q_normalize_remap" -> ((s, dir) => {
@@ -760,6 +779,21 @@ object SparkEntry {
                   min(ts) AS session_start, max(ts) AS session_end,
                   count(*) AS n_events, round(sum(value), 2) AS sum_value
            FROM s GROUP BY user_id, session_idx""",
+
+      "q_coco_prejoin" ->
+        """WITH imgs AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+           anns AS (
+             SELECT doc_id*10 + k AS ann_id, doc_id AS image_id
+             FROM documents, range(0, 3) t(k)
+             WHERE doc_id < 100 AND k < doc_id % 3)
+           SELECT i.id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_anns,
+                  CAST(coalesce(a.first_id, -1) AS BIGINT) AS first_ann_id,
+                  coalesce(a.first_label, 'none') AS first_label
+           FROM imgs i LEFT JOIN (
+             SELECT image_id, count(*) AS n, min(ann_id) AS first_id,
+               CASE 1 + image_id % 5 WHEN 1 THEN 'text' WHEN 2 THEN 'title'
+                 WHEN 3 THEN 'list' WHEN 4 THEN 'table' ELSE 'figure' END AS first_label
+             FROM anns GROUP BY image_id) a ON i.id = a.image_id""",
 
       // DuckDB nfc_normalize + newline replace = the kernel's
       // normalization; the remapped raw span of "Café" is closed-form

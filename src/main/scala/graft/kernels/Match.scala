@@ -121,3 +121,57 @@ object Match {
     }
   }
 }
+
+/** `FamilyCompound` configuration (pipe/common.py:230-269): which
+  * parent/child categories a MatchingService pass relates, and whether
+  * orphan children get a synthetic parent.
+  */
+final case class FamilyCompound(
+    relationshipKey: String = "child",
+    /** empty = all kinds, like the reference's None */
+    parentKinds: Set[String] = Set.empty,
+    childKinds: Set[String] = Set.empty,
+    createSyntheticParent: Boolean = false,
+    /** category of the synthetic parent (reference `synthetic_parent`) */
+    syntheticParent: String = graft.model.LayoutLabel.LINE)
+
+object FamilyMatch {
+
+  /** One synthetic parent PER orphan child, carrying the child's own
+    * box (pipe/common.py:314-339: a DetectionResult with
+    * `class_name=synthetic_parent, box=child.box`, related back to
+    * the child).
+    */
+  final case class SyntheticParent(kind: String, box: graft.model.BBox, childIdx: Int)
+
+  /** MatchingService.serve for one family (pipe/common.py:294-339):
+    * match the configured parent/child kinds by intersection, then —
+    * if configured — synthesize a parent for every child the match
+    * left orphaned. Indices in the result refer to the ORIGINAL
+    * (unfiltered) input sequences.
+    */
+  def matchFamily(
+      parents: IndexedSeq[(String, graft.model.BBox)],
+      children: IndexedSeq[(String, graft.model.BBox)],
+      fc: FamilyCompound,
+      rule: String = "ioa",
+      threshold: Double = 0.3,
+      maxParentOnly: Boolean = true
+  ): (Seq[(Int, Int)], Seq[SyntheticParent]) = {
+    val pIdx = parents.indices.filter(i =>
+      fc.parentKinds.isEmpty || fc.parentKinds.contains(parents(i)._1))
+    val cIdx = children.indices.filter(i =>
+      fc.childKinds.isEmpty || fc.childKinds.contains(children(i)._1))
+    val pairs = Match.matchByIntersection(
+        pIdx.map(parents(_)._2), cIdx.map(children(_)._2),
+        rule, threshold, maxParentOnly = maxParentOnly)
+      .map { case (c, p) => (cIdx(c), pIdx(p)) }
+    val matchedChildren = pairs.map(_._1).toSet
+    val synthetic =
+      if (fc.createSyntheticParent)
+        cIdx.filterNot(matchedChildren)
+          .map(ci => SyntheticParent(fc.syntheticParent, children(ci)._2, ci))
+      else Nil
+    (pairs, synthetic)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.kernels
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal PDF page splitting — the reference's
+  * `SerializerPdfDoc.load/split` (dd_core/dataflow/custom_serialize
+  * .py:674) walks a document and emits one datapoint per page via
+  * `pdf_utils.PDFStreamer` (dd_core/utils/pdf_utils.py:406).
+  *
+  * This sandbox has no PDF library, so the parser covers the
+  * UNCOMPRESSED subset honestly rather than stubbing: it scans the
+  * byte stream for `N G obj … endobj` objects, identifies page objects
+  * (`/Type /Page`, not `/Pages`), resolves their `/Contents N G R`
+  * reference, and extracts text from uncompressed content streams
+  * (`(…) Tj` and `[…] TJ` show-text operators, with PDF string
+  * escapes). Compressed streams (`/FlateDecode`) yield pages with
+  * empty text — the page COUNT and per-page split (what the dataflow
+  * shape needs) still work, since page objects themselves are rarely
+  * compressed in the wild pre-1.5 and object streams are out of scope.
+  * The Spark-side plumbing (binaryFile scan → flatMap split) is the
+  * real deliverable; swap [[splitPages]]'s internals for a full parser
+  * when a library is available.
+  */
+object Pdf {
+
+  final case class PdfPage(pageNo: Int, objOffset: Long, text: String)
+
+  private val ObjRe = """(?s)(\d+)\s+(\d+)\s+obj(.*?)endobj""".r
+  private val ContentsRe = """/Contents\s+(\d+)\s+(\d+)\s+R""".r
+  private val StreamRe = """(?s)stream\r?\n(.*?)\r?\nendstream""".r
+
+  /** Split a PDF byte array into pages (1-based page numbers, in
+    * document object order — the order `/Kids` arrays list them for
+    * the linear writers this subset targets).
+    */
+  def splitPages(bytes: Array[Byte]): Seq[PdfPage] = {
+    // Latin-1 decode is byte-preserving, so offsets/regex stay exact
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val objects = ObjRe.findAllMatchIn(s).map(m =>
+      (m.group(1).toInt, m.group(3), m.start)).toVector
+    val byNum = objects.map { case (num, body, off) => num -> ((body, off)) }.toMap
+    val pages = ArrayBuffer.empty[PdfPage]
+    var pageNo = 0
+    for ((_, body, off) <- objects) {
+      val isPage = body.contains("/Type /Page") && !body.contains("/Type /Pages") ||
+        body.contains("/Type/Page") && !body.contains("/Type/Pages")
+      if (isPage) {
+        pageNo += 1
+        val text = ContentsRe.findFirstMatchIn(body) match {
+          case Some(ref) =>
+            byNum.get(ref.group(1).toInt)
+              .flatMap { case (contentBody, _) =>
+                StreamRe.findFirstMatchIn(contentBody).map(sm => extractText(sm.group(1)))
+              }
+              .getOrElse("")
+          case None =>
+            // inline content stream inside the page object
+            StreamRe.findFirstMatchIn(body).map(sm => extractText(sm.group(1))).getOrElse("")
+        }
+        pages += PdfPage(pageNo, off.toLong, text)
+      }
+    }
+    pages.toSeq
+  }
+
+  /** Text of the `(…) Tj` / `[(…)…] TJ` operators of an uncompressed
+    * content stream, whitespace-joined, with PDF string escapes
+    * (\\, \(, \), \n, \t, octal) decoded.
+    */
+  def extractText(stream: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    val n = stream.length
+    while (i < n) {
+      if (stream.charAt(i) == '(') {
+        val sb = new StringBuilder
+        i += 1
+        var depth = 1
+        while (i < n && depth > 0) {
+          val c = stream.charAt(i)
+          if (c == '\\' && i + 1 < n) {
+            val e = stream.charAt(i + 1)
+            e match {
+              case 'n' => sb.append('\n'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case '(' | ')' | '\\' => sb.append(e); i += 2
+              case d if d >= '0' && d <= '7' =>
+                var j = i + 1
+                var v = 0
+                while (j < n && j < i + 4 && stream.charAt(j) >= '0' && stream.charAt(j) <= '7') {
+                  v = v * 8 + (stream.charAt(j) - '0'); j += 1
+                }
+                sb.append(v.toChar); i = j
+              case _ => sb.append(e); i += 2
+            }
+          } else if (c == '(') { depth += 1; sb.append(c); i += 1 }
+          else if (c == ')') { depth -= 1; if (depth > 0) sb.append(c); i += 1 }
+          else { sb.append(c); i += 1 }
+        }
+        // only count strings consumed by a show-text operator
+        val rest = stream.substring(i).dropWhile(_.isWhitespace)
+        if (rest.startsWith("Tj") || rest.startsWith("TJ") || rest.startsWith("'") ||
+            rest.startsWith("\"") || rest.dropWhile(c => c == '-' || c.isDigit || c == '.' || c.isWhitespace || c == '(' || c == ')').startsWith("TJ") ||
+            insideArray(stream, i)) {
+          if (out.nonEmpty) out.append(' ')
+          out.append(sb)
+        }
+      } else i += 1
+    }
+    out.toString
+  }
+
+  /** Crude containment test: was the string we just closed inside a
+    * `[ … ] TJ` array? (scan forward for `]` followed by TJ before any
+    * other show op)
+    */
+  private def insideArray(stream: String, from: Int): Boolean = {
+    var i = from
+    val n = stream.length
+    while (i < n) {
+      val c = stream.charAt(i)
+      if (c == ']') {
+        val rest = stream.substring(i + 1).dropWhile(_.isWhitespace)
+        return rest.startsWith("TJ")
+      } else if (c == '(' || c == 'B' || c == 'E') return false
+      i += 1
+    }
+    false
+  }
+}

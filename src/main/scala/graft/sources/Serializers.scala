@@ -73,6 +73,59 @@ object Serializers {
       .withColumn("n_anns", coalesce(col("n_anns"), lit(0L)))
   }
 
+  /** `SerializerPdfDoc.load/split` (custom_serialize.py:674 +
+    * pdf_utils.py:406 `PDFStreamer`): one row per PDF page — a
+    * binaryFile scan flatMapped through the page splitter. The split
+    * runs inside the scan stage (no shuffle); at 100 TB each executor
+    * splits its own files.
+    */
+  def readPdfPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        graft.kernels.Pdf.splitPages(bytes).map(p => (path, p.pageNo, p.text))
+      }
+      .toDF("path", "page_no", "text")
+  }
+
+  /** publaynet's category-id → label mapping
+    * (dd_datasets/instances/publaynet.py `_CATEGORIES`).
+    */
+  val PublaynetCategories: Map[Int, String] =
+    Map(1 -> "text", 2 -> "title", 3 -> "list", 4 -> "table", 5 -> "figure")
+
+  /** publaynet-style COCO dataset builder
+    * (dd_datasets/instances/publaynet.py via SerializerCoco): one COCO
+    * json → one row per image with its annotations pre-joined and
+    * category ids resolved to layout labels. Schema is explicit (no
+    * inference pass); at petabyte scale the annotation side would be
+    * parquet, but the COCO-json format is what the reference's
+    * builders consume.
+    */
+  def cocoDataset(spark: SparkSession, cocoJsonPath: String,
+      categories: Map[Int, String] = PublaynetCategories): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("images", ArrayType(StructType(Seq(
+        StructField("id", LongType), StructField("file_name", StringType),
+        StructField("width", IntegerType), StructField("height", IntegerType))))),
+      StructField("annotations", ArrayType(StructType(Seq(
+        StructField("id", LongType), StructField("image_id", LongType),
+        StructField("category_id", IntegerType),
+        StructField("bbox", ArrayType(DoubleType))))))))
+    val root = spark.read.option("multiLine", "true").schema(schema).json(cocoJsonPath)
+    val images = root.select(explode(col("images")).as("img")).select("img.*")
+    val anns = root.select(explode(col("annotations")).as("a")).select("a.*")
+      .withColumn("category",
+        coalesce(element_at(typedLit(categories), col("category_id")), lit("unk")))
+    cocoPreJoin(images, anns)
+  }
+
   /** Dataset registry (dd_datasets/base.py:46 `DatasetBase` +
     * `MergeDataset` :179): named input tables over an sf dir;
     * merge = unionByName.
@@ -86,6 +139,15 @@ object Serializers {
 
   def dataset(name: String)(spark: SparkSession, sfDir: String): DataFrame =
     registry(name)(spark, sfDir)
+
+  /** Path-keyed dataset instances (the reference's `dataset_registry`
+    * over dd_datasets/instances/): builders that take a data path
+    * instead of an sf dir.
+    */
+  val instanceRegistry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "publaynet" -> ((s, path) => cocoDataset(s, path)),
+    "pdf_pages" -> ((s, path) => readPdfPages(s, path))
+  )
 
   def mergeDatasets(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_))

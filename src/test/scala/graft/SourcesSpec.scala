@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kernels.{FamilyCompound, FamilyMatch, Pdf}
+import graft.model.BBox
+import graft.sources.Serializers
+
+/** Round-2 source/dataset coverage: PDF page splitting, the
+  * publaynet-style COCO dataset instance, and FamilyCompound
+  * synthetic parents (VERDICT r1 "What's missing" 5-7).
+  */
+class PdfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def minimalPdf(pages: Seq[String]): Array[Byte] = {
+    val sb = new StringBuilder("%PDF-1.4\n")
+    sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    sb.append(s"2 0 obj << /Type /Pages /Kids [$kids] /Count ${pages.length} >> endobj\n")
+    pages.zipWithIndex.foreach { case (txt, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      sb.append(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /Contents $contObj 0 R >> endobj\n")
+      val stream = s"BT /F1 12 Tf ($txt) Tj ET"
+      sb.append(s"$contObj 0 obj << /Length ${stream.length} >> stream\n$stream\nendstream endobj\n")
+    }
+    sb.append("%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  test("splitPages: page count, order, and uncompressed text extraction") {
+    val pages = Pdf.splitPages(minimalPdf(Seq("Hello page one", "Second page")))
+    assert(pages.map(_.pageNo) == Seq(1, 2))
+    assert(pages.map(_.text) == Seq("Hello page one", "Second page"))
+  }
+
+  test("PDF string escapes decode: parens, backslash, octal") {
+    val pages = Pdf.splitPages(minimalPdf(Seq("""a \(b\) \\ \101""")))
+    assert(pages.head.text == """a (b) \ A""")
+  }
+
+  test("readPdfPages: binaryFile scan + flatMap split, one row per page") {
+    val dir = Files.createTempDirectory("graft_pdf")
+    Files.write(dir.resolve("a.pdf"), minimalPdf(Seq("alpha one", "alpha two")))
+    Files.write(dir.resolve("b.pdf"), minimalPdf(Seq("bravo only")))
+    Files.writeString(dir.resolve("skip.txt"), "not a pdf")
+    val rows = Serializers.readPdfPages(spark, dir.toString)
+      .orderBy("path", "page_no").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 1))
+    assert(rows.map(_.getString(2)).toSeq == Seq("alpha one", "alpha two", "bravo only"))
+  }
+}
+
+class CocoDatasetSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("publaynet-style builder: images pre-joined with label-mapped annotations") {
+    val path = getClass.getResource("/coco_publaynet_fixture.json").getPath
+    val ds = Serializers.cocoDataset(spark, path)
+    val byId = ds.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_anns")).toMap
+    assert(byId == Map(1L -> 2L, 2L -> 3L, 3L -> 0L))
+    val img1 = ds.filter(col("id") === 1)
+      .select(element_at(col("anns"), 1).getField("category")).head().getString(0)
+    assert(img1 == "text") // ann 10, category_id 1
+    // wired through the instance registry
+    val viaRegistry = Serializers.instanceRegistry("publaynet")(spark, path)
+    assert(viaRegistry.count() == 3)
+  }
+}
+
+class FamilyMatchSpec extends AnyFunSuite {
+
+  test("FamilyCompound: kind filtering + per-orphan synthetic parents") {
+    val parents = IndexedSeq(
+      ("table", BBox(0, 0, 100, 100, absCoords = true)),
+      ("figure", BBox(200, 200, 300, 300, absCoords = true)))
+    val children = IndexedSeq(
+      ("cell", BBox(10, 10, 20, 20, absCoords = true)),    // inside table
+      ("cell", BBox(210, 210, 220, 220, absCoords = true)), // inside figure (excluded kind)
+      ("cell", BBox(500, 500, 510, 510, absCoords = true)), // orphan
+      ("word", BBox(15, 15, 18, 18, absCoords = true)))     // excluded child kind
+    val fc = FamilyCompound(parentKinds = Set("table"), childKinds = Set("cell"),
+      createSyntheticParent = true, syntheticParent = "line")
+    val (pairs, synth) = FamilyMatch.matchFamily(parents, children, fc)
+    assert(pairs == Seq((0, 0))) // only cell-0 inside the table parent
+    // children 1 and 2 are unmatched cells → one synthetic parent EACH,
+    // carrying the child's own box (pipe/common.py:314-339)
+    assert(synth.map(_.childIdx) == Seq(1, 2))
+    assert(synth.forall(_.kind == "line"))
+    assert(synth.head.box == children(1)._2)
+  }
+
+  test("empty kind sets mean all kinds (reference None semantics)") {
+    val parents = IndexedSeq(("block", BBox(0, 0, 50, 50, absCoords = true)))
+    val children = IndexedSeq(("w", BBox(1, 1, 2, 2, absCoords = true)))
+    val (pairs, synth) = FamilyMatch.matchFamily(parents, children, FamilyCompound())
+    assert(pairs == Seq((0, 0)) && synth.isEmpty)
+  }
+}
