@@ -305,8 +305,9 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       planes: Int = 6, tables: Int = 8, threshold: Double = 0.9): DataFrame = {
-    val vecs = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+    // unit vectors once per row → candidate verify = one dot product
+    // per pair (norms are NOT recomputed n² times)
+    val vecs = Similarity.unitVectors(df, idCol, vecCol)
     val banded = Similarity.bucketed(df, idCol, vecCol, planes, tables)
       .select(col("id"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -315,10 +316,10 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     cand
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("u").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("u").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+        Similarity.dot(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("id_a", "id_b")
   }

@@ -111,6 +111,35 @@ object Similarity {
       .toDF("id", "buckets")
   }
 
+  /** (id, v/‖v‖) in one typed pass. Candidate verification over unit
+    * vectors is a single dot product — the norms are computed once per
+    * VECTOR here instead of once per PAIR inside [[cosine]] (at n²
+    * candidate pairs that is the dominant verify cost).
+    */
+  private[operators] def unitVectors(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val inv = if (s > 0) 1.0 / math.sqrt(s) else 0.0
+        val u = new Array[Double](v.length)
+        i = 0
+        while (i < v.length) { u(i) = v(i) * inv; i += 1 }
+        (id, u)
+      })
+      .toDF("id", "u")
+  }
+
+  /** Dot product of two (unit) vectors — cosine after normalization. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   /** Multi-table + multi-probe LSH ANN top-k (the scale path: per-query
     * work is `tables × (1 + planes)` bucket lookups, join keys are
     * longs, corpus vectors are shuffled only for the candidate ids).
@@ -143,13 +172,14 @@ object Similarity {
     val cand = cBuckets.join(broadcast(qProbes), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select("query_id", "corpus_id").distinct()
-    // vectors join candidates by id (queries broadcast-small by contract)
-    val cv = corpus.select(col(idCol).cast("long").as("corpus_id"),
-      col(vecCol).cast("array<double>").as("cv"))
-    val qv = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+    // vectors join candidates by id (queries broadcast-small by
+    // contract); unit vectors → verify is one dot product per pair
+    val cv = unitVectors(corpus, idCol, vecCol)
+      .select(col("id").as("corpus_id"), col("u").as("cv"))
+    val qv = unitVectors(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("u").as("qv"))
     val scored = cand.join(cv, "corpus_id").join(broadcast(qv), "query_id")
-      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("corpus_id"), dot(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

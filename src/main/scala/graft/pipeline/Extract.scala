@@ -32,6 +32,12 @@ final case class ExtractConfig(
       * factory default True): words matched to no block become
       * synthetic LINE blocks that join the floating-text ordering */
     includeResidualTextContainer: Boolean = true,
+    /** DetectResultGenerator (pipe/sub_layout.py:41-48): kinds that
+      * must ALWAYS yield at least one detection — any listed kind with
+      * no block after NMS gets a placeholder block covering the whole
+      * page (the reference generates a DetectResult with the image's
+      * dimensions). Empty = off (default). */
+    backfillKinds: Seq[String] = Nil,
     /** SimpleTransformService analogue (pipe/transform.py:32-96):
       * NFC + newline canonicalization applied to the payload BEFORE
       * segmentation, so every emitted span indexes the normalized
@@ -83,7 +89,19 @@ object Extract {
       Nms.Candidate(i.toString, b.box, 1.0, b.kind)
     }
     val surviving = Nms.suppress(candidates.toIndexedSeq, cfg.nmsThreshold).map(_.toInt).toSet
-    val blocks0 = segBlocks.zipWithIndex.filter { case (_, i) => surviving.contains(i) }.map(_._1)
+    val blocksNms = segBlocks.zipWithIndex.filter { case (_, i) => surviving.contains(i) }.map(_._1)
+    // DetectResultGenerator back-fill (pipe/sub_layout.py:41-48): any
+    // configured kind with no detection gets a whole-page placeholder
+    val blocks0 =
+      if (cfg.backfillKinds.isEmpty) blocksNms
+      else {
+        val present = blocksNms.map(_.kind).toSet
+        blocksNms ++ cfg.backfillKinds.filterNot(present).map(k =>
+          Segment.SegBlock(k, 0, 0,
+            BBox(0, 0, seg.pageWidth, seg.pageHeight, absCoords = true),
+            Array.empty, chrome = false, dropped = false, tagDepth = 0,
+            linkDensity = 0.0, textDensity = 0.0, lineCount = 0))
+      }
 
     // block ids (deterministic, content-derived)
     val blockIds = blocks0.map(b => Ids.annId(turnId, b.kind, b.begin, b.end))
@@ -243,6 +261,38 @@ object Extract {
       blocks, orderedWords, lines, tables,
       TurnMetrics(kept, blocks.length - kept, orderedWords.length,
         orderedWords.count(_.readingOrder > 0), parseFailed = false))
+  }
+
+  /** `Image.remove` analogue (dd_core/datapoint/image.py:994), IN
+    * PLACE on the extracted view rather than recompute-from-lineage:
+    * blocks/words/lines/tables with the given annotation ids are
+    * dropped, words of removed blocks are detached (blockId cleared,
+    * order -1 — the reference's orphan state), the block reading order
+    * is compacted over the survivors (relative order preserved), and
+    * extractedText / lang / metrics are recomputed. Row-local — safe
+    * inside map() at any scale.
+    */
+  def removeAnnotations(et: ExtractedTurn, ids: Set[String]): ExtractedTurn = {
+    val keptBlocks = et.blocks.filterNot(b => ids.contains(b.id))
+    val orderMap = keptBlocks.filter(_.kept).sortBy(_.readingOrder)
+      .zipWithIndex.map { case (b, i) => b.id -> (i + 1) }.toMap
+    val blocks = keptBlocks.map(b =>
+      b.copy(readingOrder = orderMap.getOrElse(b.id, -1), kept = orderMap.contains(b.id)))
+    val words = et.words
+      .filterNot(w => ids.contains(w.id))
+      .map(w => if (w.blockId.nonEmpty && ids.contains(w.blockId))
+        w.copy(blockId = "", readingOrder = -1, lineNo = -1) else w)
+    val lines = et.lines.filterNot(l => ids.contains(l.id) ||
+      (l.blockId.nonEmpty && ids.contains(l.blockId)))
+    val tables = et.tables.filterNot(tb => ids.contains(tb.id))
+    val text = blocks.filter(_.kept).sortBy(_.readingOrder).map(_.text).mkString("\n")
+    val kept = blocks.count(_.kept)
+    et.copy(
+      extractedText = text,
+      lang = graft.operators.TextStats.langIdScala(text),
+      blocks = blocks, words = words, lines = lines, tables = tables,
+      metrics = TurnMetrics(kept, blocks.length - kept, words.length,
+        words.count(_.readingOrder > 0), et.metrics.parseFailed))
   }
 
   /** Distributed runner: explicit salted repartition on

@@ -140,12 +140,34 @@ object Serializers {
   def dataset(name: String)(spark: SparkSession, sfDir: String): DataFrame =
     registry(name)(spark, sfDir)
 
+  /** doclaynet categories in `_INIT_CATEGORIES` order
+    * (dd_datasets/instances/doclaynet.py:83-94, ids assigned 1..n).
+    */
+  val DoclaynetCategories: Map[Int, String] = Map(
+    1 -> "caption", 2 -> "footnote", 3 -> "formula", 4 -> "list",
+    5 -> "page_footer", 6 -> "page_header", 7 -> "figure",
+    8 -> "section_header", 9 -> "table", 10 -> "text", 11 -> "title")
+
+  /** doclaynet → publaynet coarse relabel (`_SUB_CATEGORIES`,
+    * doclaynet.py:96-108) — the `cat_to_sub_cat` remap as a Column.
+    */
+  val DoclaynetToPublaynet: Map[String, String] = Map(
+    "caption" -> "text", "footnote" -> "text", "formula" -> "text",
+    "list" -> "list", "page_footer" -> "text", "page_header" -> "title",
+    "figure" -> "figure", "section_header" -> "title", "table" -> "table",
+    "text" -> "text", "title" -> "title")
+
   /** Path-keyed dataset instances (the reference's `dataset_registry`
     * over dd_datasets/instances/): builders that take a data path
-    * instead of an sf dir.
+    * instead of an sf dir. The COCO-format members (publaynet,
+    * doclaynet) share [[cocoDataset]] with their own category maps —
+    * the reference's builders differ the same way.
     */
   val instanceRegistry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "publaynet" -> ((s, path) => cocoDataset(s, path)),
+    "doclaynet" -> ((s, path) => cocoDataset(s, path, DoclaynetCategories)
+      .withColumn("anns", transform(col("anns"), a => a.withField("publaynet_cat",
+        coalesce(element_at(typedLit(DoclaynetToPublaynet), a.getField("category")), lit("text")))))),
     "pdf_pages" -> ((s, path) => readPdfPages(s, path))
   )
 

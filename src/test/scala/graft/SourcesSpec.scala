@@ -100,3 +100,64 @@ class FamilyMatchSpec extends AnyFunSuite {
     assert(pairs == Seq((0, 0)) && synth.isEmpty)
   }
 }
+
+class RemoveBackfillSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.pipeline.{Extract, ExtractConfig}
+
+  test("removeAnnotations drops a block in place and recomputes text/order/metrics") {
+    val turns = graft.sources.Turns.synth(spark, TestSpark.sfDir).limit(200).collect()
+    // pick a turn with >= 2 kept blocks so removal visibly changes text
+    val et = turns.map(t => Extract.extractTurn(t))
+      .find(_.blocks.count(_.kept) >= 2).get
+    val victim = et.blocks.filter(_.kept).minBy(_.readingOrder)
+    val after = Extract.removeAnnotations(et, Set(victim.id))
+    assert(!after.blocks.exists(_.id == victim.id))
+    assert(after.metrics.blocksKept == et.metrics.blocksKept - 1)
+    // reading order compacted from 1 with relative order preserved
+    val orders = after.blocks.filter(_.kept).map(_.readingOrder).sorted
+    assert(orders.toList == (1 to orders.length).toList)
+    // text no longer contains the removed block's text segment
+    assert(after.extractedText ==
+      et.blocks.filter(b => b.kept && b.id != victim.id)
+        .sortBy(_.readingOrder).map(_.text).mkString("\n"))
+    // words of the removed block are detached, not silently dropped
+    val detached = after.words.filter(w => et.words.exists(ew =>
+      ew.id == w.id && ew.blockId == victim.id))
+    assert(detached.nonEmpty && detached.forall(w => w.blockId == "" && w.readingOrder == -1))
+    // removing nothing is identity
+    assert(Extract.removeAnnotations(et, Set("nope")).extractedText == et.extractedText)
+  }
+
+  test("backfillKinds emits a whole-page placeholder for missing kinds") {
+    val t = graft.model.Turn("c", 0, "user", "plain text only", "",
+      new java.sql.Timestamp(0L))
+    val et = Extract.extractTurn(t, ExtractConfig(backfillKinds = Seq("figure")))
+    val fig = et.blocks.filter(_.kind == "figure")
+    assert(fig.length == 1)
+    assert(fig.head.box.ulx == 0 && fig.head.box.uly == 0)
+    // present kinds are NOT duplicated
+    val et2 = Extract.extractTurn(t, ExtractConfig(backfillKinds = Seq("text")))
+    assert(et2.blocks.count(_.kind == "text") ==
+      Extract.extractTurn(t).blocks.count(_.kind == "text"))
+  }
+}
+
+class DoclaynetSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("doclaynet instance: 11-category map + publaynet coarse relabel") {
+    val path = getClass.getResource("/coco_publaynet_fixture.json").getPath
+    val ds = Serializers.instanceRegistry("doclaynet")(spark, path)
+    // fixture category_ids 1,2,4,5,3 → doclaynet caption/footnote/list/
+    // page_footer/formula; publaynet coarse: text/text/list/text/text
+    val img1 = ds.filter(col("id") === 1)
+      .select(element_at(col("anns"), 1).getField("category"),
+        element_at(col("anns"), 1).getField("publaynet_cat")).head()
+    assert(img1.getString(0) == "caption" && img1.getString(1) == "text")
+    val img2 = ds.filter(col("id") === 2)
+      .select(element_at(col("anns"), 2).getField("category"),
+        element_at(col("anns"), 2).getField("publaynet_cat")).head()
+    assert(img2.getString(0) == "page_footer" && img2.getString(1) == "text")
+  }
+}
