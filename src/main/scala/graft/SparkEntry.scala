@@ -329,6 +329,12 @@ object SparkEntry {
       val (corpus, base) = plantedCorpus(s, dir, nSources = 20, levels = 5, idStep = 1000)
       Similarity.lshRecall(corpus, base.filter(col("vec_id") < 20), "vec_id", "v", 5)
     }),
+    // IVF (inverted-file) ANN: deterministic spherical k-means coarse
+    // quantizer, nProbe nearest lists per query — recall@5 vs brute force
+    "q_ann_ivf_recall" -> ((s, dir) => {
+      val (corpus, base) = plantedCorpus(s, dir, nSources = 20, levels = 5, idStep = 1000)
+      graft.operators.Ivf.ivfRecall(corpus, base.filter(col("vec_id") < 20), "vec_id", "v", 5)
+    }),
     "q_embed_neardup" -> ((s, dir) => {
       val (corpus, _) = plantedCorpus(s, dir, nSources = 500, levels = 1, idStep = 10000)
       Dedup.embeddingNearDupPairs(corpus, "vec_id", "v", threshold = 0.8)
@@ -376,6 +382,20 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       graft.operators.Sessionize.sessions(
         s.read.parquet(s"$dir/events.parquet"), gapSeconds = 1800)),
+
+    // TEDS (tedsmetric.py): each reconstructed 2×2 table tree has
+    // exactly 11 nodes (table + 2 tr + 4 td + 4 word leaves); relabeling
+    // one leaf costs edit distance 1 → similarity is 10/11 in closed
+    // form, which DuckDB states independently
+    "q_eval_teds" -> ((s, dir) => {
+      import s.implicits._
+      Extract.run(Turns.synth(s, dir))
+        .flatMap(et => et.tables.map(tb => (et.conv_id, et.turn_idx,
+          graft.kernels.Teds.similarity(tb.html,
+            tb.html.replace("<td>lang</td>", "<td>language</td>")))))
+        .toDF("conv_id", "turn_idx", "teds")
+        .select(col("conv_id"), col("turn_idx"), round(col("teds"), 6).as("teds"))
+    }),
 
     // COCO dataset pre-join (SerializerCoco → publaynet-style labels):
     // synthesized images/annotations, grouped + label-mapped
@@ -727,6 +747,10 @@ object SparkEntry {
         """SELECT CAST(100 AS BIGINT) AS n_true, CAST(100 AS BIGINT) AS n_hit,
                   TRUE AS recall_ok""",
 
+      "q_ann_ivf_recall" ->
+        """SELECT CAST(100 AS BIGINT) AS n_true, CAST(100 AS BIGINT) AS n_hit,
+                  TRUE AS recall_ok""",
+
       // UNBLOCKED all-pairs oracle over corpus ∪ planted near-dups
       "q_embed_neardup" ->
         s"""WITH ${plantedCorpusSql(500, 1, 10000)},
@@ -779,6 +803,10 @@ object SparkEntry {
                   min(ts) AS session_start, max(ts) AS session_end,
                   count(*) AS n_events, round(sum(value), 2) AS sum_value
            FROM s GROUP BY user_id, session_idx""",
+
+      "q_eval_teds" ->
+        s"""$cte SELECT conv_id, turn_idx, round(CAST(10 AS DOUBLE) / 11, 6) AS teds
+            FROM turns WHERE doc_id % 7 = 4""",
 
       "q_coco_prejoin" ->
         """WITH imgs AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),

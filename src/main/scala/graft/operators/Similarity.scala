@@ -277,3 +277,117 @@ object XxHash {
   private def readInt(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 }
+
+/** IVF (inverted-file) ANN — the classic coarse-quantizer scale path
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * the IVF part): k-means centroids define nLists inverted lists; the
+  * corpus is assigned to its nearest centroid (at scale this IS the
+  * storage layout — `partitionBy(list)`); a query probes only its
+  * `nProbe` nearest lists and scores candidates exactly.
+  *
+  * Training is deterministic: init = the nLists lowest-id unit
+  * vectors, then Lloyd iterations where only (list, vector) pairs
+  * shuffle and the nLists×dim centroid matrix rides a broadcast.
+  */
+object Ivf {
+  import Similarity.{unitVectors, dot}
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  private def argmaxDot(cents: Array[Array[Double]], u: Array[Double]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      var s = 0.0
+      val c = cents(i)
+      var j = 0
+      while (j < u.length) { s += c(j) * u(j); j += 1 }
+      if (s > bestScore) { bestScore = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  private def topLists(cents: Array[Array[Double]], u: Array[Double], n: Int): Array[Int] =
+    cents.indices.map(i => {
+      var s = 0.0; var j = 0
+      while (j < u.length) { s += cents(i)(j) * u(j); j += 1 }
+      (-s, i)
+    }).sorted.take(n).map(_._2).toArray
+
+  /** Deterministic Lloyd training over unit vectors. */
+  def trainCentroids(unit: DataFrame, nLists: Int, iters: Int): Array[Array[Double]] = {
+    val spark = unit.sparkSession
+    import spark.implicits._
+    val data = unit.as[(Long, Array[Double])]
+    var cents = data.orderBy("id").limit(nLists).collect().map(_._2)
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val stats = data.mapPartitions { it =>
+        val c = bc.value
+        it.map { case (_, u) => (argmaxDot(c, u), (u, 1L)) }
+      }.rdd.reduceByKey((x: (Array[Double], Long), y: (Array[Double], Long)) => {
+        val s = new Array[Double](x._1.length)
+        var j = 0
+        while (j < x._1.length) { s(j) = x._1(j) + y._1(j); j += 1 }
+        (s, x._2 + y._2)
+      }).collect()
+      val next = cents.clone()
+      for ((list, (sum, n)) <- stats if n > 0) {
+        var norm = 0.0
+        var j = 0
+        while (j < sum.length) { norm += sum(j) * sum(j); j += 1 }
+        val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+        next(list) = sum.map(_ * inv) // spherical k-means update
+      }
+      cents = next
+      bc.destroy()
+    }
+    cents
+  }
+
+  /** IVF top-k: corpus scored only within the query's nProbe lists. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cu = unitVectors(corpus, idCol, vecCol)
+    val qu = unitVectors(queries, idCol, vecCol)
+    val cents = trainCentroids(cu, nLists, iters)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = cu.as[(Long, Array[Double])].mapPartitions { it =>
+      val c = bc.value
+      it.map { case (id, u) => (argmaxDot(c, u), id, u) }
+    }.toDF("list", "corpus_id", "cv")
+    val probes = qu.as[(Long, Array[Double])].mapPartitions { it =>
+      val c = bc.value
+      it.flatMap { case (id, u) => topLists(c, u, nProbe).map(l => (l, id, u)) }
+    }.toDF("list", "query_id", "qv")
+    val scored = assigned.join(broadcast(probes), "list")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), dot(col("qv"), col("cv")).as("cos"))
+      // a candidate can surface through several probed lists → dedupe
+      .groupBy("query_id", "corpus_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  /** recall@k of [[ivfTopK]] vs [[Similarity.bruteForceTopK]]. */
+  def ivfRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val bf = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select("query_id", "corpus_id")
+    val ivf = ivfTopK(corpus, queries, idCol, vecCol, k, nLists, nProbe)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    bf.join(ivf, Seq("query_id", "corpus_id"), "left")
+      .agg(count(lit(1)).as("n_true"), coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true") >= 0.9).as("recall_ok"))
+  }
+}

@@ -126,6 +126,54 @@ object Serializers {
     cocoPreJoin(images, anns)
   }
 
+  /** PubTabNet's public HTML-reassembly convention (the dataset stores
+    * `html.structure.tokens` — tag tokens with spanned cells split as
+    * `<td`, `colspan="2"`, `>` — and per-cell `tokens`): each cell's
+    * tokens are inserted after its opening `<td>`/`>` token. Mirrors
+    * dd_core/mapper/pubstruct.py's consumption of the same fields.
+    */
+  def pubTabNetHtml(structure: Seq[String], cells: Seq[Seq[String]]): String = {
+    val sb = new StringBuilder("<table>")
+    var ci = 0
+    for (tok <- structure) {
+      sb.append(tok)
+      if (tok == "<td>" || tok == ">") {
+        if (ci < cells.length && cells(ci) != null) cells(ci).foreach(sb.append)
+        ci += 1
+      }
+    }
+    sb.append("</table>")
+    sb.toString
+  }
+
+  /** pubtabnet-style jsonl dataset (dd_datasets/instances/pubtabnet.py
+    * via SerializerJsonlines): one row per table image with the
+    * reconstructed HTML — feeds the TEDS metric directly.
+    */
+  def pubTabNetDataset(spark: SparkSession, jsonlPath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("filename", StringType),
+      StructField("split", StringType),
+      StructField("html", StructType(Seq(
+        StructField("structure", StructType(Seq(
+          StructField("tokens", ArrayType(StringType))))),
+        StructField("cells", ArrayType(StructType(Seq(
+          StructField("tokens", ArrayType(StringType)))))))))))
+    spark.read.schema(schema).json(jsonlPath)
+      .select(col("filename"), col("split"),
+        col("html.structure.tokens").as("structure"),
+        col("html.cells.tokens").as("cells"))
+      .as[(String, String, Seq[String], Seq[Seq[String]])]
+      .map { case (f, s, structure, cells) =>
+        (f, s, pubTabNetHtml(
+          Option(structure).getOrElse(Nil),
+          Option(cells).getOrElse(Nil)))
+      }
+      .toDF("filename", "split", "html")
+  }
+
   /** Dataset registry (dd_datasets/base.py:46 `DatasetBase` +
     * `MergeDataset` :179): named input tables over an sf dir;
     * merge = unionByName.
@@ -168,7 +216,8 @@ object Serializers {
     "doclaynet" -> ((s, path) => cocoDataset(s, path, DoclaynetCategories)
       .withColumn("anns", transform(col("anns"), a => a.withField("publaynet_cat",
         coalesce(element_at(typedLit(DoclaynetToPublaynet), a.getField("category")), lit("text")))))),
-    "pdf_pages" -> ((s, path) => readPdfPages(s, path))
+    "pdf_pages" -> ((s, path) => readPdfPages(s, path)),
+    "pubtabnet" -> ((s, path) => pubTabNetDataset(s, path))
   )
 
   def mergeDatasets(dfs: Seq[DataFrame]): DataFrame =

@@ -292,3 +292,42 @@ class PositionalSpec extends AnyFunSuite {
     assert(batched == Map(0 -> 30L, 1 -> 30L, 2 -> 30L, 3 -> 10L))
   }
 }
+
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plantedFixture = {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = base.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), explode(sequence(lit(1), lit(5))).as("c"))
+      .select((col("vec_id") + col("c") * 1000).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * ((lit(50) + col("c") * ((i * 7 + lit(3) * col("c")) % 5 - 2)).cast("double") / 50)).as("v"))
+    (base.unionByName(planted), base.filter(col("vec_id") < 10))
+  }
+
+  test("kmeans training is deterministic and centroids are unit vectors") {
+    import spark.implicits._
+    val unit = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (id, v.map(_ / n))
+      }.toDF("id", "u")
+    val c1 = Ivf.trainCentroids(unit, 8, 2)
+    val c2 = Ivf.trainCentroids(unit, 8, 2)
+    assert(c1.length == 8)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    assert(c1.forall(c => math.abs(c.map(x => x * x).sum - 1.0) < 1e-9))
+  }
+
+  test("IVF top-k finds planted near neighbors (recall >= 0.9)") {
+    val (corpus, queries) = plantedFixture
+    val r = Ivf.ivfRecall(corpus, queries, "vec_id", "v", 5).head()
+    assert(r.getLong(0) == 50)
+    assert(r.getBoolean(2), s"recall ${r.getLong(1)}/50 below threshold")
+  }
+}

@@ -161,3 +161,24 @@ class DoclaynetSpec extends AnyFunSuite {
     assert(img2.getString(0) == "page_footer" && img2.getString(1) == "text")
   }
 }
+
+class PubTabNetSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pubtabnet jsonl -> reconstructed table html -> TEDS") {
+    val dir = Files.createTempDirectory("graft_ptn")
+    val line1 = """{"filename":"t1.png","split":"val","html":{"structure":{"tokens":["<thead>","<tr>","<td>","</td>","<td>","</td>","</tr>","</thead>","<tbody>","<tr>","<td>","</td>","<td"," colspan=\"2\"",">","</td>","</tr>","</tbody>"]},"cells":[{"tokens":["H","1"]},{"tokens":["H2"]},{"tokens":["a"]},{"tokens":["b"]}]}}"""
+    Files.writeString(dir.resolve("val.jsonl"), line1 + "\n")
+    val ds = Serializers.pubTabNetDataset(spark, dir.toString)
+    val html = ds.head().getString(2)
+    assert(html ==
+      "<table><thead><tr><td>H1</td><td>H2</td></tr></thead>" +
+      """<tbody><tr><td>a</td><td colspan="2">b</td></tr></tbody></table>""")
+    // feeds TEDS directly: identity similarity 1.0, a perturbed copy < 1.0
+    assert(graft.kernels.Teds.similarity(html, html) == 1.0)
+    val other = html.replace("H1", "DIFFERENT").replace("<td>a</td>", "")
+    assert(graft.kernels.Teds.similarity(html, other) < 1.0)
+    // registry wiring
+    assert(Serializers.instanceRegistry("pubtabnet")(spark, dir.toString).count() == 1)
+  }
+}
