@@ -43,6 +43,27 @@ object Stream {
       .groupBy(window(col("ts"), windowLen).getField("start").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
 
+  /** Streaming exact dedup — the continuous twin of
+    * `Dedup.exactSurvivors`: watermarked `dropDuplicates` on the
+    * content hash, so state for hashes older than the watermark is
+    * evicted (bounded state at 100 TB/day ingest; a duplicate arriving
+    * after the horizon is the documented trade-off of every streaming
+    * dedup).
+    */
+  def dedupStream(df: DataFrame, textCol: String, tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    df.withColumn("text_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("text_hash")
+
+  /** Streaming per-turn language id + quality flags over the extracted
+    * stream — shuffle-free (row-local Columns on top of the kernel).
+    */
+  def langIdStream(extracted: Dataset[ExtractedTurn]): DataFrame =
+    extracted.toDF().select(col("conv_id"), col("turn_idx"),
+      graft.operators.TextStats.langId(col("extractedText")).as("lang_id"),
+      length(col("extractedText")).as("n_chars"))
+
   /** Parquet sink with checkpointing (exactly-once file sink). */
   def toParquetSink(ds: Dataset[ExtractedTurn], outDir: String,
       checkpointDir: String): DataStreamWriter[ExtractedTurn] =

@@ -163,3 +163,48 @@ class StreamSpec extends AnyFunSuite {
     assert(clicks == 3) // the late row updated the first window
   }
 }
+
+class StreamDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming exact dedup drops in-watermark duplicates, keeps distinct") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.streaming.Stream
+      .dedupStream(mem.toDF().toDF("ts", "text"), "text")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    mem.addData((t(0), "alpha"), (t(1), "alpha"), (t(1), "beta"))
+    q.processAllAvailable()
+    mem.addData((t(2), "alpha"), (t(3), "gamma"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_stream").collect()
+    q.stop()
+    assert(rows.map(_.getString(1)).sorted.toList == List("alpha", "beta", "gamma"))
+  }
+
+  test("streaming language id over the extraction stream equals batch") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft_lang_in").toString
+    val outDir = Files.createTempDirectory("graft_lang_out").toString
+    val ckpt = Files.createTempDirectory("graft_lang_ck").toString
+    val turns = graft.sources.Turns.synth(spark, TestSpark.sfDir).limit(100)
+    turns.toDF().coalesce(1).write.mode("overwrite").json(inDir)
+    val q = graft.streaming.Stream
+      .langIdStream(graft.streaming.Stream.extractStream(spark, inDir))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("conv_id", "turn_idx", "lang_id").as[(String, Int, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    val batch = Extract.run(turns)
+      .select($"conv_id", $"turn_idx", $"lang".as("lang_id")).as[(String, Int, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(streamed.sameElements(batch))
+  }
+}
