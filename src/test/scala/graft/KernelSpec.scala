@@ -196,3 +196,53 @@ class NmsSpec extends AnyFunSuite {
     assert(Nms.suppress(Seq(a), 0.5) == Seq("a"))
   }
 }
+
+/** Round-2 pathological layout cases: three columns with full-width
+  * header/footer, ragged column heights, overlap → NMS interplay.
+  */
+class PathologicalLayoutSpec extends AnyFunSuite {
+  import graft.kernels.{Nms, Order}
+  import graft.model.BBox
+
+  test("three columns between a full-width header and footer") {
+    // Reference semantics (pipe/order.py consolidation at IoA > 0.9):
+    // a full-width banner swallows every narrow column into ONE
+    // vertically-connected component, whose blocks then read
+    // ROW-major (top row left→right, then next row) — whereas
+    // free-standing columns (next test) read COLUMN-major. Verified
+    // against the port's OrderGenerator behavior.
+    val header = ("header", BBox(0, 0, 1000, 80, absCoords = true))
+    val footer = ("footer", BBox(0, 920, 1000, 990, absCoords = true))
+    val cols = for {
+      c <- 0 until 3; r <- 0 until 2
+    } yield (s"c${c}r$r", BBox(c * 340, 120 + r * 300, c * 340 + 300, 300 + r * 300, absCoords = true))
+    val res = Order.orderBlocks(scala.util.Random.shuffle((header +: footer +: cols).toList), 1000, 1000)
+    assert(res.sortBy(_._1).map(_._2) ==
+      List("header", "c0r0", "c1r0", "c2r0", "c0r1", "c1r1", "c2r1", "footer"))
+    // without the banner, the same columns are separate components and
+    // read column-major
+    val free = Order.orderBlocks(scala.util.Random.shuffle(cols.toList), 1000, 1000)
+    assert(free.sortBy(_._1).map(_._2) ==
+      List("c0r0", "c0r1", "c1r0", "c1r1", "c2r0", "c2r1"))
+  }
+
+  test("ragged columns: short right column does not interleave the left") {
+    val left = (0 until 4).map(i => (s"L$i", BBox(0, 100 + i * 150, 450, 220 + i * 150, absCoords = true)))
+    val right = (0 until 2).map(i => (s"R$i", BBox(520, 100 + i * 150, 980, 220 + i * 150, absCoords = true)))
+    val res = Order.orderBlocks(scala.util.Random.shuffle((left ++ right).toList), 1000, 1000)
+    val byId = res.map(_.swap).toMap
+    assert((0 until 3).forall(i => byId(s"L$i") < byId(s"L${i + 1}")))
+    assert(byId("L3") < byId("R0") && byId("R0") < byId("R1"))
+  }
+
+  test("near-duplicate overlapping blocks: NMS keeps one, order stays stable") {
+    val a = Nms.Candidate("a", BBox(0, 0, 100, 100, absCoords = true), 1.0, "text")
+    val dup = Nms.Candidate("dup", BBox(2, 2, 101, 101, absCoords = true), 0.9, "text")
+    val b = Nms.Candidate("b", BBox(0, 200, 100, 300, absCoords = true), 1.0, "text")
+    val kept = Nms.suppress(IndexedSeq(a, dup, b), threshold = 0.8)
+    assert(kept.toSet == Set("a", "b"))
+    val res = Order.orderBlocks(
+      Seq(("a", a.box), ("b", b.box)), 1000, 1000)
+    assert(res.toMap == Map(1 -> "a", 2 -> "b"))
+  }
+}
