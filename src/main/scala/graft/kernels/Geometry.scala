@@ -42,17 +42,23 @@ object Geometry {
     if (lrx > ulx && lry > uly) Some(BBox(ulx, uly, lrx, lry, a.absCoords)) else None
   }
 
-  /** box.py:757 `merge_boxes` — smallest box containing all. */
+  /** box.py:757 `merge_boxes` — smallest box containing all. Single
+    * pass (this runs once per emitted text line in the hot kernel).
+    */
   def mergeBoxes(boxes: Iterable[BBox]): BBox = {
     require(boxes.nonEmpty, "merge_boxes of empty sequence")
     val abs = boxes.head.absCoords
-    BBox(
-      boxes.map(_.ulx).min,
-      boxes.map(_.uly).min,
-      boxes.map(_.lrx).max,
-      boxes.map(_.lry).max,
-      abs
-    )
+    var ulx = Double.MaxValue; var uly = Double.MaxValue
+    var lrx = Double.MinValue; var lry = Double.MinValue
+    val it = boxes.iterator
+    while (it.hasNext) {
+      val b = it.next()
+      if (b.ulx < ulx) ulx = b.ulx
+      if (b.uly < uly) uly = b.uly
+      if (b.lrx > lrx) lrx = b.lrx
+      if (b.lry > lry) lry = b.lry
+    }
+    BBox(ulx, uly, lrx, lry, abs)
   }
 
   /** box.py:206 `_round_half_up` — NOT banker's rounding; feeds

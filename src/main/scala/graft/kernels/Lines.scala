@@ -73,12 +73,22 @@ object Lines {
       if (perRow.length < 2 || !makeSubLines) {
         emitMerged(perRow)
       } else {
+        // relative x-coords computed ONCE per row member (identical
+        // arithmetic to BBox.toRelative: ulx/pageWidth) instead of two
+        // BBox allocations per gap comparison
+        val relUlx = new Array[Double](perRow.length)
+        val relLrx = new Array[Double](perRow.length)
+        var j = 0
+        while (j < perRow.length) {
+          val b = boxes(perRow(j))
+          relUlx(j) = if (b.absCoords) b.ulx / pageWidth else b.ulx
+          relLrx(j) = if (b.absCoords) b.lrx / pageWidth else b.lrx
+          j += 1
+        }
         var subLine = mutable.ListBuffer(perRow.head)
         var idx = 1
         while (idx < perRow.length) {
-          val prev = boxes(perRow(idx - 1)).toRelative(pageWidth, pageHeight)
-          val cur = boxes(perRow(idx)).toRelative(pageWidth, pageHeight)
-          if (cur.ulx - prev.lrx < paragraphBreak) {
+          if (relUlx(idx) - relLrx(idx - 1) < paragraphBreak) {
             subLine += perRow(idx)
           } else {
             // reference resets the accumulator only when the recursion
