@@ -46,6 +46,60 @@ object Ids {
   /** identifier.py:66 `get_uuid` — uuid3 of concatenated inputs. */
   def uuid3(inputs: String*): String = uuid3(inputs.mkString(""))
 
+  private def hexDigest(md: MessageDigest): String = {
+    val h = md.digest()
+    h(6) = ((h(6) & 0x0f) | 0x30).toByte
+    h(8) = ((h(8) & 0x3f) | 0x80).toByte
+    val out = new Array[Char](36)
+    var i = 0
+    var p = 0
+    while (i < 16) {
+      if (i == 4 || i == 6 || i == 8 || i == 10) { out(p) = '-'; p += 1 }
+      val v = h(i) & 0xff
+      out(p) = Hex(v >>> 4); out(p + 1) = Hex(v & 0xf)
+      p += 2
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Per-turn annotation-id factory: hoists the namespace + turnId
+    * bytes and the digest instance out of the per-word loop, and
+    * streams `kind + begin + "_" + end` into the digest without
+    * building the concatenated string. UTF-8 of a concatenation equals
+    * the concatenation of UTF-8, so ids are byte-identical to
+    * [[annId]] (IdsSpec pins the CPython vectors).
+    */
+  final class AnnIdBuilder(turnId: String) {
+    private val md = MessageDigest.getInstance("MD5")
+    private val turnIdBytes = turnId.getBytes(StandardCharsets.UTF_8)
+    private val digits = new Array[Byte](11)
+
+    private def updateInt(v: Int): Unit = {
+      var x = v
+      var p = digits.length
+      if (x == 0) { p -= 1; digits(p) = '0' }
+      else {
+        val neg = x < 0
+        if (neg) x = -x
+        while (x > 0) { p -= 1; digits(p) = ('0' + x % 10).toByte; x /= 10 }
+        if (neg) { p -= 1; digits(p) = '-' }
+      }
+      md.update(digits, p, digits.length - p)
+    }
+
+    def annId(kind: String, begin: Int, end: Int): String = {
+      md.reset()
+      md.update(NamespaceDns)
+      md.update(turnIdBytes)
+      md.update(kind.getBytes(StandardCharsets.UTF_8))
+      updateInt(begin)
+      md.update('_'.toByte)
+      updateInt(end)
+      hexDigest(md)
+    }
+  }
+
   /** image.py:373-388 analogue: stable id of one turn. */
   def turnId(convId: String, turnIdx: Int): String = uuid3(convId + "#" + turnIdx)
 

@@ -104,13 +104,14 @@ object Extract {
       }
 
     // block ids (deterministic, content-derived)
-    val blockIds = blocks0.map(b => Ids.annId(turnId, b.kind, b.begin, b.end))
+    val annIds = new Ids.AnnIdBuilder(turnId) // one digest per turn, not per annotation
+    val blockIds = blocks0.map(b => annIds.annId(b.kind, b.begin, b.end))
 
     // ---- words + word↔block assignment via the IoA matching kernel
     // (MatchingService analogue, pipe/common.py:271) ----
     val allWords = blocks0.flatMap(_.words)
     val wordIds =
-      if (cfg.emitWordIds) allWords.map(w => Ids.annId(turnId, LayoutLabel.WORD, w.begin, w.end))
+      if (cfg.emitWordIds) allWords.map(w => annIds.annId(LayoutLabel.WORD, w.begin, w.end))
       else Array.fill(allWords.length)("")
     val parentBoxes = blocks0.map(_.box).toIndexedSeq
     val childBoxes = allWords.map(_.box).toIndexedSeq
@@ -161,7 +162,7 @@ object Extract {
           val ws = lr.childIdx.map(wis(_))
           val b = ws.map(allWords(_).begin).min
           val e = ws.map(allWords(_).end).max
-          linesBuf += LineOut(Ids.annId(turnId, LayoutLabel.LINE, b, e), blockIds(bi), b, e, ws.length)
+          linesBuf += LineOut(annIds.annId(LayoutLabel.LINE, b, e), blockIds(bi), b, e, ws.length)
         }
       }
       bi += 1
@@ -187,7 +188,7 @@ object Extract {
           val e = members.map(allWords(_).end).max
           // order words within the synthetic line + assemble its text
           val triples = Order.groupWordsIntoLinesIdx(members.map(allWords(_).box).toIndexedSeq)
-          val lineId = Ids.annId(turnId, LayoutLabel.LINE, b, e)
+          val lineId = annIds.annId(LayoutLabel.LINE, b, e)
           val sb = new StringBuilder
           for ((pos, line, li) <- triples) {
             val wi = members(li)
@@ -237,7 +238,7 @@ object Extract {
     val tables: Array[TableData] =
       if (payload.contains("<table")) {
         graft.kernels.Table.parseTables(payload).map { tr =>
-          TableData(Ids.annId(turnId, LayoutLabel.TABLE, tr.begin, tr.end),
+          TableData(annIds.annId(LayoutLabel.TABLE, tr.begin, tr.end),
             tr.begin, tr.end, tr.nRows, tr.nCols, tr.html,
             tr.cells.map(c => TableCellOut(c.row, c.col, c.rowSpan, c.colSpan,
               c.text, c.begin, c.end)))

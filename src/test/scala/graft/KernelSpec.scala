@@ -246,3 +246,13 @@ class PathologicalLayoutSpec extends AnyFunSuite {
     assert(res.toMap == Map(1 -> "a", 2 -> "b"))
   }
 }
+
+class AnnIdBuilderSpec extends AnyFunSuite {
+  test("incremental-digest ids are byte-identical to the concat path") {
+    val turnId = Ids.turnId("conv-42", 7)
+    val b = new Ids.AnnIdBuilder(turnId)
+    for ((kind, begin, end) <- Seq(("word", 0, 5), ("text", 123, 4567),
+        ("line", 0, 0), ("table", 99999, 100000)))
+      assert(b.annId(kind, begin, end) == Ids.annId(turnId, kind, begin, end))
+  }
+}
