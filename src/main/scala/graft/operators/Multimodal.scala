@@ -51,6 +51,56 @@ object Multimodal {
       })
   }
 
+  /** Resize stub: target-dimension metadata with aspect-preserving
+    * arithmetic (the real implementation swaps the body for a pixel
+    * resampler; the schema and batch shape are the deliverable). The
+    * scale math is the real contract a resize stage must satisfy.
+    */
+  def resizeMeta(metas: Dataset[MediaMeta], maxSide: Int): DataFrame = {
+    val spark = metas.sparkSession
+    import spark.implicits._
+    metas.map { m =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
+      (m.id, m.width, m.height,
+        math.max(1, math.round(m.width * scale).toInt),
+        math.max(1, math.round(m.height * scale).toInt))
+    }.toDF("id", "width", "height", "out_width", "out_height")
+  }
+
+  /** Feature-extraction stub: a deterministic `Array[Float]` embedding
+    * per media object (dim float features from splitmix64 of the
+    * content hash) — the exact column shape the similarity/ANN
+    * operators consume, so the multimodal path plugs into
+    * `Similarity`/`Dedup.embeddingNearDupPairs` end-to-end. A real
+    * implementation swaps the body for a vision encoder invoked once
+    * per batch.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, dim: Int = 64,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        // per-batch encoder setup would go here
+        batch.iterator.map { case (id, bytes) =>
+          val h0 = XxHash.hashBytes(bytes, 7L)
+          val v = new Array[Float](dim)
+          var i = 0
+          while (i < dim) {
+            var z = h0 + i * 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            z ^= z >>> 31
+            v(i) = ((z >>> 11).toDouble / (1L << 53).toDouble).toFloat - 0.5f
+            i += 1
+          }
+          (id, v)
+        }
+      })
+      .toDF("id", "embedding")
+  }
+
   /** Frame sampling stub: every `stride`-th window of `frameBytes`
     * bytes stands in for video frame extraction; demonstrates the
     * 1-row → n-rows explode shape with deterministic output.

@@ -105,3 +105,25 @@ class FidelitySpec extends AnyFunSuite {
     assert(et.words.forall(_.tokenClass == "other"))
   }
 }
+
+class RegisterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("SQL-surface UDF shims agree with the typed kernel path") {
+    import spark.implicits._
+    graft.functions.Register.all(spark)
+    graft.sources.Turns.synth(spark, TestSpark.sfDir).limit(50)
+      .toDF().createOrReplaceTempView("turns_udf_test")
+    val viaSql = spark.sql(
+      """SELECT conv_id, turn_idx,
+         graft_extract_text(conv_id, turn_idx, text, tool) AS t,
+         graft_lang_id(graft_extract_text(conv_id, turn_idx, text, tool)) AS l
+         FROM turns_udf_test""")
+      .as[(String, Int, String, String)].collect().sortBy(r => (r._1, r._2))
+    val viaKernel = graft.pipeline.Extract
+      .run(graft.sources.Turns.synth(spark, TestSpark.sfDir).limit(50))
+      .select($"conv_id", $"turn_idx", $"extractedText", $"lang")
+      .as[(String, Int, String, String)].collect().sortBy(r => (r._1, r._2))
+    assert(viaSql.sameElements(viaKernel))
+  }
+}

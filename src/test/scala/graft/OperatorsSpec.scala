@@ -331,3 +331,34 @@ class IvfSpec extends AnyFunSuite {
     assert(r.getBoolean(2), s"recall ${r.getLong(1)}/50 below threshold")
   }
 }
+
+class MultimodalPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("resize metadata preserves aspect ratio, never upscales") {
+    val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(30)
+    val metas = Multimodal.decodeMeta(Multimodal.withBinary(d, "text"), "doc_id")
+    val rows = Multimodal.resizeMeta(metas, maxSide = 32).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(ow <= math.max(w, 32) && oh <= math.max(h, 32))
+      assert(math.max(ow, oh) <= math.max(32, math.min(math.max(w, h), 32)))
+      if (math.max(w, h) <= 32) assert(ow == w && oh == h) // no upscale
+    }
+  }
+
+  test("multimodal features plug into the ANN operators end-to-end") {
+    val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(50)
+    val feats = Multimodal.extractFeatures(Multimodal.withBinary(d, "text"), "doc_id")
+    assert(feats.count() == 50)
+    // deterministic
+    val a = feats.orderBy("id").collect().map(_.getSeq[Float](1))
+    val b = Multimodal.extractFeatures(Multimodal.withBinary(d, "text"), "doc_id")
+      .orderBy("id").collect().map(_.getSeq[Float](1))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    // the embedding column shape feeds bruteForceTopK directly
+    val top = Similarity.bruteForceTopK(feats, feats.limit(3), "id", "embedding", 2)
+    assert(top.count() == 6)
+  }
+}
