@@ -306,6 +306,15 @@ object SparkEntry {
       val dup = d.withColumn("doc_id", col("doc_id") + 10000)
       Dedup.simhashExactPairs(d.unionByName(dup), "doc_id", "text")
     }),
+    // cluster resolution over the near-dup pair graph: connected
+    // components via min-label propagation; oracle = DuckDB recursive
+    // transitive closure (independent algorithm, same semantics)
+    "q_dedup_components" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200).select("doc_id", "text")
+      val all = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+      val pairs = Dedup.minhashLshExactPairs(all, "doc_id", "text")
+      Dedup.components(all.select(col("doc_id").as("id")), pairs)
+    }),
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 150), "doc_id", "text")
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
@@ -677,6 +686,31 @@ object SparkEntry {
            WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
                  length(list_distinct(list_concat(a.s, b.s))) >= 0.95
            ORDER BY id_a, id_b""",
+
+      // connected components as a recursive transitive closure — an
+      // INDEPENDENT algorithm from the Spark side's label propagation
+      "q_dedup_components" ->
+        """WITH RECURSIVE d AS (
+             SELECT doc_id, text FROM documents WHERE doc_id < 200
+             UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200),
+           sh AS (
+             SELECT doc_id AS id, list_distinct(list_transform(
+               range(1, greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 2, 1) + 1),
+               i -> substring(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 3))) AS s
+             FROM d),
+           p AS (
+             SELECT a.id AS id_a, b.id AS id_b
+             FROM sh a JOIN sh b ON a.id < b.id
+             WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   length(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+           e AS (SELECT id_a AS a, id_b AS b FROM p
+                 UNION ALL SELECT id_b, id_a FROM p),
+           reach(node, lab) AS (
+             SELECT id, id FROM sh
+             UNION
+             SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node)
+           SELECT node AS id, CAST(min(lab) AS BIGINT) AS label
+           FROM reach GROUP BY node ORDER BY id""",
 
       // UNBLOCKED all-pairs oracle — the Spark side's log-size blocking
       // must lose nothing (round 1's oracle replicated the blocking, so

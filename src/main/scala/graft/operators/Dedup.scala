@@ -288,6 +288,53 @@ object Dedup {
       .groupBy("h").agg(min("id").as("keeper_id"), count(lit(1)).as("copies"))
       .select("keeper_id", "copies")
 
+
+  /** Connected components over a near-dup pair graph → one canonical
+    * keeper per cluster: the step a production dedup pipeline runs
+    * AFTER pair generation (pairs alone don't dedupe transitive
+    * chains A≈B≈C). Iterative min-label propagation — labels start as
+    * the node id, each round every node takes the min label among
+    * itself and its neighbors; converges in O(graph diameter) rounds,
+    * each round one shuffle of (edge, label). Near-dup clusters are
+    * shallow (duplicates of a common source), so the loop exits after
+    * 2-3 rounds in practice; `maxIter` bounds adversarial chains.
+    * Verified against a DuckDB WITH RECURSIVE transitive-closure
+    * oracle (`q_dedup_components`).
+    *
+    * @param nodes (id) — every document, including singletons
+    * @param pairs (id_a, id_b) near-dup pairs
+    * @return (id, component) with component = min id in the cluster
+    */
+  def components(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b")))
+      .distinct()
+      .persist()
+    edges.count()
+    // localCheckpoint per round truncates the lineage — without it the
+    // plan nests one join+agg level per iteration and Catalyst analysis
+    // time grows superlinearly (the classic iterative-DataFrame trap)
+    var labels = nodes.select(col("id").cast("long").as("id"), col("id").cast("long").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val prop = edges
+        .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
+        .select(col("b").as("id"), col("la").as("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.orderBy("id")
+  }
+
   /** Embedding near-dup: BANDED sign-bit LSH, cosine-verified pairs.
     *
     * Round-1 required candidates to share ALL 12 sign bits — one band,

@@ -362,3 +362,28 @@ class MultimodalPipelineSpec extends AnyFunSuite {
     assert(top.count() == 6)
   }
 }
+
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("min-label propagation resolves transitive chains to one keeper") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, singletons 20,21
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.components(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 21L))
+  }
+
+  test("deep chain converges within maxIter (diameter rounds)") {
+    import spark.implicits._
+    val n = 12
+    val nodes = (1L to n.toLong).toDF("id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.components(nodes, pairs)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.toList == List(1L))
+  }
+}
