@@ -182,3 +182,48 @@ class PubTabNetSpec extends AnyFunSuite {
     assert(Serializers.instanceRegistry("pubtabnet")(spark, dir.toString).count() == 1)
   }
 }
+
+class BucketedJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // AQE wraps the executed plan in AdaptiveSparkPlanExec, which
+    // plan.collect does NOT descend into — inspect the final plan's
+    // string form after execution instead
+    def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+      df.count()
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed_b")
+    // a stale warehouse dir from a killed session blocks CREATE even
+    // after DROP (the catalog forgot the table, the location remains)
+    val wh = java.nio.file.Paths.get(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    for (t <- Seq("docs_bucketed_a", "docs_bucketed_b")) {
+      val dir = wh.resolve(t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    docs.write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable("docs_bucketed_a")
+    docs.select(col("doc_id"), col("lang")).write.mode("overwrite")
+      .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("docs_bucketed_b")
+    val joined = spark.table("docs_bucketed_a")
+      .join(spark.table("docs_bucketed_b"), "doc_id")
+    assert(joined.count() == docs.count())
+    assert(shuffleCount(joined) == 0, "bucketed join must be shuffle-free")
+    // contrast: the same sort-merge join over plain parquet DOES
+    // shuffle (merge hint — AQE would otherwise broadcast the tiny side)
+    val plain = docs.hint("merge")
+      .join(docs.select(col("doc_id"), col("lang")).hint("merge"), "doc_id")
+    assert(shuffleCount(plain) > 0)
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed_b")
+  }
+}
