@@ -153,8 +153,15 @@ object Bench {
     // (memory-bandwidth ceiling + OS/GC contention), an unsaturated
     // pair isolates the property the rule actually tests
     val widths = sys.env.getOrElse("SPARK_GRAFT_WIDTHS", "8,32")
-      .split(",").map(_.trim.toInt)
-    val (narrow, wide) = (widths(0), widths(1))
+      .split(",").map(_.trim).filter(_.nonEmpty).flatMap(w => scala.util.Try(w.toInt).toOption)
+    // a malformed env var must not discard the whole (already finished)
+    // query sweep — fall back to the default pair with a warning
+    val (narrow, wide) =
+      if (widths.length >= 2 && widths(0) > 0 && widths(1) > widths(0)) (widths(0), widths(1))
+      else {
+        System.err.println(s"[bench] bad SPARK_GRAFT_WIDTHS — using 8,32")
+        (8, 32)
+      }
     val widthFactor = wide.toDouble / narrow
     val ScalingPartitions = wide * 4
     def median(xs: Seq[(Long, Double)]): (Long, Double) =

@@ -96,12 +96,31 @@ object Checkpoint {
     ChunkResult(k, rows, skipped = false)
   }
 
+  /** The chunk count a previous run staged with (from `_STAGED_DONE`),
+    * if any.
+    */
+  def stagedNumChunks(outDir: String): Option[Int] = {
+    val m = stagedMarker(outDir)
+    if (!Files.exists(m)) None
+    else """"num_chunks"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(Files.readString(m)).map(_.group(1).toInt)
+  }
+
   /** Run everything (resuming past completed work): stage once if
     * needed, then all pending chunks. The input is scanned at most
     * once per `runAll` lifetime across any number of resumes.
+    *
+    * A resume MUST use the chunk count the data was staged with — a
+    * smaller `numChunks` would silently skip staged partitions (data
+    * loss with all-green markers), a larger one would read empty dirs.
     */
   def runAll(turns: Dataset[Turn], outDir: String, numChunks: Int,
       cfg: ExtractConfig = ExtractConfig()): Seq[ChunkResult] = {
+    stagedNumChunks(outDir).foreach { staged =>
+      require(staged == numChunks,
+        s"resume with numChunks=$numChunks but $outDir was staged with " +
+          s"numChunks=$staged — pass $staged (or clear the output dir)")
+    }
     stage(turns, outDir, numChunks, cfg)
     (0 until numChunks).map(k => runChunk(turns.sparkSession, outDir, k, cfg))
   }

@@ -64,22 +64,39 @@ object Pdf {
     pages.toSeq
   }
 
-  /** Text of the `(…) Tj` / `[(…)…] TJ` operators of an uncompressed
-    * content stream, whitespace-joined, with PDF string escapes
-    * (\\, \(, \), \n, \t, octal) decoded.
+  /** Text of the `(…) Tj` / `[(…) -10 (…)] TJ` / `'` / `"` show-text
+    * operators of an uncompressed content stream, whitespace-joined,
+    * with PDF string escapes (\\, \(, \), \n, \t, octal) decoded.
+    *
+    * Content streams are postfix: operands accumulate on a stack until
+    * an operator consumes them. This scanner keeps the PENDING string
+    * operands (numbers/names/brackets are skipped) and, at each
+    * operator word, emits them if the operator is a show-text op and
+    * discards them otherwise — so every string of a multi-string
+    * `[…] TJ` array is kept (the round-2 first cut only kept the last
+    * one: the lookahead from an inner string stopped at the next '(').
     */
   def extractText(stream: String): String = {
     val out = new StringBuilder
+    val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+    def emit(): Unit = {
+      for (s <- pending) {
+        if (out.nonEmpty) out.append(' ')
+        out.append(s)
+      }
+      pending.clear()
+    }
     var i = 0
     val n = stream.length
     while (i < n) {
-      if (stream.charAt(i) == '(') {
+      val c = stream.charAt(i)
+      if (c == '(') {
         val sb = new StringBuilder
         i += 1
         var depth = 1
         while (i < n && depth > 0) {
-          val c = stream.charAt(i)
-          if (c == '\\' && i + 1 < n) {
+          val ch = stream.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
             val e = stream.charAt(i + 1)
             e match {
               case 'n' => sb.append('\n'); i += 2
@@ -95,38 +112,21 @@ object Pdf {
                 sb.append(v.toChar); i = j
               case _ => sb.append(e); i += 2
             }
-          } else if (c == '(') { depth += 1; sb.append(c); i += 1 }
-          else if (c == ')') { depth -= 1; if (depth > 0) sb.append(c); i += 1 }
-          else { sb.append(c); i += 1 }
+          } else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
+          else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
+          else { sb.append(ch); i += 1 }
         }
-        // only count strings consumed by a show-text operator
-        val rest = stream.substring(i).dropWhile(_.isWhitespace)
-        if (rest.startsWith("Tj") || rest.startsWith("TJ") || rest.startsWith("'") ||
-            rest.startsWith("\"") || rest.dropWhile(c => c == '-' || c.isDigit || c == '.' || c.isWhitespace || c == '(' || c == ')').startsWith("TJ") ||
-            insideArray(stream, i)) {
-          if (out.nonEmpty) out.append(' ')
-          out.append(sb)
-        }
-      } else i += 1
+        pending += sb.toString
+      } else if (c == '\'' || c == '"') {
+        // single-char show-text operators (move-and-show)
+        emit(); i += 1
+      } else if (c.isLetter) {
+        val s = i
+        while (i < n && (stream.charAt(i).isLetter || stream.charAt(i) == '*')) i += 1
+        val op = stream.substring(s, i)
+        if (op == "Tj" || op == "TJ") emit() else pending.clear()
+      } else i += 1 // numbers, names, brackets, whitespace: skip
     }
     out.toString
-  }
-
-  /** Crude containment test: was the string we just closed inside a
-    * `[ … ] TJ` array? (scan forward for `]` followed by TJ before any
-    * other show op)
-    */
-  private def insideArray(stream: String, from: Int): Boolean = {
-    var i = from
-    val n = stream.length
-    while (i < n) {
-      val c = stream.charAt(i)
-      if (c == ']') {
-        val rest = stream.substring(i + 1).dropWhile(_.isWhitespace)
-        return rest.startsWith("TJ")
-      } else if (c == '(' || c == 'B' || c == 'E') return false
-      i += 1
-    }
-    false
   }
 }

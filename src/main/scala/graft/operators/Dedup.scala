@@ -207,19 +207,32 @@ object Dedup {
     * the hamming-≤h variant ([[simhashPairs]]) depends on the hash
     * function itself and is brute-force-verified in DedupSpec instead.
     */
+  /** Canonical token-bag fingerprint: XXH64 of the sorted lowercase
+    * tokens space-joined (tokens are whitespace-split, so the
+    * separator cannot collide). Internal equality key only — never
+    * compared against an oracle value.
+    */
+  def bagHash64(text: String): Long = {
+    // lowercase BEFORE sorting — sorting raw-case tokens would order
+    // "B" < "a" and hash differently from the same lowercased multiset
+    val toks = text.toLowerCase.trim.split("\\s+")
+    java.util.Arrays.sort(toks, java.util.Comparator.naturalOrder[String]())
+    XxHash.hashUtf8(toks.mkString(" "), 99L)
+  }
+
   def simhashExactPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bag = sort_array(split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " "))
-    val withBag = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
-      // space-joined sorted tokens is a canonical bag encoding (tokens
-      // are whitespace-split, so they cannot contain the separator)
-      md5(concat_ws(" ", bag)).as("bag_hash"))
     val spark = df.sparkSession
     import spark.implicits._
-    val sigs = withBag.select(col("id"), col("t"))
+    // signature AND bag fingerprint in ONE typed pass — a Column-space
+    // bag hash would force a self-join by id (a full shuffle) just to
+    // reattach it to the kernel's output
+    val keyed = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, simhash64(if (t == null) "" else t)) })
-      .toDF("id", "sig")
-    val keyed = sigs.join(withBag.select("id", "bag_hash"), "id")
+      .mapPartitions(_.map { case (id, t) =>
+        val s = if (t == null) "" else t
+        (id, simhash64(s), bagHash64(s))
+      })
+      .toDF("id", "sig", "bag_hash")
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("band_bits")))
     val exploded = keyed.select(col("id"), col("bag_hash"),

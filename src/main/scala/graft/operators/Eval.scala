@@ -43,11 +43,16 @@ object Eval {
     */
   def precisionRecallF1ByCategory(pred: DataFrame, gold: DataFrame,
       keys: Seq[String], valueCol: String): DataFrame = {
+    // FULL OUTER on the keys, like Evaluator.run: a key present on only
+    // one side still counts (missing prediction → FN for its gold
+    // label; extra prediction → FP for its predicted label) — an inner
+    // join would silently inflate both precision and recall
     val joined = pred.withColumnRenamed(valueCol, "p")
-      .join(gold.withColumnRenamed(valueCol, "g"), keys)
+      .join(gold.withColumnRenamed(valueCol, "g"), keys, "full")
       .select("p", "g")
     val labels = joined.select(col("p").as("label"))
-      .union(joined.select(col("g").as("label"))).distinct()
+      .union(joined.select(col("g").as("label")))
+      .filter(col("label").isNotNull).distinct()
     val tp = joined.filter(col("p") === col("g"))
       .groupBy(col("g").as("label")).agg(count(lit(1)).as("tp"))
     val predCnt = joined.groupBy(col("p").as("label")).agg(count(lit(1)).as("n_pred"))

@@ -161,10 +161,20 @@ object Similarity {
     val cBuckets = bucketed(corpus, idCol, vecCol, planes, tables)
       .select(col("id").as("corpus_id"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-    // query side: each table bucket plus its `planes` 1-bit probes
-    val probes = if (probeBits >= 1) {
-      (b: Column) => array(b +: (0 until planes).map(p => b.bitwiseXOR(lit(1L << p))): _*)
-    } else (b: Column) => array(b)
+    // query side: each table bucket plus every bucket within hamming
+    // distance `probeBits` (0 = exact bucket only; 1 = +planes flips;
+    // 2 = +C(planes,2) two-bit flips — the parameter now buys what it
+    // says, it previously degenerated to 1-bit for any value >= 1)
+    require(probeBits >= 0 && probeBits <= 2, "probeBits in 0..2 supported")
+    val masks: Seq[Long] = {
+      val one = (0 until planes).map(p => 1L << p)
+      val two =
+        if (probeBits >= 2)
+          for (p <- 0 until planes; q <- p + 1 until planes) yield (1L << p) | (1L << q)
+        else Nil
+      0L +: (if (probeBits >= 1) one else Nil) ++: two
+    }
+    val probes = (b: Column) => array(masks.map(m => b.bitwiseXOR(lit(m))): _*)
     val qProbes = bucketed(queries, idCol, vecCol, planes, tables)
       .select(col("id").as("query_id"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "table")
@@ -317,7 +327,12 @@ object Ivf {
       (-s, i)
     }).sorted.take(n).map(_._2).toArray
 
-  /** Deterministic Lloyd training over unit vectors. */
+  /** Deterministic Lloyd training over unit vectors. The per-list sum
+    * runs inside `flatMapSortedGroups` ORDERED BY id — double addition
+    * is not associative, so a `reduceByKey` (task-completion order)
+    * would make centroids vary bitwise run-to-run, and a boundary
+    * vector could flip lists under a pinned-constant recall oracle.
+    */
   def trainCentroids(unit: DataFrame, nLists: Int, iters: Int): Array[Array[Double]] = {
     val spark = unit.sparkSession
     import spark.implicits._
@@ -327,15 +342,23 @@ object Ivf {
       val bc = spark.sparkContext.broadcast(cents)
       val stats = data.mapPartitions { it =>
         val c = bc.value
-        it.map { case (_, u) => (argmaxDot(c, u), (u, 1L)) }
-      }.rdd.reduceByKey((x: (Array[Double], Long), y: (Array[Double], Long)) => {
-        val s = new Array[Double](x._1.length)
-        var j = 0
-        while (j < x._1.length) { s(j) = x._1(j) + y._1(j); j += 1 }
-        (s, x._2 + y._2)
-      }).collect()
+        it.map { case (id, u) => (argmaxDot(c, u), id, u) }
+      }
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("_2")) { (list, rows) =>
+          var sum: Array[Double] = null
+          var n = 0L
+          rows.foreach { case (_, _, u) =>
+            if (sum == null) sum = new Array[Double](u.length)
+            var j = 0
+            while (j < u.length) { sum(j) += u(j); j += 1 }
+            n += 1
+          }
+          Iterator.single((list, sum, n))
+        }
+        .collect()
       val next = cents.clone()
-      for ((list, (sum, n)) <- stats if n > 0) {
+      for ((list, sum, n) <- stats if n > 0) {
         var norm = 0.0
         var j = 0
         while (j < sum.length) { norm += sum(j) * sum(j); j += 1 }
@@ -354,7 +377,10 @@ object Ivf {
       iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cu = unitVectors(corpus, idCol, vecCol)
+    // persist: training reads the corpus once per Lloyd iteration and
+    // assignment reads it again — without caching that is iters+1 full
+    // input scans + normalizations
+    val cu = unitVectors(corpus, idCol, vecCol).persist()
     val qu = unitVectors(queries, idCol, vecCol)
     val cents = trainCentroids(cu, nLists, iters)
     val bc = spark.sparkContext.broadcast(cents)

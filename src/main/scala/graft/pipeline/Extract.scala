@@ -116,10 +116,16 @@ object Extract {
     val parentBoxes = blocks0.map(_.box).toIndexedSeq
     val childBoxes = allWords.map(_.box).toIndexedSeq
     val parentOf = Array.fill(allWords.length)(-1)
+    // backfilled whole-page placeholders (indices >= realBlockCount)
+    // must NOT act as match parents: their page-covering box gives
+    // every word IoA = 1.0, which would steal residual words from the
+    // residual-LINE path and silently drop their text (placeholders are
+    // schema completeness, not content containers)
+    val realBlockCount = blocksNms.length
     Match.matchByIntersection(
       parentBoxes, childBoxes, cfg.matchRule, cfg.matchThreshold,
       maxParentOnly = cfg.maxParentOnly
-    ).foreach { case (c, p) => parentOf(c) = p }
+    ).foreach { case (c, p) => if (p < realBlockCount) parentOf(c) = p }
 
     // ---- per-block word ordering (TextOrderService level (a):
     // group_words_into_lines, pipe/order.py:71) ----

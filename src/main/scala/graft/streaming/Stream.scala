@@ -44,17 +44,19 @@ object Stream {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
 
   /** Streaming exact dedup — the continuous twin of
-    * `Dedup.exactSurvivors`: watermarked `dropDuplicates` on the
+    * `Dedup.exactSurvivors`: `dropDuplicatesWithinWatermark` on the
     * content hash, so state for hashes older than the watermark is
-    * evicted (bounded state at 100 TB/day ingest; a duplicate arriving
-    * after the horizon is the documented trade-off of every streaming
-    * dedup).
+    * actually EVICTED (a plain `dropDuplicates("text_hash")` keeps one
+    * state entry per distinct hash forever — the event-time column
+    * must participate for eviction; at 100 TB/day that is an OOM, not
+    * "bounded state"). A duplicate arriving after the horizon is the
+    * documented trade-off of every streaming dedup.
     */
   def dedupStream(df: DataFrame, textCol: String, tsCol: String = "ts",
       watermark: String = "10 minutes"): DataFrame =
     df.withColumn("text_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("text_hash")
+      .dropDuplicatesWithinWatermark("text_hash")
 
   /** Streaming per-turn language id + quality flags over the extracted
     * stream — shuffle-free (row-local Columns on top of the kernel).

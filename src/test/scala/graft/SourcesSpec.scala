@@ -227,3 +227,15 @@ class BucketedJoinSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS docs_bucketed_b")
   }
 }
+
+class PdfTjArraySpec extends AnyFunSuite {
+  import graft.kernels.Pdf
+
+  test("multi-string TJ arrays keep every string (kerned-text form)") {
+    assert(Pdf.extractText("BT [(Hel) 10 (lo) -20 (world)] TJ ET") == "Hel lo world")
+    assert(Pdf.extractText("BT /F1 12 Tf (A) Tj (B) Tj ET") == "A B")
+    // quote operators show too; non-show operators consume operands
+    assert(Pdf.extractText("BT (moved) ' ET") == "moved")
+    assert(Pdf.extractText("BT (discarded) Td (kept) Tj ET") == "kept")
+  }
+}
