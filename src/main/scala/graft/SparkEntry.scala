@@ -195,6 +195,10 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         size(split(col("text"), " ")).as("n_tokens"),
         col("n_chars"))),
+    // BPE-ish regex token counting (GPT-2-style pre-tokenizer pattern)
+    "q_token_count_bpe" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextStats.bpeTokenCount(col("text")).as("n_tokens_bpe"))),
     // document fingerprinting: md5 of normalized text
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -493,6 +497,8 @@ object SparkEntry {
         """SELECT min(doc_id) AS keeper_id, count(*) AS copies FROM documents GROUP BY md5(text)""",
       "q_token_count" ->
         """SELECT doc_id, CAST(length(string_split(text, ' ')) AS INT) AS n_tokens, n_chars FROM documents""",
+      "q_token_count_bpe" ->
+        s"""SELECT doc_id, ${TextStats.bpeTokenCountSql("text")} AS n_tokens_bpe FROM documents""",
       "q_fingerprint" ->
         """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint FROM documents""",
 

@@ -65,6 +65,23 @@ object TextStats {
     * token count, mean token length ×100 (floored), stopword count,
     * and a keep/drop verdict (boilerpipe-style length gates).
     */
+  /** BPE-ish token counting (task brief: "whitespace + a BPE-ish
+    * regex"): the GPT-2-style pre-tokenizer pattern — contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation
+    * runs. Identical regex semantics in Spark (Java regex) and DuckDB
+    * (RE2): no lookarounds, POSIX-safe classes only.
+    */
+  val BpeTokenPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"""
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** DuckDB twin (single-quote-escaped pattern). */
+  def bpeTokenCountSql(col: String): String =
+    s"CAST(len(regexp_extract_all($col, '" +
+      BpeTokenPattern.replace("'", "''") + s"')) AS INT)"
+
   def quality(df: DataFrame, textCol: String): DataFrame = {
     val toks = size(split(col(textCol), " "))
     val meanLen100 = floor((length(col(textCol)) - toks + 1) * 100 / toks).cast("long")
