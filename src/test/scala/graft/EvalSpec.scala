@@ -116,3 +116,98 @@ class EvaluatorSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0))
   }
 }
+
+/** Differential test: the distributed COCO pipeline vs a naive
+  * single-machine reimplementation of the same published algorithm
+  * (greedy match by score, later-tie-wins, suffix-max precision,
+  * 101-point interpolation), over seeded random fixtures.
+  */
+class CocoDifferentialSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def naiveAp(gt: Seq[Coco.GtBox], det: Seq[Coco.DetBox], thr: Double)
+      : Map[Int, (Double, Double)] = {
+    def iou(d: Coco.DetBox, g: Coco.GtBox): Double = {
+      val iw = math.min(d.lrx, g.lrx) - math.max(d.ulx, g.ulx)
+      val ih = math.min(d.lry, g.lry) - math.max(d.uly, g.uly)
+      if (iw <= 0 || ih <= 0) 0.0
+      else {
+        val inter = iw * ih
+        inter / ((d.lrx - d.ulx) * (d.lry - d.uly) + (g.lrx - g.ulx) * (g.lry - g.uly) - inter)
+      }
+    }
+    val cats = gt.map(_.cat).distinct
+    cats.map { cat =>
+      val catGt = gt.filter(_.cat == cat)
+      // per-image greedy matching
+      val matched = det.filter(_.cat == cat).groupBy(_.img).toSeq.flatMap { case (img, ds) =>
+        val gts = catGt.filter(_.img == img)
+        val used = Array.fill(gts.length)(false)
+        ds.sortBy(d => (-d.score, d.detId)).map { d =>
+          var best = -1; var bestIou = math.min(thr, 1 - 1e-10)
+          for (gi <- gts.indices if !used(gi)) {
+            val v = iou(d, gts(gi))
+            if (v >= bestIou) { bestIou = v; best = gi }
+          }
+          if (best >= 0) used(best) = true
+          (d.score, d.detId, best >= 0)
+        }
+      }
+      val ordered = matched.sortBy(m => (-m._1, m._2))
+      val nGt = catGt.length
+      var cum = 0
+      var prevRecall = 0.0
+      val rows = ordered.zipWithIndex.map { case ((_, _, tp), i) =>
+        if (tp) cum += 1
+        (cum.toDouble / (i + 1), cum.toDouble / nGt)
+      }
+      // suffix max of precision
+      val pmax = rows.map(_._1).scanRight(0.0)(math.max).init
+      var ap = 0.0
+      for (((p, (_, r)), i) <- pmax.zip(rows).zipWithIndex) {
+        val cover = math.floor(r * 100) - math.floor(prevRecall * 100) +
+          (if (i == 0) 1 else 0)
+        ap += p * cover
+        prevRecall = r
+      }
+      val ar = if (rows.isEmpty) 0.0 else rows.last._2
+      cat -> (ap / 101.0, ar)
+    }.toMap
+  }
+
+  test("distributed Coco == naive reimplementation on seeded random fixtures") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nImg = 4 + rnd.nextInt(4)
+      val gt = for {
+        img <- 0 until nImg; cat <- 1 to 2
+        g <- 0 until (1 + rnd.nextInt(3))
+      } yield {
+        val x = rnd.nextInt(200).toDouble; val y = rnd.nextInt(200).toDouble
+        Coco.GtBox(img, cat, x, y, x + 20 + rnd.nextInt(40), y + 20 + rnd.nextInt(40))
+      }
+      var detId = 0L
+      val det = for {
+        g <- gt; d <- 0 until (1 + rnd.nextInt(2))
+      } yield {
+        detId += 1
+        val dx = rnd.nextInt(30) - 10; val dy = rnd.nextInt(30) - 10
+        Coco.DetBox(g.img, g.cat, detId, rnd.nextInt(1000) / 1000.0,
+          g.ulx + dx, g.uly + dy, g.lrx + dx, g.lry + dy)
+      }
+      for (thr <- Seq(0.5, 0.75)) {
+        val want = naiveAp(gt, det, thr)
+        val counts = gt.toDF().groupBy("cat").agg(count(lit(1)).as("n_gt"))
+        val got = Coco.accumulate(
+            Coco.matchDetections(gt.toDS(), det.toDS(), Seq(thr)), counts, Seq(thr))
+          .collect().map(r => r.getInt(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+        for ((cat, (ap, ar)) <- want) {
+          assert(math.abs(got(cat)._1 - ap) < 1e-9,
+            s"trial $trial thr $thr cat $cat: ap ${got(cat)._1} vs naive $ap")
+          assert(math.abs(got(cat)._2 - ar) < 1e-9)
+        }
+      }
+    }
+  }
+}
