@@ -101,3 +101,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** Properties of the normalization + offset-lineage kernel. */
+class NormalizePropertySpec extends AnyFunSuite {
+  import graft.kernels.Normalize
+  import org.scalacheck.Gen
+
+  private def forAll[A](gen: Gen[A], n: Int = 80)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(7L)
+    var i = 0
+    while (i < n) {
+      gen.apply(params, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  // mixed ASCII + combining marks + jamo + newlines
+  private val genText: Gen[String] = Gen.listOf(Gen.frequency(
+    (10, Gen.alphaNumChar.map(_.toString)),
+    (3, Gen.const(" ")),
+    (2, Gen.oneOf("́", "̈", "̧")),  // combining marks
+    (1, Gen.oneOf("é", "ä", "ç")),
+    (1, Gen.oneOf("각", "너")), // jamo
+    (1, Gen.oneOf("\r\n", "\r", "\n")),
+    (1, Gen.oneOf("é", "각", "ü"))
+  )).map(_.mkString)
+
+  test("normalization is idempotent") {
+    forAll(genText) { s =>
+      val once = Normalize.nfcCanonical(s)
+      assert(Normalize.nfcCanonical(once) == once)
+    }
+  }
+
+  test("normalized text is NFC and newline-canonical") {
+    forAll(genText) { s =>
+      val n = Normalize.nfcCanonical(s)
+      assert(java.text.Normalizer.isNormalized(n, java.text.Normalizer.Form.NFC))
+      assert(!n.contains('\r'))
+    }
+  }
+
+  test("offset map is monotone, within bounds, and covers spans") {
+    forAll(genText) { s =>
+      val (norm, m) = Normalize.nfcWithMap(s)
+      var prevB = 0
+      for (o <- 0 to norm.length) {
+        val b = m.toRawBegin(o)
+        val e = m.toRawEnd(o)
+        assert(b >= 0 && b <= s.length)
+        assert(e >= 0 && e <= s.length)
+        assert(b >= prevB, "toRawBegin must be monotone")
+        prevB = b
+      }
+      // a remapped span always covers at least its own width in raw
+      // units minus composition shrinkage is not guaranteed, but begin
+      // must never exceed end for any normalized span
+      for (b <- 0 until norm.length; e <- (b + 1) to math.min(b + 4, norm.length))
+        assert(m.toRawBegin(b) <= m.toRawEnd(e))
+    }
+  }
+
+  test("identity segments slice identical text") {
+    forAll(genText) { s =>
+      val (norm, m) = Normalize.nfcWithMap(s)
+      // whole-string span maps to the whole raw string
+      assert(m.toRawBegin(0) == 0)
+      assert(m.toRawEnd(norm.length) == s.length)
+    }
+  }
+}
