@@ -115,6 +115,20 @@ class CheckpointSpec extends AnyFunSuite {
     // second stage call is a no-op (resume path)
     assert(!Checkpoint.stage(turns, outDir, 2, cfg))
   }
+
+  test("resume with a mismatched numChunks is rejected, not silently lossy") {
+    val turns = Turns.synth(spark, TestSpark.sfDir).limit(100)
+    val cfg = ExtractConfig(saltChunkSize = 16)
+    val outDir = Files.createTempDirectory("graft_ckpt3").toString
+    Checkpoint.stage(turns, outDir, 4, cfg)
+    assert(Checkpoint.stagedNumChunks(outDir).contains(4))
+    val e = intercept[IllegalArgumentException] {
+      Checkpoint.runAll(turns, outDir, 2, cfg)
+    }
+    assert(e.getMessage.contains("staged with"))
+    // the staged count itself resumes fine
+    assert(Checkpoint.runAll(turns, outDir, 4, cfg).length == 4)
+  }
 }
 
 class StreamSpec extends AnyFunSuite {
