@@ -383,6 +383,22 @@ object SparkEntry {
       s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), upper(col("c_name")).as("name_upper"),
           floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))),
+    // ROLLUP aggregation (SURVEY §2.5: the reference lacks grouping
+    // sets entirely — Catalyst gives them free)
+    "q_rollup" -> ((s, dir) =>
+      docs(s, dir).rollup("lang", "source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n"), col("chars"))),
+    // SLIDING-window aggregation (10-minute windows every 5 minutes —
+    // each event lands in two windows; the streaming twin is the same
+    // transform with a watermark)
+    "q_window_sliding" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").getField("start").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
     // tumbling-window aggregation over the event stream (same transform
     // Structured Streaming runs; batch here for the oracle)
     "q_window_agg" -> ((s, dir) =>
@@ -824,6 +840,21 @@ object SparkEntry {
       "q_mapcomponent" ->
         """SELECT c_custkey, upper(c_name) AS name_upper,
                   CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents FROM customer""",
+
+      "q_rollup" ->
+        """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+                  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM documents GROUP BY ROLLUP (lang, source)""",
+
+      // each event belongs to the two 10-minute windows whose starts are
+      // the two preceding 5-minute marks (epoch-aligned, like Spark's)
+      "q_window_sliding" ->
+        """SELECT w, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           FROM (
+             SELECT time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS w,
+                    event_type, value
+             FROM events, (VALUES (0), (1)) k(k))
+           GROUP BY w, event_type""",
 
       "q_window_agg" ->
         """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w, event_type,
