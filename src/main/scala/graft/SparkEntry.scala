@@ -670,15 +670,14 @@ object SparkEntry {
              FROM m),
            p AS (
              SELECT cat, thr, rn, cumtp,
-               CAST(cumtp AS DOUBLE) / CAST(200 AS DOUBLE) AS recall_i,
                max(CAST(cumtp AS DOUBLE) / rn) OVER (PARTITION BY cat, thr
                  ORDER BY score DESC, det_id
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pmax,
-               coalesce(lag(CAST(cumtp AS DOUBLE) / CAST(200 AS DOUBLE)) OVER (
-                 PARTITION BY cat, thr ORDER BY score DESC, det_id), 0.0) AS prev_recall
+               coalesce(lag(cumtp) OVER (
+                 PARTITION BY cat, thr ORDER BY score DESC, det_id), 0) AS prev_cumtp
              FROM r)
            SELECT cat, thr, CAST(200 AS BIGINT) AS n_gt,
-             round(sum(pmax * (floor(recall_i*100) - floor(prev_recall*100) +
+             round(sum(pmax * (((cumtp*100) // 200) - ((prev_cumtp*100) // 200) +
                CASE WHEN rn = 1 THEN 1 ELSE 0 END)) / 101.0, 6) AS ap,
              round(max(cumtp) / CAST(200 AS DOUBLE), 6) AS ar
            FROM p GROUP BY cat, thr ORDER BY cat, thr""",

@@ -117,6 +117,27 @@ object Pdf {
           else { sb.append(ch); i += 1 }
         }
         pending += sb.toString
+      } else if (c == '<') {
+        // hex string <4A6F> (or dict open <<): consume wholesale so its
+        // hex letters can't parse as operators and clear pending
+        if (i + 1 < n && stream.charAt(i + 1) == '<') i += 2
+        else {
+          val s = i + 1
+          i += 1
+          while (i < n && stream.charAt(i) != '>') i += 1
+          val hex = stream.substring(s, math.min(i, n)).filterNot(_.isWhitespace)
+          if (i < n) i += 1 // consume '>'
+          if (hex.nonEmpty && hex.forall(ch => Character.digit(ch, 16) >= 0)) {
+            val padded = if (hex.length % 2 == 1) hex + "0" else hex
+            val sb = new StringBuilder(padded.length / 2)
+            var h = 0
+            while (h < padded.length) {
+              sb.append(Integer.parseInt(padded.substring(h, h + 2), 16).toChar)
+              h += 2
+            }
+            pending += sb.toString
+          }
+        }
       } else if (c == '\'' || c == '"') {
         // single-char show-text operators (move-and-show)
         emit(); i += 1

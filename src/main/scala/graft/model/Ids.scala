@@ -76,7 +76,9 @@ object Ids {
     private val digits = new Array[Byte](11)
 
     private def updateInt(v: Int): Unit = {
-      var x = v
+      // widen before negating: -Int.MinValue overflows back to itself,
+      // which would skip the digit loop and digest only "-"
+      var x = v.toLong
       var p = digits.length
       if (x == 0) { p -= 1; digits(p) = '0' }
       else {

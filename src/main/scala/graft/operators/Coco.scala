@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
   * Scale: stage-2's per-category sort is a window PARTITIONED by
   * (category, threshold) — parallel across categories × thresholds,
   * never a global single-task sort; only (score, tp) pairs shuffle.
-  * The row-i sample count uses `floor(100·recall)` deltas, an exact
-  * reformulation of pycocotools' searchsorted over the recall grid:
-  * row i supplies the grid points k ∈ (100·r_{i−1}, 100·r_i], plus
-  * k = 0 for the first row; grid points above max recall stay 0.
+  * The row-i sample count uses integer grid coverage: grid point k is
+  * covered by row i iff k·n_gt ≤ 100·cumTP, evaluated in exact long
+  * arithmetic — row i supplies the points k ∈ (100·r_{i−1}, 100·r_i],
+  * plus k = 0 for the first row; points above max recall stay 0. This
+  * is the rational-arithmetic reformulation of pycocotools'
+  * float searchsorted over the recall grid; the float version can
+  * diverge by one grid point when 100·recall rounds a hair below an
+  * integer (e.g. recall = 29/100), which exact integer division
+  * cannot.
   */
 object Coco {
 
@@ -102,8 +107,12 @@ object Coco {
       .withColumn("prec_i", col("cumtp").cast("double") / col("rn"))
       .withColumn("recall_i", col("cumtp").cast("double") / col("n_gt").cast("double"))
       .withColumn("pmax", max("prec_i").over(wSuf))
-      .withColumn("prev_recall", coalesce(lag("recall_i", 1).over(w), lit(0.0)))
-    val cover = floor(col("recall_i") * 100) - floor(col("prev_recall") * 100) +
+      .withColumn("prev_cumtp", coalesce(lag("cumtp", 1).over(w), lit(0L)))
+    // integer grid coverage (see object doc): k covered ⟺ k·n_gt ≤
+    // 100·cumtp, so row i covers (cumtp·100 div n_gt) −
+    // (prev_cumtp·100 div n_gt) points — exact long arithmetic, no
+    // float-floor boundary cases
+    val cover = expr("(cumtp * 100L) div n_gt") - expr("(prev_cumtp * 100L) div n_gt") +
       when(col("rn") === 1, 1).otherwise(0)
     val perGroup = ranked.groupBy("cat", "thr", "n_gt")
       .agg((sum(col("pmax") * cover) / 101.0).as("ap"),

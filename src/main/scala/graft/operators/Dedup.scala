@@ -330,7 +330,7 @@ object Dedup {
     var labels = nodes.select(col("id").cast("long").as("id"), col("id").cast("long").as("label"))
       .localCheckpoint(true)
     var iter = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (iter < maxIter && !converged) {
       val prop = edges
         .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
@@ -345,6 +345,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // no silent loss: a cutoff at maxIter would return FRAGMENTED
+    // cluster labels that look valid — fail loudly instead (near-dup
+    // graphs have shallow diameters; hitting this means the input is
+    // not the workload this operator is shaped for)
+    require(converged,
+      s"components() did not converge within maxIter=$maxIter rounds; " +
+        "the pair graph has a longer chain diameter than near-dup " +
+        "clusters should — raise maxIter or switch to large-star/small-star")
     labels.orderBy("id")
   }
 

@@ -156,19 +156,21 @@ class CocoDifferentialSpec extends AnyFunSuite {
       val ordered = matched.sortBy(m => (-m._1, m._2))
       val nGt = catGt.length
       var cum = 0
-      var prevRecall = 0.0
+      var prevCum = 0L
       val rows = ordered.zipWithIndex.map { case ((_, _, tp), i) =>
         if (tp) cum += 1
-        (cum.toDouble / (i + 1), cum.toDouble / nGt)
+        (cum.toDouble / (i + 1), cum.toDouble / nGt, cum.toLong)
       }
       // suffix max of precision
       val pmax = rows.map(_._1).scanRight(0.0)(math.max).init
       var ap = 0.0
-      for (((p, (_, r)), i) <- pmax.zip(rows).zipWithIndex) {
-        val cover = math.floor(r * 100) - math.floor(prevRecall * 100) +
+      for (((p, (_, _, c)), i) <- pmax.zip(rows).zipWithIndex) {
+        // integer grid coverage, same rational-arithmetic criterion as
+        // Coco.accumulate: k covered ⟺ k·n_gt ≤ 100·cumtp
+        val cover = (c * 100L) / nGt - (prevCum * 100L) / nGt +
           (if (i == 0) 1 else 0)
         ap += p * cover
-        prevRecall = r
+        prevCum = c
       }
       val ar = if (rows.isEmpty) 0.0 else rows.last._2
       cat -> (ap / 101.0, ar)

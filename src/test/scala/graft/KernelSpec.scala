@@ -23,6 +23,14 @@ class IdsSpec extends AnyFunSuite {
     assert(Ids.uuid3("conv-big#123textword0_5") == "0624ee57-a12e-381c-80c8-08911cbdc193")
     assert(Ids.turnId("conv-42", 7) == Ids.uuid3("conv-42#7"))
   }
+  test("AnnIdBuilder is byte-identical to concat annId across the full Int range") {
+    val turnId = Ids.turnId("conv-x", 0)
+    val b = new Ids.AnnIdBuilder(turnId)
+    for ((lo, hi) <- Seq((0, 5), (-3, 7), (Int.MinValue, Int.MaxValue),
+        (Int.MinValue, 0), (-1, Int.MinValue)))
+      assert(b.annId("word", lo, hi) == Ids.annId(turnId, "word", lo, hi),
+        s"($lo, $hi)")
+  }
 }
 
 class GeometrySpec extends AnyFunSuite {

@@ -386,4 +386,15 @@ class ComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1)).distinct
     assert(got.toList == List(1L))
   }
+
+  test("maxIter cutoff fails loudly instead of returning fragmented labels") {
+    import spark.implicits._
+    val n = 10
+    val nodes = (1L to n.toLong).toDF("id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.components(nodes, pairs, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }

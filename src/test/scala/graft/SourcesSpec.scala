@@ -14,7 +14,8 @@ import graft.sources.Serializers
 class PdfSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def minimalPdf(pages: Seq[String]): Array[Byte] = {
+  private def minimalPdf(pages: Seq[String],
+      rawContent: Option[String] = None): Array[Byte] = {
     val sb = new StringBuilder("%PDF-1.4\n")
     sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
     val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
@@ -23,7 +24,7 @@ class PdfSpec extends AnyFunSuite {
       val pageObj = 3 + 2 * i
       val contObj = pageObj + 1
       sb.append(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /Contents $contObj 0 R >> endobj\n")
-      val stream = s"BT /F1 12 Tf ($txt) Tj ET"
+      val stream = rawContent.getOrElse(s"BT /F1 12 Tf ($txt) Tj ET")
       sb.append(s"$contObj 0 obj << /Length ${stream.length} >> stream\n$stream\nendstream endobj\n")
     }
     sb.append("%%EOF\n")
@@ -39,6 +40,14 @@ class PdfSpec extends AnyFunSuite {
   test("PDF string escapes decode: parens, backslash, octal") {
     val pages = Pdf.splitPages(minimalPdf(Seq("""a \(b\) \\ \101""")))
     assert(pages.head.text == """a (b) \ A""")
+  }
+
+  test("hex strings inside TJ arrays decode instead of clearing pending text") {
+    // [(A) <4A6F> (B)] TJ — the hex token must not parse as operators
+    // (which would silently drop the '(A)' literal)
+    val pages = Pdf.splitPages(minimalPdf(Seq("dummy"),
+      rawContent = Some("BT [(A) <4A6F> (B)] TJ ET")))
+    assert(pages.head.text == "A Jo B")
   }
 
   test("readPdfPages: binaryFile scan + flatMap split, one row per page") {
