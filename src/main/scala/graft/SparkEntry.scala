@@ -519,8 +519,9 @@ object SparkEntry {
         """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint FROM documents""",
 
       "x2_chunks" -> {
-        // template prefix literals — MUST stay in lock-step with
-        // Turns.CoreSql
+        // template prefix literals — lock-step with Turns.CoreSql; the
+        // tpl 7-11 constants derive from the Turns.T* vals themselves
+        // (indexOf/length), so a template edit cannot silently drift
         val t1p = """<html><head><title>Session Log</title></head><body><nav><a href="#">Home</a> <a href="#">Docs</a> <a href="#">About</a></nav><p>"""
         val t3p = """<div class="sidebar"><a href="#">Link One</a> <a href="#">Link Two</a> <a href="#">Link Three</a></div><div class="main"><p>"""
         val t4a = "<table><tr><td>lang</td><td>"
@@ -528,9 +529,10 @@ object SparkEntry {
         val t4c = "</td></tr></table><p>"
         val t6a = """<div style="left:0%;width:48%"><p>"""
         val t6b = """</p></div><div style="left:52%;width:48%;top:3%"><p>"""
+        import Turns.{T7, T8, T9, T10Prefix, T10RawLen, T10Nfc, T11Prefix}
         s"""$cte, base AS (
              SELECT conv_id, turn_idx, doc_id, src_text, lang, source,
-                    doc_id % 7 AS tpl, length(src_text) AS L,
+                    doc_id % 12 AS tpl, length(src_text) AS L,
                     length(concat(doc_id)) AS D
              FROM turns)
            SELECT conv_id, turn_idx, CAST(1 AS INT) AS reading_order, kind, text,
@@ -538,7 +540,14 @@ object SparkEntry {
            FROM (
              SELECT conv_id, turn_idx,
                CASE WHEN tpl = 5 THEN 'title' ELSE 'text' END AS kind,
-               CASE WHEN tpl = 5 THEN concat('Report ', doc_id) ELSE src_text END AS text,
+               CASE tpl
+                 WHEN 5 THEN concat('Report ', doc_id)
+                 WHEN 7 THEN 'Banner head'
+                 WHEN 8 THEN 'north south ridge creek stone maple cedar birch'
+                 WHEN 9 THEN 'after overlay'
+                 WHEN 10 THEN '$T10Nfc'
+                 ELSE src_text
+               END AS text,
                CASE tpl
                  WHEN 0 THEN 0
                  WHEN 1 THEN ${t1p.length}
@@ -546,21 +555,69 @@ object SparkEntry {
                  WHEN 3 THEN ${t3p.length}
                  WHEN 4 THEN ${t4a.length + t4b.length + t4c.length} + length(lang) + length(source)
                  WHEN 5 THEN 4
-                 ELSE ${t6a.length}
+                 WHEN 6 THEN ${t6a.length}
+                 WHEN 7 THEN ${T7.indexOf("Banner")}
+                 WHEN 8 THEN ${T8.indexOf("north")}
+                 WHEN 9 THEN ${T9.indexOf("after")}
+                 WHEN 10 THEN 3
+                 ELSE ${T11Prefix.length}
                END AS b,
-               CASE WHEN tpl = 5 THEN 7 + D ELSE L END AS len
+               CASE tpl
+                 WHEN 5 THEN 7 + D
+                 WHEN 7 THEN ${"Banner head".length}
+                 WHEN 8 THEN ${"north south ridge creek stone maple cedar birch".length}
+                 WHEN 9 THEN ${"after overlay".length}
+                 WHEN 10 THEN $T10RawLen
+                 ELSE L
+               END AS len
              FROM base)
            UNION ALL
            SELECT conv_id, turn_idx, CAST(2 AS INT), 'text',
-                  CASE WHEN tpl = 6 THEN concat('Column two of report ', doc_id) ELSE src_text END,
+                  CASE tpl
+                    WHEN 6 THEN concat('Column two of report ', doc_id)
+                    WHEN 7 THEN 'alpha one'
+                    WHEN 8 THEN 'inset xy'
+                    WHEN 9 THEN 'duplicate overlay block'
+                    ELSE src_text
+                  END,
                   CAST(b2 AS INT), CAST(b2 + len2 AS INT)
            FROM (
              SELECT conv_id, turn_idx, tpl, doc_id, src_text,
                CASE tpl WHEN 2 THEN 8 + L + 7
                         WHEN 5 THEN 4 + 7 + D + 8
-                        ELSE ${t6a.length} + L + ${t6b.length} END AS b2,
-               CASE WHEN tpl = 6 THEN 21 + D ELSE L END AS len2
-             FROM base WHERE tpl IN (2, 5, 6))"""
+                        WHEN 6 THEN ${t6a.length} + L + ${t6b.length}
+                        WHEN 7 THEN ${T7.indexOf("alpha")}
+                        WHEN 8 THEN ${T8.indexOf("inset")}
+                        WHEN 9 THEN ${T9.indexOf("duplicate")}
+                        ELSE ${T10Prefix.length} END AS b2,
+               CASE tpl WHEN 6 THEN 21 + D
+                        WHEN 7 THEN ${"alpha one".length}
+                        WHEN 8 THEN ${"inset xy".length}
+                        WHEN 9 THEN ${"duplicate overlay block".length}
+                        ELSE L END AS len2
+             FROM base WHERE tpl IN (2, 5, 6, 7, 8, 9, 10))
+           UNION ALL
+           SELECT conv_id, turn_idx, CAST(3 AS INT), 'text',
+                  CASE tpl WHEN 7 THEN 'beta two' ELSE 'first chain row' END,
+                  CAST(b3 AS INT), CAST(b3 + len3 AS INT)
+           FROM (
+             SELECT conv_id, turn_idx, tpl,
+               CASE tpl WHEN 7 THEN ${T7.indexOf("beta")}
+                        ELSE ${T8.indexOf("first")} END AS b3,
+               CASE tpl WHEN 7 THEN ${"beta two".length}
+                        ELSE ${"first chain row".length} END AS len3
+             FROM base WHERE tpl IN (7, 8))
+           UNION ALL
+           SELECT conv_id, turn_idx, CAST(4 AS INT), 'text',
+                  CASE tpl WHEN 7 THEN 'gamma three' ELSE 'second chain row' END,
+                  CAST(b4 AS INT), CAST(b4 + len4 AS INT)
+           FROM (
+             SELECT conv_id, turn_idx, tpl,
+               CASE tpl WHEN 7 THEN ${T7.indexOf("gamma")}
+                        ELSE ${T8.indexOf("second")} END AS b4,
+               CASE tpl WHEN 7 THEN ${"gamma three".length}
+                        ELSE ${"second chain row".length} END AS len4
+             FROM base WHERE tpl IN (7, 8))"""
       },
 
       "x5_tables" ->
@@ -568,7 +625,15 @@ object SparkEntry {
             concat('<table><tr><td>lang</td><td>', lang,
                    '</td></tr><tr><td>origin</td><td>', source,
                    '</td></tr></table>') AS html
-            FROM turns WHERE doc_id % 7 = 4""",
+            FROM turns WHERE doc_id % 12 = 4
+            UNION ALL
+            SELECT conv_id, turn_idx, CAST(1 AS INT), CAST(2 AS INT),
+                   '${Turns.T11OuterHtml}'
+            FROM turns WHERE doc_id % 12 = 11
+            UNION ALL
+            SELECT conv_id, turn_idx, CAST(1 AS INT), CAST(2 AS INT),
+                   '${Turns.T11InnerHtml}'
+            FROM turns WHERE doc_id % 12 = 11""",
 
       "q_lang_id" ->
         s"SELECT doc_id, ${TextStats.langIdSql("text")} AS lang_id FROM documents",
@@ -874,9 +939,17 @@ object SparkEntry {
                   count(*) AS n_events, round(sum(value), 2) AS sum_value
            FROM s GROUP BY user_id, session_idx""",
 
+      // tpl 4: relabeling one of 11 nodes → 10/11; tpl 11's two tables
+      // contain no '<td>lang</td>' so the corruption is a no-op → 1.0
       "q_eval_teds" ->
         s"""$cte SELECT conv_id, turn_idx, round(CAST(10 AS DOUBLE) / 11, 6) AS teds
-            FROM turns WHERE doc_id % 7 = 4""",
+            FROM turns WHERE doc_id % 12 = 4
+            UNION ALL
+            SELECT conv_id, turn_idx, CAST(1.0 AS DOUBLE)
+            FROM turns WHERE doc_id % 12 = 11
+            UNION ALL
+            SELECT conv_id, turn_idx, CAST(1.0 AS DOUBLE)
+            FROM turns WHERE doc_id % 12 = 11""",
 
       "q_coco_prejoin" ->
         """WITH imgs AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
