@@ -280,6 +280,30 @@ object SparkEntry {
         .select(col("cat"), col("thr"), col("n_gt"),
           round(col("ap"), 6).as("ap"), round(col("ar"), 6).as("ar"))
     }),
+    // CocoMetric parameter surface (cocometric.py:49-62): AP over an
+    // area range + AR@maxDets variants. The fixture's areas span
+    // 400..754, so the query splits it at 550 (COCO's 32² boundary
+    // would make small ≡ all here; summary() uses the COCO defaults).
+    // Restricting to in-range cells is EXACT pycocotools ignore
+    // semantics for this fixture because det area == gt area per cell.
+    "q_eval_map_areas" -> ((s, dir) => {
+      val (gt, det) = cocoFixture(s, dir)
+      val thr = Seq(0.5)
+      val small = (0.0, 550.0)
+      val apSmall = Coco.accumulate(
+          Coco.matchDetections(gt, det, thr, 100, small),
+          Coco.gtCountsInRange(gt, small), thr, 100)
+        .select(col("cat"), col("thr"), col("n_gt").as("n_gt_small"),
+          round(col("ap"), 6).as("ap_small"))
+      val matchedAll = Coco.matchDetections(gt, det, thr)
+      val gtAll = gt.toDF().groupBy("cat").agg(count(lit(1)).as("n_gt"))
+      val ar1 = Coco.accumulate(matchedAll, gtAll, thr, 1)
+        .select(col("cat"), col("thr"), round(col("ar"), 6).as("ar_at_1"))
+      val ar100 = Coco.accumulate(matchedAll, gtAll, thr, 100)
+        .select(col("cat"), col("thr"), round(col("ar"), 6).as("ar_at_100"))
+      apSmall.join(ar1, Seq("cat", "thr")).join(ar100, Seq("cat", "thr"))
+        .orderBy("cat")
+    }),
     // Evaluator.run analogue (eval/eval.py:57): golden vs re-extracted,
     // with a deterministic corruption so the metric is non-trivial
     "q_eval_run" -> ((s, dir) => {
@@ -746,6 +770,79 @@ object SparkEntry {
                CASE WHEN rn = 1 THEN 1 ELSE 0 END)) / 101.0, 6) AS ap,
              round(max(cumtp) / CAST(200 AS DOUBLE), 6) AS ar
            FROM p GROUP BY cat, thr ORDER BY cat, thr""",
+
+      // area-range + maxDets twin: AR@1 = is the cell's top-scoring
+      // detection a match; AP-small = the full AP machinery restricted
+      // to cells with area < 550 (exact for this fixture, see query)
+      "q_eval_map_areas" ->
+        """WITH cells AS (
+             SELECT doc_id AS img, c.cat FROM documents, (VALUES (1),(2)) c(cat)
+             WHERE doc_id < 200),
+           geo AS (
+             SELECT img, cat,
+               CAST(20 + (img + cat) % 10 AS DOUBLE) AS w,
+               CAST(20 + (img + cat*2) % 7 AS DOUBLE) AS h
+             FROM cells),
+           det AS (
+             SELECT img, cat, img*10 + cat*2 + d.which AS det_id,
+               CAST(CASE WHEN d.which = 0 THEN (img*37 + cat*101) % 1000
+                         ELSE (img*53 + cat*211) % 1000 END AS DOUBLE)
+                 / CAST(1000 AS DOUBLE) AS score,
+               CASE WHEN d.which = 0 THEN CAST((img + cat) % 12 AS DOUBLE)
+                    ELSE CAST(5 + (img*3 + cat) % 25 AS DOUBLE) END AS s,
+               w, h
+             FROM geo, (VALUES (0),(1)) d(which)),
+           iou AS (
+             SELECT img, cat, det_id, score, w*h AS area,
+               CASE WHEN w - s > 0 THEN (w - s) * h / (w*h + w*h - (w - s)*h)
+                    ELSE 0.0 END AS iou
+             FROM det),
+           mall AS (
+             SELECT i.cat, i.img, i.iou,
+               row_number() OVER (PARTITION BY i.img, i.cat
+                 ORDER BY i.score DESC, i.det_id) AS rk,
+               CASE WHEN i.iou >= 0.5 AND row_number() OVER (
+                   PARTITION BY i.img, i.cat, (i.iou >= 0.5)
+                   ORDER BY i.score DESC, i.det_id) = 1
+                 THEN 1 ELSE 0 END AS tp
+             FROM iou i),
+           ar AS (
+             SELECT cat,
+               CAST(sum(CASE WHEN rk = 1 AND iou >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(200 AS DOUBLE) AS ar1,
+               CAST(sum(tp) AS DOUBLE) / CAST(200 AS DOUBLE) AS ar100
+             FROM mall GROUP BY cat),
+           gs AS (SELECT cat, count(*) AS ng FROM geo WHERE w*h < 550 GROUP BY cat),
+           ms AS (
+             SELECT i.cat, i.det_id, i.score,
+               CASE WHEN i.iou >= 0.5 AND row_number() OVER (
+                   PARTITION BY i.img, i.cat, (i.iou >= 0.5)
+                   ORDER BY i.score DESC, i.det_id) = 1
+                 THEN 1 ELSE 0 END AS tp
+             FROM iou i WHERE i.area < 550),
+           rs AS (
+             SELECT cat, det_id, score, tp,
+               row_number() OVER (PARTITION BY cat ORDER BY score DESC, det_id) AS rn,
+               sum(tp) OVER (PARTITION BY cat ORDER BY score DESC, det_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtp
+             FROM ms),
+           ps AS (
+             SELECT cat, rn, cumtp,
+               max(CAST(cumtp AS DOUBLE) / rn) OVER (PARTITION BY cat
+                 ORDER BY score DESC, det_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pmax,
+               coalesce(lag(cumtp) OVER (PARTITION BY cat
+                 ORDER BY score DESC, det_id), 0) AS prev_cumtp
+             FROM rs),
+           aps AS (
+             SELECT p.cat,
+               round(sum(p.pmax * (((p.cumtp*100) // g.ng) - ((p.prev_cumtp*100) // g.ng) +
+                 CASE WHEN p.rn = 1 THEN 1 ELSE 0 END)) / 101.0, 6) AS ap_small
+             FROM ps p JOIN gs g ON p.cat = g.cat GROUP BY p.cat)
+           SELECT g.cat, CAST(0.5 AS DOUBLE) AS thr, CAST(g.ng AS BIGINT) AS n_gt_small,
+             a.ap_small, round(r.ar1, 6) AS ar_at_1, round(r.ar100, 6) AS ar_at_100
+           FROM gs g JOIN aps a ON g.cat = a.cat JOIN ar r ON g.cat = r.cat
+           ORDER BY g.cat""",
 
       "q_eval_run" ->
         s"""$cte SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_joined,

@@ -57,51 +57,106 @@ object Coco {
     }
   }
 
-  /** Stage 1 → (cat, thr, det_id, score, tp). */
+  /** The pycocotools `_COCOEVAL_DEFAULTS` area ranges
+    * (cocometric.py:49-62): all / small (<32²) / medium / large.
+    */
+  val DefaultAreaRanges: Map[String, (Double, Double)] = Map(
+    "all" -> (0.0, 1e10), "small" -> (0.0, 1024.0),
+    "medium" -> (1024.0, 9216.0), "large" -> (9216.0, 1e10))
+
+  /** The pycocotools maxDets grid (AR@1 / AR@10 / AR@100). */
+  val DefaultMaxDets: Seq[Int] = Seq(1, 10, 100)
+
+  private def areaOf(ulx: Double, uly: Double, lrx: Double, lry: Double): Double =
+    (lrx - ulx) * (lry - uly)
+
+  /** Stage 1 → (cat, thr, det_id, score, tp, ignored, det_rank).
+    *
+    * Area-range ignore semantics replicate pycocotools `evaluateImg`:
+    * ground truth outside `areaRng` is flagged ignore and sorted LAST
+    * (a detection prefers any non-ignored gt; once its best match is
+    * non-ignored and the scan reaches the ignored tail, it stops);
+    * a detection matched to an ignored gt inherits the ignore flag,
+    * an UNMATCHED detection is ignored iff its own area is outside the
+    * range. Ignored rows are excluded from PR accumulation entirely —
+    * neither tp nor fp.
+    *
+    * `det_rank` is the detection's (score desc, det_id) rank within its
+    * (image, category): greedy matching processes detections in that
+    * order, so earlier matches never depend on later detections and
+    * truncating at rank ≤ m reproduces matching with only the top-m
+    * detections — [[accumulate]] filters on it per maxDets without
+    * re-matching (exactly how pycocotools slices dtm[:, 0:maxDet]).
+    */
   def matchDetections(gt: Dataset[GtBox], det: Dataset[DetBox],
-      iouThrs: Seq[Double] = DefaultIouThrs, maxDets: Int = 100): DataFrame = {
+      iouThrs: Seq[Double] = DefaultIouThrs, maxDets: Int = 100,
+      areaRng: (Double, Double) = (0.0, Double.MaxValue)): DataFrame = {
     val spark = det.sparkSession
     import spark.implicits._
     val thrs = iouThrs.toArray
+    val (aLo, aHi) = areaRng
     gt.groupByKey(g => (g.img, g.cat))
       .cogroup(det.groupByKey(d => (d.img, d.cat))) { case ((_, cat), gs, ds) =>
-        val gts = gs.toArray
+        val gts0 = gs.toArray
+        val ig0 = gts0.map { g =>
+          val a = areaOf(g.ulx, g.uly, g.lrx, g.lry); a < aLo || a >= aHi
+        }
+        // stable ignored-last order (pycocotools sorts gt by _ignore)
+        val order = gts0.indices.sortBy(ig0(_))
+        val gts = order.map(gts0(_)).toArray
+        val ig = order.map(ig0(_)).toArray
         val dets = ds.toArray.sortBy(d => (-d.score, d.detId)).take(maxDets)
         thrs.iterator.flatMap { thr =>
           val gtMatched = new Array[Boolean](gts.length)
-          dets.iterator.map { d =>
+          dets.iterator.zipWithIndex.map { case (d, di) =>
             // pycocotools cocoeval.py evaluateImg: best-so-far starts at
             // min(thr, 1-1e-10); `< iou → continue` means equal-IoU ties
             // move the match to the later gt
             var best = -1
             var bestIou = math.min(thr, 1 - 1e-10)
             var gi = 0
-            while (gi < gts.length) {
+            var stop = false
+            while (gi < gts.length && !stop) {
               if (!gtMatched(gi)) {
-                val v = iouOf(d, gts(gi))
-                if (v >= bestIou) { bestIou = v; best = gi }
+                // matched to a real gt and reached the ignored tail →
+                // no better match possible (gts sorted ignored-last)
+                if (best >= 0 && !ig(best) && ig(gi)) stop = true
+                else {
+                  val v = iouOf(d, gts(gi))
+                  if (v >= bestIou) { bestIou = v; best = gi }
+                }
               }
               gi += 1
             }
-            if (best >= 0) gtMatched(best) = true
-            (cat, thr, d.detId, d.score, best >= 0)
+            val matched = best >= 0
+            if (matched) gtMatched(best) = true
+            val dIgnored =
+              if (matched) ig(best)
+              else { val a = areaOf(d.ulx, d.uly, d.lrx, d.lry); a < aLo || a >= aHi }
+            (cat, thr, d.detId, d.score, matched, dIgnored, di + 1)
           }
         }
       }
-      .toDF("cat", "thr", "det_id", "score", "tp")
+      .toDF("cat", "thr", "det_id", "score", "tp", "ignored", "det_rank")
   }
 
-  /** Stage 2 → (cat, thr, n_gt, ap, ar). `gtCounts` = (cat, n_gt).
-    * Categories × thresholds with ground truth but no detections get
-    * ap = ar = 0 (pycocotools yields -1 there only when there is no gt
-    * at all; callers filter on n_gt > 0 like COCOeval does).
+  /** Stage 2 → (cat, thr, n_gt, ap, ar). `gtCounts` = (cat, n_gt)
+    * where n_gt counts the NON-ignored ground truth for the area range
+    * the matching ran with. Categories × thresholds with ground truth
+    * but no detections get ap = ar = 0 (pycocotools yields -1 there
+    * only when there is no gt at all; zero-gt categories are dropped
+    * like COCOeval does).
     */
   def accumulate(matched: DataFrame, gtCounts: DataFrame,
-      iouThrs: Seq[Double] = DefaultIouThrs): DataFrame = {
+      iouThrs: Seq[Double] = DefaultIouThrs, maxDets: Int = 100): DataFrame = {
     val w = Window.partitionBy("cat", "thr").orderBy(desc("score"), col("det_id"))
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wSuf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val ranked = matched.join(broadcast(gtCounts), "cat")
+    // ignored detections are outside the PR curve entirely; det_rank >
+    // maxDets reproduces pycocotools' dtm[:, 0:maxDet] truncation
+    val ranked = matched
+      .filter(!col("ignored") && col("det_rank") <= maxDets)
+      .join(broadcast(gtCounts), "cat")
       .withColumn("rn", row_number().over(w))
       .withColumn("cumtp", sum(col("tp").cast("long")).over(wCum))
       .withColumn("prec_i", col("cumtp").cast("double") / col("rn"))
@@ -120,7 +175,7 @@ object Coco {
     // fill (cat, thr) combinations that produced no detections
     val spark = matched.sparkSession
     import spark.implicits._
-    val grid = gtCounts.crossJoin(iouThrs.toDF("thr"))
+    val grid = gtCounts.filter(col("n_gt") > 0).crossJoin(iouThrs.toDF("thr"))
     grid.join(perGroup.drop("n_gt"), Seq("cat", "thr"), "left")
       .select(col("cat"), col("thr"), col("n_gt"),
         coalesce(col("ap"), lit(0.0)).as("ap"),
@@ -128,22 +183,50 @@ object Coco {
       .orderBy("cat", "thr")
   }
 
-  /** COCOeval-summary rows over a (gt, det) pair: AP@[.50:.95], AP50,
-    * AP75, AR@maxDets — mean over categories with ground truth
-    * (`_COCOEVAL_DEFAULTS`, cocometric.py:49-62).
+  /** Non-ignored gt count per category for an area range. */
+  def gtCountsInRange(gt: Dataset[GtBox], areaRng: (Double, Double)): DataFrame = {
+    val area = (col("lrx") - col("ulx")) * (col("lry") - col("uly"))
+    gt.toDF().filter(area >= areaRng._1 && area < areaRng._2)
+      .groupBy("cat").agg(count(lit(1)).as("n_gt"))
+  }
+
+  /** The full COCOeval summary surface over a (gt, det) pair — the 12
+    * standard rows (`_COCOEVAL_DEFAULTS`, cocometric.py:49-62 /
+    * pycocotools summarize): AP@[.50:.95], AP50, AP75,
+    * AP-small/medium/large, AR@1, AR@10, AR@100,
+    * AR-small/medium/large (@100). Means over categories with ground
+    * truth in the range, like COCOeval (zero-gt categories excluded).
     */
   def summary(gt: Dataset[GtBox], det: Dataset[DetBox],
       maxDets: Int = 100): DataFrame = {
-    val gtCounts = gt.toDF().groupBy("cat").agg(count(lit(1)).as("n_gt"))
-    val per = accumulate(
-      matchDetections(gt, det, DefaultIouThrs, maxDets), gtCounts, DefaultIouThrs)
-    val ap = per.agg(avg("ap").as("v")).select(lit("ap").as("metric"), col("v"))
-    val ap50 = per.filter(col("thr") === 0.5).agg(avg("ap").as("v"))
-      .select(lit("ap50").as("metric"), col("v"))
-    val ap75 = per.filter(col("thr") === 0.75).agg(avg("ap").as("v"))
-      .select(lit("ap75").as("metric"), col("v"))
-    val ar = per.agg(avg("ar").as("v")).select(lit(s"ar$maxDets").as("metric"), col("v"))
-    ap.unionByName(ap50).unionByName(ap75).unionByName(ar)
+    def per(areaRng: (Double, Double)) = accumulate(
+      matchDetections(gt, det, DefaultIouThrs, maxDets, areaRng),
+      gtCountsInRange(gt, areaRng), DefaultIouThrs, maxDets)
+    // a range with no ground truth at all yields -1, pycocotools'
+    // empty-slice convention
+    def row(name: String, df: DataFrame, colName: String) =
+      df.agg(coalesce(avg(colName), lit(-1.0)).as("v"))
+        .select(lit(name).as("metric"), col("v"))
+
+    val all = per(DefaultAreaRanges("all"))
+    val matchedAll = matchDetections(gt, det, DefaultIouThrs, maxDets,
+      DefaultAreaRanges("all"))
+    val gtAll = gtCountsInRange(gt, DefaultAreaRanges("all"))
+    val rows =
+      row("ap", all, "ap") ::
+      row("ap50", all.filter(col("thr") === 0.5), "ap") ::
+      row("ap75", all.filter(col("thr") === 0.75), "ap") ::
+      DefaultAreaRanges.toSeq.sortBy(_._1).collect {
+        case (label, rng) if label != "all" =>
+          row(s"ap_$label", per(rng), "ap")
+      }.toList :::
+      DefaultMaxDets.toList.map(m =>
+        row(s"ar$m", accumulate(matchedAll, gtAll, DefaultIouThrs, m), "ar")) :::
+      DefaultAreaRanges.toSeq.sortBy(_._1).collect {
+        case (label, rng) if label != "all" =>
+          row(s"ar_$label", per(rng), "ar")
+      }.toList
+    rows.reduce(_ unionByName _)
       .select(col("metric"), round(col("v"), 6).as("value"))
   }
 }

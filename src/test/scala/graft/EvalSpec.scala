@@ -79,13 +79,67 @@ class CocoSpec extends AnyFunSuite {
     assert(matched.toList == List(true, true))
   }
 
-  test("summary emits ap/ap50/ap75/ar rows over default thresholds") {
+  test("summary emits the full 12-row COCOeval surface") {
     import spark.implicits._
+    // area 100 → small; no medium/large gt anywhere → those rows are
+    // -1 (pycocotools' empty-slice convention)
     val gt = Seq(Coco.GtBox(1, 1, 0, 0, 10, 10)).toDS()
     val det = Seq(Coco.DetBox(1, 1, 10, 0.9, 0, 0, 10, 10)).toDS()
     val rows = Coco.summary(gt, det).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(rows == Map("ap" -> 1.0, "ap50" -> 1.0, "ap75" -> 1.0, "ar100" -> 1.0))
+    assert(rows == Map(
+      "ap" -> 1.0, "ap50" -> 1.0, "ap75" -> 1.0,
+      "ap_small" -> 1.0, "ap_medium" -> -1.0, "ap_large" -> -1.0,
+      "ar1" -> 1.0, "ar10" -> 1.0, "ar100" -> 1.0,
+      "ar_small" -> 1.0, "ar_medium" -> -1.0, "ar_large" -> -1.0))
+  }
+
+  test("area-range ignore semantics match pycocotools evaluateImg") {
+    import spark.implicits._
+    val rng = (50.0, 110.0)
+    val gt = Seq(
+      Coco.GtBox(1, 1, 0, 0, 10, 10),    // area 100: in range
+      Coco.GtBox(1, 1, 100, 0, 104, 4),  // area 16: ignored
+      Coco.GtBox(2, 1, 0, 0, 10, 10),    // in range
+      Coco.GtBox(2, 1, 0, 0, 12, 10))    // area 120: ignored
+    val det = Seq(
+      // img 1: d10 matches the IGNORED gt → inherits ignore;
+      // d11 matches the real gt (IoU 0.5) → tp; d12 unmatched with
+      // out-of-range area → ignored; d13 unmatched in range → fp
+      Coco.DetBox(1, 1, 10, 0.9, 100, 0, 104, 4),
+      Coco.DetBox(1, 1, 11, 0.8, 0, 0, 10, 5),
+      Coco.DetBox(1, 1, 12, 0.7, 200, 0, 203, 3),
+      Coco.DetBox(1, 1, 13, 0.6, 0, 20, 10, 30),
+      // img 2: d20 overlaps BOTH gts, higher IoU with the ignored one
+      // (0.917 vs 0.909) — evaluateImg stops scanning once its best is
+      // a real gt and the ignored tail begins, so it must match the
+      // REAL gt
+      Coco.DetBox(2, 1, 20, 0.9, 0, 0, 11, 10))
+    val m = Coco.matchDetections(gt.toDS(), det.toDS(), Seq(0.5), 100, rng)
+      .collect().map(r => r.getLong(2) -> ((r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(m(10L) == ((true, true)), "match to ignored gt inherits ignore")
+    assert(m(11L) == ((true, false)), "real match is a tp")
+    assert(m(12L) == ((false, true)), "unmatched out-of-range det is ignored")
+    assert(m(13L) == ((false, false)), "unmatched in-range det is a fp")
+    assert(m(20L) == ((true, false)), "real gt preferred over better-IoU ignored gt")
+
+    // accumulate: ignored rows out, n_gt = non-ignored count (2)
+    val counts = Coco.gtCountsInRange(gt.toDS(), rng)
+    val acc = Coco.accumulate(
+      Coco.matchDetections(gt.toDS(), det.toDS(), Seq(0.5), 100, rng),
+      counts, Seq(0.5)).head()
+    // order after filter: d11 tp, d20 tp... by (score desc, det_id):
+    // d20(.9) tp, d11(.8) tp, d13(.6) fp → precision 1,1,2/3 at recall
+    // .5,1,1 → AP = (51+50)/101 = 1.0; AR = 2/2
+    assert(math.abs(acc.getAs[Double]("ap") - 1.0) < 1e-9)
+    assert(math.abs(acc.getAs[Double]("ar") - 1.0) < 1e-9)
+
+    // maxDets=1: only each image's top-ranked det plays; img1's rank-1
+    // (d10) is ignored → img1 contributes nothing; img2's d20 is a tp
+    val acc1 = Coco.accumulate(
+      Coco.matchDetections(gt.toDS(), det.toDS(), Seq(0.5), 100, rng),
+      counts, Seq(0.5), maxDets = 1).head()
+    assert(math.abs(acc1.getAs[Double]("ar") - 0.5) < 1e-9)
   }
 }
 

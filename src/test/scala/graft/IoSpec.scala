@@ -116,6 +116,43 @@ class CheckpointSpec extends AnyFunSuite {
     assert(!Checkpoint.stage(turns, outDir, 2, cfg))
   }
 
+  test("bucketed source fast path: zero staging writes, pruned reads, resume intact") {
+    import spark.implicits._
+    val cfg = ExtractConfig(saltChunkSize = 16)
+    val turns = Turns.synth(spark, TestSpark.sfDir)
+    val srcDir = Files.createTempDirectory("graft_bucketed_src").toString
+    val outDir = Files.createTempDirectory("graft_bucketed_out").toString
+
+    // one-time layout migration (the Iceberg bucket(conv_id) stand-in)
+    Checkpoint.bucketSource(turns, srcDir, 4, cfg)
+    assert(Checkpoint.bucketedChunks(spark, srcDir) == Seq(0, 1, 2, 3))
+
+    // the per-chunk reader partition-prunes: only chunk k's files are
+    // listed, the other 3/4 of the source is never touched
+    val plan = Checkpoint.bucketedChunkReader(spark, srcDir, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("chunk"),
+      s"chunk read must push a partition filter, got:\n${plan.take(800)}")
+
+    val results = Checkpoint.runAllBucketed(spark, srcDir, outDir, cfg)
+    assert(results.length == 4 && results.forall(!_.skipped))
+    // ZERO staging writes: the fast path never materializes a copy
+    assert(!Files.exists(Paths.get(outDir, "_staged")))
+    assert(!Files.exists(Paths.get(outDir, "_STAGED_DONE")))
+
+    val single = Extract.run(turns, cfg)
+      .select($"conv_id", $"turn_idx", $"extractedText").as[(String, Int, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    val got = Checkpoint.readOutput(spark, outDir)
+      .select($"conv_id", $"turn_idx", $"extractedText").as[(String, Int, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.sameElements(single))
+
+    // kill/resume: completed chunks skip, end state unchanged
+    val resumed = Checkpoint.runAllBucketed(spark, srcDir, outDir, cfg)
+    assert(resumed.forall(_.skipped))
+  }
+
   test("resume with a mismatched numChunks is rejected, not silently lossy") {
     val turns = Turns.synth(spark, TestSpark.sfDir).limit(100)
     val cfg = ExtractConfig(saltChunkSize = 16)

@@ -179,7 +179,7 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must contain true near-dups")
   }
 
-  test("ngram log-size blocking is lossless vs unblocked brute force") {
+  test("ngram prefix filtering is lossless vs unblocked brute force") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
       .filter(col("doc_id") < 80).select("doc_id", "text")
@@ -204,6 +204,46 @@ class DedupRecallSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want)
     assert(got.contains((9001L, 9002L)), "bucket-boundary pair must be found")
+  }
+
+  test("prefix filtering collapses the within-size-class candidate blowup") {
+    import spark.implicits._
+    // skewed-length fixture: 120 equal-length random docs (the web-scale
+    // worst case for size blocking — ONE size class) + 10 planted
+    // duplicates that must survive
+    val rnd = new scala.util.Random(7)
+    def randDoc(): String = (1 to 60).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val base = (0 until 120).map(i => (i.toLong, randDoc()))
+    val planted = (0 until 10).map(i => (1000L + i, base(i)._2))
+    val df = (base ++ planted).toDF("id", "text")
+
+    // round-2 design: every pair in equal-or-adjacent log_{1/t} size
+    // buckets — on one size class that is ALL pairs
+    val t = 0.5
+    val logBase = math.log(1.0 / t)
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val sh = array_distinct(transform(sequence(lit(1), greatest(length(norm) - 2, lit(1))),
+      i => norm.substr(i, lit(3))))
+    val buckets = df.select(col("id"),
+      floor(log(size(sh).cast("double")) / logBase).cast("int").as("bucket"))
+    val sizeBlocked = buckets.as("a").join(buckets.as("b"),
+        col("a.id") < col("b.id") &&
+          (col("a.bucket") === col("b.bucket") ||
+           col("a.bucket") === col("b.bucket") + 1 ||
+           col("a.bucket") + 1 === col("b.bucket")))
+      .count()
+
+    val prefixCands = Dedup.ngramPrefixCandidates(df, "id", "text", k = 3, threshold = t)
+    val nPrefix = prefixCands.count()
+    assert(sizeBlocked >= 8000, s"fixture must be one size class, got $sizeBlocked")
+    assert(nPrefix < sizeBlocked / 5,
+      s"prefix filtering kept $nPrefix of $sizeBlocked size-blocked candidates")
+
+    // losslessness on the same fixture: planted duplicates found at 1.0
+    val got = Dedup.ngramJaccardPairs(df, "id", "text", threshold = t)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (i <- 0 until 10)
+      assert(got.get((i.toLong, 1000L + i)).exists(_ == 1.0), s"planted pair $i missing")
   }
 
   test("banded embedding LSH finds planted near-dups (recall 1.0 here)") {
