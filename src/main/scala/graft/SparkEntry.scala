@@ -484,6 +484,32 @@ object SparkEntry {
         }).toDF("doc_id", "norm", "raw_len", "norm_len", "raw_begin", "raw_end")
     }),
 
+    // FUNSD/XFund token-classification rows (instances/funsd.py via
+    // mapper/xfundstruct.py): funsd-format JSON synthesized in-flight
+    // from documents, run through the REAL parse path (FunsdSchema →
+    // explode → BIO tagging), then grouped — the driver oracle states
+    // the expected class/tag distribution independently
+    "q_funsd_tokens" -> ((s, dir) => {
+      val labels = typedLit(Seq("other", "question", "answer", "header"))
+      val words3 = slice(split(col("text"), " "), 1, 3)
+      val payload = docs(s, dir).filter(col("doc_id") < 200)
+        .select(to_json(struct(array(struct(
+          col("doc_id").as("id"),
+          element_at(labels, (col("doc_id") % 4 + 1).cast("int")).as("label"),
+          array(lit(0.0), lit(0.0), lit(100.0), lit(20.0)).as("box"),
+          transform(words3, (w, i) => struct(w.as("text"),
+            array(i.cast("double") * 50, lit(0.0),
+              i.cast("double") * 50 + 40, lit(20.0)).as("box"))).as("words"),
+          array(array(col("doc_id"), col("doc_id") + lit(1L))).as("linking")
+        )).as("form"))).as("payload"))
+      val parsed = payload
+        .select(from_json(col("payload"), graft.sources.Serializers.FunsdSchema).as("r"))
+        .select("r.*")
+      graft.sources.Serializers.funsdTokenRows(parsed)
+        .groupBy("token_class", "tag").agg(count(lit(1)).as("n"))
+        .orderBy("token_class", "tag")
+    }),
+
     // ---- multimodal plumbing (decode is a deterministic stub) ----
     "q_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
@@ -1076,6 +1102,20 @@ object SparkEntry {
              CAST(length(nfc_normalize(replace(raw, chr(13) || chr(10), chr(10)))) AS INT) AS norm_len,
              CAST(0 AS INT) AS raw_begin, CAST(5 AS INT) AS raw_end
            FROM r""",
+
+      // class/tag distribution stated independently: 'other' entities
+      // yield nw O-words, everything else 1 B + (nw-1) I
+      "q_funsd_tokens" ->
+        """WITH d AS (
+             SELECT doc_id, least(3, len(string_split(text, ' '))) AS nw,
+               CASE doc_id % 4 WHEN 0 THEN 'other' WHEN 1 THEN 'question'
+                 WHEN 2 THEN 'answer' ELSE 'header' END AS label
+             FROM documents WHERE doc_id < 200)
+           SELECT label AS token_class, tag, CAST(sum(n) AS BIGINT) AS n FROM (
+             SELECT label, 'O' AS tag, nw AS n FROM d WHERE label = 'other'
+             UNION ALL SELECT label, 'B', 1 FROM d WHERE label <> 'other'
+             UNION ALL SELECT label, 'I', nw - 1 FROM d WHERE label <> 'other' AND nw > 1)
+           GROUP BY 1, 2 ORDER BY 1, 2""",
 
       "q_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,

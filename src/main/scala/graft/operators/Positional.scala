@@ -17,6 +17,24 @@ import org.apache.spark.sql.types.LongType
   * second pass stamps `offset + position`. Both passes share the same
   * shuffle output (the count job's stages are reused/skipped), so the
   * cost is one range shuffle + one metadata pass — fully parallel.
+  *
+  * WHY THE RDD API, deliberately (investigated for round 3): a pure
+  * Column-space variant — `monotonically_increasing_id()` for
+  * (partition, position) plus a broadcast join against per-partition
+  * counts — is subtly WRONG at scale. The counts subtree and the data
+  * subtree are separate plan branches; column pruning gives them
+  * different scan schemas, so Catalyst does NOT deduplicate the two
+  * range exchanges (no ReusedExchange — verified on the executed
+  * plan), and `repartitionByRange` samples its boundaries with a
+  * seed derived from the RDD id. Two independently-planned exchanges
+  * can therefore split rows at different boundaries, and the offsets
+  * would be computed against partitions that don't match the data —
+  * silently corrupt indices once inputs are big enough for sampling
+  * to matter. `rdd.zipWithIndex()` anchors BOTH jobs (count + stamp)
+  * on one RDD lineage, where the DAG scheduler reuses the completed
+  * shuffle map stage — the one public-API mechanism that pins a
+  * single sampled partitioning. The price is one Row
+  * serialization boundary at the stamp; correctness wins.
   */
 object Positional {
 

@@ -174,6 +174,98 @@ object Serializers {
       .toDF("filename", "split", "html")
   }
 
+  /** FUNSD / XFund annotation schema (dd_datasets/instances/funsd.py,
+    * xfund.py; consumed by dd_core/mapper/xfundstruct.py:44
+    * `xfund_to_image`). FUNSD stores entities under `form`, XFund under
+    * `document` with an `img`/`uid`/`lang` envelope — one schema reads
+    * both.
+    */
+  val FunsdSchema: StructType = {
+    import org.apache.spark.sql.types._
+    val wordStruct = StructType(Seq(
+      StructField("text", StringType),
+      StructField("box", ArrayType(DoubleType))))
+    val entityStruct = StructType(Seq(
+      StructField("id", LongType),
+      StructField("label", StringType),
+      StructField("box", ArrayType(DoubleType)),
+      StructField("words", ArrayType(wordStruct)),
+      StructField("linking", ArrayType(ArrayType(LongType)))))
+    StructType(Seq(
+      StructField("form", ArrayType(entityStruct)),
+      StructField("document", ArrayType(entityStruct)),
+      StructField("img", StructType(Seq(
+        StructField("fname", StringType),
+        StructField("width", IntegerType), StructField("height", IntegerType)))),
+      StructField("uid", StringType),
+      StructField("lang", StringType)))
+  }
+
+  /** funsd.py:194-198 `token_class_names_mapping` — raw labels
+    * normalize to the four token classes; anything else is `other`.
+    */
+  val FunsdTokenClasses: Map[String, String] = Map(
+    "other" -> "other", "question" -> "question",
+    "answer" -> "answer", "header" -> "header")
+
+  /** One row per WORD with its token class, BIO tag, composed token
+    * tag, geometry, and linked entity ids — the flat columnar form of
+    * `xfund_to_image`'s Image annotations (xfundstruct.py:106-190):
+    * class `other` → tag O, first word of an entity → B, rest → I;
+    * token_tag = `B-<class>` / `I-<class>` / `O`; `linking` pairs
+    * resolve to the partner entity ids. Pure Column expressions —
+    * schema'd parse + two explodes, no UDFs, fully codegen'd.
+    *
+    * Input: a DataFrame with the [[FunsdSchema]] columns (from
+    * [[readFunsd]] or an in-flight `from_json`).
+    */
+  def funsdTokenRows(parsed: DataFrame): DataFrame = {
+    val withFile =
+      if (parsed.columns.contains("file_name")) parsed
+      else parsed.withColumn("file_name", coalesce(col("img.fname"), lit("")))
+    val entities = withFile
+      .select(col("file_name"), col("lang"),
+        explode(coalesce(col("form"), col("document"))).as("e"))
+      .select(col("file_name"), col("lang"),
+        col("e.id").as("entity_id"),
+        coalesce(element_at(typedLit(FunsdTokenClasses), lower(col("e.label"))),
+          lit("other")).as("token_class"),
+        col("e.box").as("entity_box"),
+        col("e.words").as("words"),
+        // partners of every (a, b) linking pair this entity is in
+        transform(
+          filter(coalesce(col("e.linking"), array()),
+            p => element_at(p, 1) === col("e.id") || element_at(p, 2) === col("e.id")),
+          p => when(element_at(p, 1) === col("e.id"), element_at(p, 2))
+            .otherwise(element_at(p, 1))).as("linked_entity_ids"))
+    entities
+      .select(col("file_name"), col("lang"), col("entity_id"), col("token_class"),
+        col("entity_box"), col("linked_entity_ids"),
+        posexplode(col("words")).as(Seq("word_idx", "w")))
+      .withColumn("tag",
+        when(col("token_class") === "other", lit("O"))
+          .when(col("word_idx") === 0, lit("B")).otherwise(lit("I")))
+      .withColumn("token_tag",
+        when(col("tag") === "O", lit("O"))
+          .otherwise(concat(col("tag"), lit("-"), col("token_class"))))
+      .select(col("file_name"), col("lang"), col("entity_id"), col("word_idx"),
+        col("w.text").as("text"), col("w.box").as("box"),
+        col("token_class"), col("tag"), col("token_tag"),
+        col("entity_box"), col("linked_entity_ids"))
+  }
+
+  /** FUNSD/XFund loader: one json per page (FUNSD) or jsonl (XFund) →
+    * word-level token-classification rows. The datasets that populate
+    * the `Word.tokenClass` slot the LM services reserve.
+    */
+  def readFunsd(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").schema(FunsdSchema).json(path)
+      .withColumn("file_name",
+        coalesce(col("img.fname"),
+          element_at(split(input_file_name(), "/"), -1)))
+    funsdTokenRows(raw)
+  }
+
   /** Dataset registry (dd_datasets/base.py:46 `DatasetBase` +
     * `MergeDataset` :179): named input tables over an sf dir;
     * merge = unionByName.
@@ -217,7 +309,11 @@ object Serializers {
       .withColumn("anns", transform(col("anns"), a => a.withField("publaynet_cat",
         coalesce(element_at(typedLit(DoclaynetToPublaynet), a.getField("category")), lit("text")))))),
     "pdf_pages" -> ((s, path) => readPdfPages(s, path)),
-    "pubtabnet" -> ((s, path) => pubTabNetDataset(s, path))
+    "pubtabnet" -> ((s, path) => pubTabNetDataset(s, path)),
+    // token-classification datasets (funsd.py / xfund.py) — same
+    // loader, the schema covers both envelopes
+    "funsd" -> ((s, path) => readFunsd(s, path)),
+    "xfund" -> ((s, path) => readFunsd(s, path))
   )
 
   def mergeDatasets(dfs: Seq[DataFrame]): DataFrame =

@@ -320,6 +320,16 @@ class PositionalSpec extends AnyFunSuite {
     assert(got8.sameElements(want))
   }
 
+  test("nullability metadata survives the index stamp") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a")), (2L, None)).toDF("k", "v")
+    val idx = Positional.withGlobalIndex(df, Seq("k"))
+    val bySuffix = idx.schema.fields.map(f => f.name -> f.nullable).toMap
+    assert(bySuffix("v"), "nullable input column stays nullable")
+    assert(!bySuffix("rn"), "the stamped index is non-nullable")
+    assert(idx.filter(col("v").isNull).count() == 1)
+  }
+
   test("zipJoin stops at the shorter side; batch ids are contiguous blocks") {
     import spark.implicits._
     val l = (1 to 100).map(i => (i.toLong, s"l$i")).toDF("k", "lv")

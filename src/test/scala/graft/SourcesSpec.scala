@@ -63,6 +63,66 @@ class PdfSpec extends AnyFunSuite {
   }
 }
 
+class FunsdSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("funsd-format page loads to word rows with BIO tags and links") {
+    val dir = Files.createTempDirectory("graft_funsd")
+    Files.writeString(dir.resolve("page1.json"),
+      """{"form": [
+        {"id": 0, "label": "question", "box": [0,0,100,20],
+         "words": [{"text": "Name", "box": [0,0,40,20]},
+                   {"text": "of", "box": [45,0,60,20]},
+                   {"text": "applicant:", "box": [65,0,100,20]}],
+         "linking": [[0,1]]},
+        {"id": 1, "label": "answer", "box": [110,0,200,20],
+         "words": [{"text": "Jordan", "box": [110,0,160,20]}],
+         "linking": [[0,1]]},
+        {"id": 2, "label": "OTHER", "box": [0,30,50,50],
+         "words": [{"text": "page", "box": [0,30,25,50]},
+                   {"text": "1", "box": [30,30,40,50]}],
+         "linking": []}
+      ]}""")
+    val rows = Serializers.readFunsd(spark, dir.toString)
+      .orderBy("entity_id", "word_idx").collect()
+    assert(rows.length == 6)
+    val tags = rows.map(r => (r.getAs[Long]("entity_id"), r.getAs[String]("text"),
+      r.getAs[String]("token_class"), r.getAs[String]("tag"), r.getAs[String]("token_tag")))
+    assert(tags.toSeq == Seq(
+      (0L, "Name", "question", "B", "B-question"),
+      (0L, "of", "question", "I", "I-question"),
+      (0L, "applicant:", "question", "I", "I-question"),
+      (1L, "Jordan", "answer", "B", "B-answer"),
+      (2L, "page", "other", "O", "O"),
+      (2L, "1", "other", "O", "O")))
+    // linking pairs resolve to partner entity ids on every word row
+    assert(rows(0).getAs[scala.collection.Seq[Long]]("linked_entity_ids") == Seq(1L))
+    assert(rows(3).getAs[scala.collection.Seq[Long]]("linked_entity_ids") == Seq(0L))
+    assert(rows(4).getAs[scala.collection.Seq[Long]]("linked_entity_ids") == Seq())
+    assert(rows.forall(_.getAs[String]("file_name") == "page1.json"))
+  }
+
+  test("xfund envelope (document/img/lang) loads through the same schema") {
+    val dir = Files.createTempDirectory("graft_xfund")
+    Files.writeString(dir.resolve("de.jsonl"),
+      """{"uid": "u1", "lang": "de", "img": {"fname": "de_form_1.jpg", "width": 800, "height": 1000},
+          "document": [
+            {"id": 7, "label": "header", "box": [0,0,300,40],
+             "words": [{"text": "Antrag", "box": [0,0,100,40]}],
+             "linking": []}]}""".replaceAll("\n\\s*", " "))
+    val rows = Serializers.readFunsd(spark, dir.toString).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("file_name") == "de_form_1.jpg")
+    assert(r.getAs[String]("lang") == "de")
+    assert(r.getAs[String]("token_class") == "header")
+    assert(r.getAs[String]("token_tag") == "B-header")
+    // registry wiring
+    assert(Serializers.instanceRegistry.contains("funsd") &&
+      Serializers.instanceRegistry.contains("xfund"))
+  }
+}
+
 class CocoDatasetSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 

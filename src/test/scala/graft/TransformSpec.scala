@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernels.{Segment, Transform}
+import graft.model.BBox
+
+/** Mirrors the reference's SimpleTransformService semantics
+  * (tests/pipe/test_transform.py): page dims swap under 90° rotations
+  * (the mocked predictor's new_h/new_w), every annotation box is
+  * re-emitted in the transformed frame, and the original geometry is
+  * recoverable (the reference keeps it as a deactivated annotation;
+  * here the inverse rotation restores it exactly).
+  */
+class TransformSpec extends AnyFunSuite {
+
+  private val W = 1000.0
+  private val H = 600.0
+
+  test("rotated page dims swap exactly at odd quarter turns") {
+    assert(Transform.rotatedDims(90, W, H) == ((H, W)))
+    assert(Transform.rotatedDims(180, W, H) == ((W, H)))
+    assert(Transform.rotatedDims(270, W, H) == ((H, W)))
+    assert(Transform.rotatedDims(-90, W, H) == ((H, W)))
+  }
+
+  test("90° clockwise moves the top-left box to the top-right corner") {
+    val b = BBox(0, 0, 100, 50, absCoords = true)
+    // page 1000×600 → rotated page 600×1000; the old top edge becomes
+    // the right edge: x' = H − y_bottom … H − y_top, y' = old x
+    assert(Transform.rotateBox(b, 90, W, H) == BBox(550, 0, 600, 100, absCoords = true))
+    assert(Transform.rotateBox(b, 180, W, H) == BBox(900, 550, 1000, 600, absCoords = true))
+    assert(Transform.rotateBox(b, 270, W, H) == BBox(0, 900, 50, 1000, absCoords = true))
+  }
+
+  test("rotation preserves area and containment; inverse restores exactly") {
+    val outer = BBox(100, 100, 400, 300, absCoords = true)
+    val inner = BBox(150, 120, 200, 140, absCoords = true)
+    for (angle <- Seq(90, 180, 270)) {
+      val ro = Transform.rotateBox(outer, angle, W, H)
+      val ri = Transform.rotateBox(inner, angle, W, H)
+      assert(math.abs(ro.area - outer.area) < 1e-9)
+      // containment survives the frame change
+      assert(ri.ulx >= ro.ulx && ri.uly >= ro.uly && ri.lrx <= ro.lrx && ri.lry <= ro.lry)
+      // deactivated-original equivalence: the inverse is exact
+      assert(Transform.unrotateBox(ro, angle, W, H) == outer)
+      assert(Transform.unrotateBox(ri, angle, W, H) == inner)
+    }
+  }
+
+  test("four quarter turns compose to the identity") {
+    var b = BBox(37, 83, 312, 95, absCoords = true)
+    var (w, h) = (W, H)
+    for (_ <- 1 to 4) {
+      b = Transform.rotateBox(b, 90, w, h)
+      val d = Transform.rotatedDims(90, w, h); w = d._1; h = d._2
+    }
+    assert(b == BBox(37, 83, 312, 95, absCoords = true))
+  }
+
+  test("rotateTurn re-emits every block and word box; words stay inside parents") {
+    val et = graft.pipeline.Extract.extractTurn(graft.model.Turn(
+      "c", 0, "user", "<p>alpha beta gamma</p><p>delta</p>", "",
+      new java.sql.Timestamp(0L)))
+    val seg = Segment.segment("<p>alpha beta gamma</p><p>delta</p>")
+    val rotated = Transform.rotateTurn(et, 90, seg.pageWidth, seg.pageHeight)
+    assert(rotated.blocks.length == et.blocks.length)
+    assert(rotated.words.length == et.words.length)
+    val blockById = rotated.blocks.map(b => b.id -> b.box).toMap
+    for (w <- rotated.words if w.blockId.nonEmpty && blockById.contains(w.blockId)) {
+      val pb = blockById(w.blockId)
+      assert(w.box.ulx >= pb.ulx - 1e-9 && w.box.lrx <= pb.lrx + 1e-9 &&
+        w.box.uly >= pb.uly - 1e-9 && w.box.lry <= pb.lry + 1e-9)
+    }
+    // text-side outputs are untouched by a pure geometric transform
+    assert(rotated.extractedText == et.extractedText)
+  }
+
+  test("non-right angles are rejected, not silently approximated") {
+    val e = intercept[IllegalArgumentException] {
+      Transform.rotateBox(BBox(0, 0, 1, 1, absCoords = true), 45, W, H)
+    }
+    assert(e.getMessage.contains("right-angle"))
+  }
+}
