@@ -48,7 +48,8 @@ object Segment {
   private val BlockTags = Set(
     "p", "div", "section", "article", "main", "body", "html", "head", "ul", "ol", "li",
     "table", "thead", "tbody", "tr", "td", "th", "h1", "h2", "h3", "h4", "h5", "h6",
-    "nav", "header", "footer", "aside", "title", "blockquote", "pre", "hr", "form", "button"
+    "nav", "header", "footer", "aside", "title", "blockquote", "pre", "hr", "form", "button",
+    "caption", "figure", "figcaption"
   )
   private val ChromeTags = Set("nav", "header", "footer", "aside", "form", "button")
   private val DropTags = Set("head", "script", "style", "noscript", "template", "svg", "title")
@@ -65,7 +66,7 @@ object Segment {
       case "header" => LayoutLabel.HEADER
       case "footer" => LayoutLabel.FOOTER
       case "aside" => LayoutLabel.ASIDE
-      case "caption" => LayoutLabel.CAPTION
+      case "caption" | "figcaption" => LayoutLabel.CAPTION
     }.getOrElse(LayoutLabel.TEXT)
   }
 

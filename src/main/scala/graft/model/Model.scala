@@ -91,7 +91,13 @@ final case class Block(
     textDensity: Double, // words per rendered line (boilerpipe-style)
     linkDensity: Double, // anchor chars / total chars
     tagDepth: Int,
-    text: String         // assembled block text (words in reading order)
+    text: String,        // assembled block text (words in reading order)
+    /** LAYOUT_LINK relationship (factory.py:1784 USE_LAYOUT_LINK via
+      * NeighbourMatcher, pipe/common.py:182): the nearest configured
+      * parent block's id, "" when the service is off or no parent
+      * exists.
+      */
+    linkedBlockId: String = ""
 )
 
 /** Per-turn extraction metrics (north rule: blocks kept/dropped, span

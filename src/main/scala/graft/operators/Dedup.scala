@@ -112,27 +112,45 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The band-collision candidate pairs alone (no verify) — public so
+    * Bench can report candidate counts at two corpus sizes: the
+    * growth evidence that the banded design's candidate bill tracks
+    * the data's true near-dup density, not n². The `bands` knob is the
+    * fp/recall dial: rows = numHashes/bands per band, a j-similar pair
+    * collides with ≈ bands·j^rows, so 16 bands (r=4) is complete far
+    * below j=0.5 but bills n²·bands·j̄⁴ on a corpus whose TYPICAL
+    * similarity j̄ is high, while 8 bands (r=8) collapses the bill on
+    * mid-similarity corpora at a ≈1.7e−4 miss at j=0.95.
+    */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    bandCandidates(signatures(df, idCol, textCol, k, numHashes), numHashes, bands)
+
+  private def bandCandidates(withSig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = withSig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
   /** MinHash-LSH candidates verified with EXACT shingle Jaccard: the
     * production near-dup shape — LSH prunes the pair space, then only
     * candidate pairs re-join content (by id, so the band join still
     * never shuffles payloads) and compute exact set Jaccard.
     * At threshold ≥0.95 the banded-LSH miss probability is
-    * (1−j^rows)^bands ≈ 7e−14, so the output equals the brute-force
+    * (1−j^rows)^bands ≈ 2e−12, so the output equals the brute-force
     * all-pairs answer and a closed-form oracle can verify it.
     */
   def minhashLshExactPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       jaccardThreshold: Double = 0.95): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val withSh = signatures(df, idCol, textCol, k, numHashes)
-    val banded = withSh.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val cand = bandCandidates(withSh, numHashes, bands)
 
     val shingled = withSh.select(col("id"), col("sh"))
     cand
@@ -389,28 +407,44 @@ object Dedup {
     * Round-1 required candidates to share ALL 12 sign bits — one band,
     * per-pair recall ≈ 0.795¹² ≈ 6% at cos 0.8. Banding like MinHash
     * fixes it: `tables` independent bands of `planes` bits each,
-    * candidates = union of per-band bucket collisions. At cos ≥ 0.99
-    * (per-plane p ≈ 0.955) a 6-plane band hits with p⁶ ≈ 0.76, so the
-    * miss probability across 8 bands is (1−0.76)⁸ ≈ 1e−5; at the
-    * near-dup regime this operator targets (cos ≥ 0.999) it is < 1e−10.
-    * Verified against an UNBLOCKED all-pairs DuckDB oracle
-    * (`q_embed_neardup`, on data that contains true near-dup pairs).
+    * candidates = union of per-band bucket collisions.
+    *
+    * Parameter math at the 16×16 defaults (round 3 — the 6×8 defaults
+    * had a ~12.5% RANDOM-pair band-collision rate, i.e. an n²·0.125
+    * candidate bill regardless of data; measured, not theorized):
+    * an uncorrelated pair agrees per plane with p = 0.5, so a 16-plane
+    * band collides at 2⁻¹⁶ and the union over 16 tables is ≈ 2.4e−4 of
+    * pairs — 500× fewer false candidates. Recall in the near-dup
+    * regime this operator targets: at cos ≥ 0.999 (per-plane
+    * p ≈ 0.9857) a band hits with 0.9857¹⁶ ≈ 0.794, miss across 16
+    * tables ≈ (0.206)¹⁶ ≈ 1e−11; at cos 0.99 miss ≈ 0.005. Verified
+    * against an UNBLOCKED all-pairs DuckDB oracle (`q_embed_neardup`,
+    * on data that contains true near-dup pairs at cos ≈ 0.9996, miss
+    * ≈ 1e−14).
     *
     * Scale shape: the band join carries (band, bucket, id) only;
     * vectors re-join the candidate pairs by id.
     */
-  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 6, tables: Int = 8, threshold: Double = 0.9): DataFrame = {
-    // unit vectors once per row → candidate verify = one dot product
-    // per pair (norms are NOT recomputed n² times)
-    val vecs = Similarity.unitVectors(df, idCol, vecCol)
+  /** SRP-band collision candidates alone (no cosine verify) — public
+    * for the same Bench scale evidence as [[minhashLshCandidates]].
+    */
+  def embeddingNearDupCandidates(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 16, tables: Int = 16): DataFrame = {
     val banded = Similarity.bucketed(df, idCol, vecCol, planes, tables)
       .select(col("id"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 16, tables: Int = 16, threshold: Double = 0.9): DataFrame = {
+    // unit vectors once per row → candidate verify = one dot product
+    // per pair (norms are NOT recomputed n² times)
+    val vecs = Similarity.unitVectors(df, idCol, vecCol)
+    val cand = embeddingNearDupCandidates(df, idCol, vecCol, planes, tables)
     cand
       .join(vecs.select(col("id").as("id_a"), col("u").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("u").as("v_b")), "id_b")

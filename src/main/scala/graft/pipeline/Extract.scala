@@ -38,6 +38,15 @@ final case class ExtractConfig(
       * page (the reference generates a DetectResult with the image's
       * dimensions). Empty = off (default). */
     backfillKinds: Seq[String] = Nil,
+    /** LAYOUT_LINK service (factory.py:1784 USE_LAYOUT_LINK →
+      * MatchingService with NeighbourMatcher, pipe/common.py:182):
+      * each block whose kind is in `layoutLinkChildren` links to the
+      * NEAREST block (center distance) whose kind is in
+      * `layoutLinkParents`. Off when either set is empty (the
+      * reference's config gate).
+      */
+    layoutLinkParents: Set[String] = Set.empty,
+    layoutLinkChildren: Set[String] = Set.empty,
     /** SimpleTransformService analogue (pipe/transform.py:32-96):
       * NFC + newline canonicalization applied to the payload BEFORE
       * segmentation, so every emitted span indexes the normalized
@@ -228,11 +237,24 @@ object Extract {
     val lineOrder: Map[Int, Int] =
       orderPairs.collect { case (ord, key) if key.startsWith("l") => key.drop(1).toInt -> ord }.toMap
 
+    // ---- layout-link (factory.py USE_LAYOUT_LINK): nearest-parent
+    // links for configured kinds, e.g. caption → figure/table ----
+    val layoutLink: Map[Int, Int] =
+      if (cfg.layoutLinkParents.isEmpty || cfg.layoutLinkChildren.isEmpty) Map.empty
+      else {
+        val pIdx = blocks0.indices.filter(i => cfg.layoutLinkParents.contains(blocks0(i).kind))
+        val cIdx = blocks0.indices.filter(i => cfg.layoutLinkChildren.contains(blocks0(i).kind))
+        Match.matchByDistance(
+            pIdx.map(blocks0(_).box).toIndexedSeq, cIdx.map(blocks0(_).box).toIndexedSeq)
+          .map { case (c, p) => cIdx(c) -> pIdx(p) }.toMap
+      }
+
     val blocks = (blocks0.indices.map { i =>
       val b = blocks0(i)
       Block(blockIds(i), b.kind, b.begin, b.end, b.box, 1.0,
         readingOrder.getOrElse(i, -1), kept = readingOrder.contains(i),
-        b.textDensity, b.linkDensity, b.tagDepth, blockTexts(i))
+        b.textDensity, b.linkDensity, b.tagDepth, blockTexts(i),
+        linkedBlockId = layoutLink.get(i).map(blockIds(_)).getOrElse(""))
     } ++ residualLines.zipWithIndex.map { case (rl, j) =>
       Block(rl.id, LayoutLabel.LINE, rl.begin, rl.end, rl.box, 1.0,
         lineOrder.getOrElse(j, -1), kept = lineOrder.contains(j),
@@ -284,7 +306,9 @@ object Extract {
     val orderMap = keptBlocks.filter(_.kept).sortBy(_.readingOrder)
       .zipWithIndex.map { case (b, i) => b.id -> (i + 1) }.toMap
     val blocks = keptBlocks.map(b =>
-      b.copy(readingOrder = orderMap.getOrElse(b.id, -1), kept = orderMap.contains(b.id)))
+      b.copy(readingOrder = orderMap.getOrElse(b.id, -1), kept = orderMap.contains(b.id),
+        // a layout link to a removed block is dangling — clear it
+        linkedBlockId = if (ids.contains(b.linkedBlockId)) "" else b.linkedBlockId))
     val words = et.words
       .filterNot(w => ids.contains(w.id))
       .map(w => if (w.blockId.nonEmpty && ids.contains(w.blockId))

@@ -266,6 +266,161 @@ object Serializers {
     funsdTokenRows(raw)
   }
 
+  /** rvl-cdip's 16 document-type labels in `_INIT_CATEGORIES` order
+    * (dd_datasets/instances/rvlcdip.py:73-90; ids 1..16 like the
+    * reference's `label + 1`).
+    */
+  val RvlcdipCategories: Map[Int, String] = Seq(
+    "letter", "form", "email", "handwritten", "advertisement",
+    "scientific_report", "scientific_publication", "specification",
+    "file_folder", "news_article", "budget", "invoice", "presentation",
+    "questionnaire", "resume", "memo").zipWithIndex.map { case (n, i) => (i + 1) -> n }.toMap
+
+  /** rvl-cdip loader (instances/rvlcdip.py:148): tab/space-separated
+    * `location label` lines → one classification row per image with
+    * the document type resolved (the reference's summary
+    * `DOCUMENT_TYPE` sub-category).
+    */
+  def readRvlcdip(spark: SparkSession, path: String): DataFrame = {
+    val parts = split(trim(col("value")), "\\s+")
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(parts.getItem(0).as("location"),
+        (parts.getItem(1).cast("int") + 1).as("category_id"))
+      .withColumn("file_name", element_at(split(col("location"), "/"), -1))
+      .withColumn("document_type",
+        coalesce(element_at(typedLit(RvlcdipCategories), col("category_id")), lit("unk")))
+  }
+
+  /** Prodigy-export loader (instances/layouttest.py:123 via
+    * dd_core/mapper/prodigystruct.py:34 `prodigy_to_image`): jsonl of
+    * annotation tasks; only `answer == "accept"` rows survive (the
+    * reference's MapData filter), file name resolves meta.file → id →
+    * text → basename(path), and each span's box comes from corner
+    * points 0 (upper-left) and 2 (lower-right), clamped to the image.
+    */
+  def readProdigy(spark: SparkSession, path: String,
+      acceptOnly: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("answer", StringType),
+      StructField("id", StringType),
+      StructField("text", StringType),
+      StructField("path", StringType),
+      StructField("image_id", StringType),
+      StructField("width", DoubleType),
+      StructField("height", DoubleType),
+      StructField("meta", StructType(Seq(StructField("file", StringType)))),
+      StructField("spans", ArrayType(StructType(Seq(
+        StructField("label", StringType),
+        StructField("id", StringType),
+        StructField("annotation_id", StringType),
+        StructField("score", DoubleType),
+        StructField("points", ArrayType(ArrayType(DoubleType)))))))))
+    val raw = spark.read.schema(schema).json(path)
+    val accepted = if (acceptOnly) raw.filter(col("answer") === "accept") else raw
+    def clampX(c: org.apache.spark.sql.Column) =
+      when(col("width").isNotNull, least(greatest(c, lit(0.0)), col("width")))
+        .otherwise(greatest(c, lit(0.0)))
+    def clampY(c: org.apache.spark.sql.Column) =
+      when(col("height").isNotNull, least(greatest(c, lit(0.0)), col("height")))
+        .otherwise(greatest(c, lit(0.0)))
+    accepted
+      .withColumn("file_name", coalesce(col("meta.file"), col("id"), col("text"),
+        element_at(split(col("path"), "/"), -1), lit("")))
+      .select(col("file_name"), col("image_id"), col("width"), col("height"),
+        explode(col("spans")).as("s"))
+      .select(col("file_name"), col("image_id"), col("width"), col("height"),
+        col("s.label").as("label"),
+        coalesce(col("s.annotation_id"), col("s.id")).as("span_id"),
+        col("s.score").as("score"),
+        clampX(element_at(element_at(col("s.points"), 1), 1)).as("ulx"),
+        clampY(element_at(element_at(col("s.points"), 1), 2)).as("uly"),
+        clampX(element_at(element_at(col("s.points"), 3), 1)).as("lrx"),
+        clampY(element_at(element_at(col("s.points"), 3), 2)).as("lry"))
+  }
+
+  /** PASCAL-VOC XML loader (instances/iiitar13k.py:150 +
+    * pubtables1m.py:153, both `SerializerFiles.load(".xml")` →
+    * xsl-transformed dict → `pascal_voc_dict_to_image`): one row per
+    * `<object>` with the annotation's filename and the bndbox. The
+    * reference's XSLT + literal_eval round-trip collapses to Spark's
+    * native XML source (rowTag=annotation) with an explicit schema —
+    * no inference pass, executor-side parse.
+    *
+    * @param categoryNameMapping label normalization, e.g. pubtables1m's
+    *   "table spanning cell" → "spanning_cell" (pascalstruct.py's
+    *   category_name_mapping)
+    */
+  def readPascalVoc(spark: SparkSession, dir: String,
+      categoryNameMapping: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("filename", StringType),
+      StructField("size", StructType(Seq(
+        StructField("width", DoubleType), StructField("height", DoubleType)))),
+      StructField("object", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("bndbox", StructType(Seq(
+          StructField("xmin", DoubleType), StructField("ymin", DoubleType),
+          StructField("xmax", DoubleType), StructField("ymax", DoubleType))))))))))
+    val mapped =
+      if (categoryNameMapping.isEmpty) col("o.name")
+      else coalesce(element_at(typedLit(categoryNameMapping), col("o.name")), col("o.name"))
+    spark.read.format("xml")
+      .option("rowTag", "annotation")
+      .schema(schema)
+      .load(s"$dir/*.xml")
+      .select(col("filename").as("file_name"),
+        col("size.width").as("width"), col("size.height").as("height"),
+        explode(col("object")).as("o"))
+      .select(col("file_name"), col("width"), col("height"),
+        mapped.as("label"),
+        col("o.bndbox.xmin").as("ulx"), col("o.bndbox.ymin").as("uly"),
+        col("o.bndbox.xmax").as("lrx"), col("o.bndbox.ymax").as("lry"))
+  }
+
+  /** pubtables1m's raw→normalized label map
+    * (instances/pubtables1m.py `_map_category_names` analogue).
+    */
+  val Pubtables1mNameMapping: Map[String, String] = Map(
+    "table" -> "table", "table column" -> "column", "table row" -> "row",
+    "table column header" -> "column_header",
+    "table projected row header" -> "projected_row_header",
+    "table spanning cell" -> "spanning_cell")
+
+  /** fintabnet-style jsonl (instances/fintabnet.py:196 via
+    * `pub_to_image(is_fintabnet=True)`): same html.structure/cells
+    * fields as pubtabnet — HTML reassembled identically — plus the
+    * table's PDF-coordinate bbox and ids passed through. (The
+    * reference's PDF y-flip needs the page image; coordinates are
+    * passed through raw here, documented.)
+    */
+  def finTabNetDataset(spark: SparkSession, jsonlPath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("filename", StringType),
+      StructField("table_id", LongType),
+      StructField("split", StringType),
+      StructField("bbox", ArrayType(DoubleType)),
+      StructField("html", StructType(Seq(
+        StructField("structure", StructType(Seq(
+          StructField("tokens", ArrayType(StringType))))),
+        StructField("cells", ArrayType(StructType(Seq(
+          StructField("tokens", ArrayType(StringType)))))))))))
+    spark.read.schema(schema).json(jsonlPath)
+      .select(col("filename"), col("table_id"), col("split"), col("bbox"),
+        col("html.structure.tokens").as("structure"),
+        col("html.cells.tokens").as("cells"))
+      .as[(String, Long, String, Seq[Double], Seq[String], Seq[Seq[String]])]
+      .map { case (f, tid, s, bbox, structure, cells) =>
+        (f, tid, s, bbox, pubTabNetHtml(
+          Option(structure).getOrElse(Nil), Option(cells).getOrElse(Nil)))
+      }
+      .toDF("filename", "table_id", "split", "bbox", "html")
+  }
+
   /** Dataset registry (dd_datasets/base.py:46 `DatasetBase` +
     * `MergeDataset` :179): named input tables over an sf dir;
     * merge = unionByName.
@@ -313,7 +468,16 @@ object Serializers {
     // token-classification datasets (funsd.py / xfund.py) — same
     // loader, the schema covers both envelopes
     "funsd" -> ((s, path) => readFunsd(s, path)),
-    "xfund" -> ((s, path) => readFunsd(s, path))
+    "xfund" -> ((s, path) => readFunsd(s, path)),
+    // document-type classification (rvlcdip.py)
+    "rvl-cdip" -> ((s, path) => readRvlcdip(s, path)),
+    // prodigy-export layout sample (layouttest.py)
+    "layouttest" -> ((s, path) => readProdigy(s, path)),
+    // PASCAL-VOC XML family (iiitar13k.py, pubtables1m.py)
+    "iiitar13k" -> ((s, path) => readPascalVoc(s, path)),
+    "pubtables1m" -> ((s, path) => readPascalVoc(s, path, Pubtables1mNameMapping)),
+    // pubtabnet-format tables with fintabnet extras (fintabnet.py)
+    "fintabnet" -> ((s, path) => finTabNetDataset(s, path))
   )
 
   def mergeDatasets(dfs: Seq[DataFrame]): DataFrame =

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Turn
+import graft.pipeline.{Extract, ExtractConfig}
+
+/** USE_LAYOUT_LINK service (analyzer/factory.py:1784 →
+  * MatchingService + NeighbourMatcher, pipe/common.py:182): captions
+  * link to their nearest configured parent block by center distance;
+  * the service is config-gated and off by default.
+  */
+class LayoutLinkSpec extends AnyFunSuite {
+
+  private val payload =
+    """<p>alpha para</p><figcaption>cap text</figcaption>""" +
+      """<div style="left:0%;width:40%;top:50%"><p>far away body</p></div>"""
+  private def turn = Turn("c", 0, "user", payload, "", new java.sql.Timestamp(0L))
+
+  test("caption links to the nearest parent block by center distance") {
+    val cfg = ExtractConfig(
+      layoutLinkParents = Set("text"), layoutLinkChildren = Set("caption"))
+    val et = Extract.extractTurn(turn, cfg)
+    val byKind = et.blocks.groupBy(_.kind)
+    val Array(cap) = byKind("caption")
+    val alpha = byKind("text").minBy(_.box.uly) // the adjacent paragraph
+    assert(cap.linkedBlockId == alpha.id,
+      s"caption must link to the adjacent paragraph, got ${cap.linkedBlockId}")
+    // parents and unrelated blocks carry no link
+    assert(byKind("text").forall(_.linkedBlockId == ""))
+  }
+
+  test("the service is off by default (config gate, like USE_LAYOUT_LINK)") {
+    val et = Extract.extractTurn(turn)
+    assert(et.blocks.forall(_.linkedBlockId == ""))
+  }
+
+  test("removeAnnotations clears links that would dangle") {
+    val cfg = ExtractConfig(
+      layoutLinkParents = Set("text"), layoutLinkChildren = Set("caption"))
+    val et = Extract.extractTurn(turn, cfg)
+    val cap = et.blocks.find(_.kind == "caption").get
+    val removed = Extract.removeAnnotations(et, Set(cap.linkedBlockId))
+    val capAfter = removed.blocks.find(_.kind == "caption").get
+    assert(capAfter.linkedBlockId == "")
+  }
+}

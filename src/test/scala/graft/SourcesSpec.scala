@@ -123,6 +123,77 @@ class FunsdSpec extends AnyFunSuite {
   }
 }
 
+class InstanceLoadersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("rvl-cdip: tabsep lines resolve to document-type rows (label+1 ids)") {
+    val dir = Files.createTempDirectory("graft_rvl")
+    Files.writeString(dir.resolve("val.txt"),
+      "imagesa/0000123.tif 0\nimagesb/0000456.tif 15\n")
+    val rows = Serializers.readRvlcdip(spark, dir.toString)
+      .orderBy("file_name").collect()
+    assert(rows.length == 2)
+    assert(rows.map(r => (r.getAs[String]("file_name"), r.getAs[Int]("category_id"),
+      r.getAs[String]("document_type"))).toSeq ==
+      Seq(("0000123.tif", 1, "letter"), ("0000456.tif", 16, "memo")))
+  }
+
+  test("prodigy export: accept-filter, filename fallback, corner-point boxes") {
+    val dir = Files.createTempDirectory("graft_prodigy")
+    Files.writeString(dir.resolve("ann.jsonl"),
+      """{"answer":"accept","meta":{"file":"p1.png"},"width":100.0,"height":80.0,"spans":[{"label":"title","id":"s1","points":[[10,5],[60,5],[60,25],[10,25]]},{"label":"text","id":"s2","points":[[-4,30],[90,30],[90,200],[-4,200]]}]}""" + "\n" +
+      """{"answer":"reject","meta":{"file":"p2.png"},"spans":[{"label":"text","id":"s3","points":[[0,0],[1,0],[1,1],[0,1]]}]}""" + "\n")
+    val rows = Serializers.readProdigy(spark, dir.toString)
+      .orderBy("span_id").collect()
+    assert(rows.length == 2, "rejected task must be filtered")
+    val s1 = rows(0)
+    assert(s1.getAs[String]("file_name") == "p1.png" && s1.getAs[String]("label") == "title")
+    assert((s1.getAs[Double]("ulx"), s1.getAs[Double]("uly"),
+      s1.getAs[Double]("lrx"), s1.getAs[Double]("lry")) == ((10.0, 5.0, 60.0, 25.0)))
+    // out-of-image points clamp like prodigystruct.py:110-113
+    val s2 = rows(1)
+    assert((s2.getAs[Double]("ulx"), s2.getAs[Double]("lry")) == ((0.0, 80.0)))
+  }
+
+  test("pascal-voc xml: one row per object, pubtables1m name normalization") {
+    val dir = Files.createTempDirectory("graft_voc")
+    Files.writeString(dir.resolve("t1.xml"),
+      """<?xml version="1.0"?>
+        <annotation>
+          <filename>t1.jpg</filename>
+          <size><width>800</width><height>600</height></size>
+          <object><name>table</name>
+            <bndbox><xmin>10</xmin><ymin>20</ymin><xmax>700</xmax><ymax>500</ymax></bndbox></object>
+          <object><name>table spanning cell</name>
+            <bndbox><xmin>30</xmin><ymin>40</ymin><xmax>120</xmax><ymax>90</ymax></bndbox></object>
+        </annotation>""")
+    val rows = Serializers.readPascalVoc(spark, dir.toString,
+        Serializers.Pubtables1mNameMapping)
+      .orderBy("ulx").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("label")).toSeq == Seq("table", "spanning_cell"))
+    assert(rows(0).getAs[Double]("lrx") == 700.0 && rows(0).getAs[Double]("width") == 800.0)
+    // iiitar13k flavor: no mapping, raw names pass through
+    assert(Serializers.readPascalVoc(spark, dir.toString)
+      .filter(col("label") === "table spanning cell").count() == 1)
+  }
+
+  test("fintabnet jsonl: pubtabnet-style html reassembly + bbox/table_id passthrough") {
+    val dir = Files.createTempDirectory("graft_fintab")
+    Files.writeString(dir.resolve("f.jsonl"),
+      """{"filename":"a.pdf","table_id":7,"split":"train","bbox":[10.0,20.0,200.0,120.0],""" +
+        """"html":{"structure":{"tokens":["<tr>","<td>","</td>","<td>","</td>","</tr>"]},""" +
+        """"cells":[{"tokens":["X"]},{"tokens":["Y"]}]}}""" + "\n")
+    val r = Serializers.finTabNetDataset(spark, dir.toString).head()
+    assert(r.getAs[String]("html") == "<table><tr><td>X</td><td>Y</td></tr></table>")
+    assert(r.getAs[Long]("table_id") == 7L)
+    assert(r.getAs[scala.collection.Seq[Double]]("bbox") == Seq(10.0, 20.0, 200.0, 120.0))
+    // all five round-3 instances are registry-wired (11/11 total)
+    for (n <- Seq("rvl-cdip", "layouttest", "iiitar13k", "pubtables1m", "fintabnet"))
+      assert(Serializers.instanceRegistry.contains(n), n)
+  }
+}
+
 class CocoDatasetSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
