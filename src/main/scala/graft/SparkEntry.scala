@@ -289,7 +289,9 @@ object SparkEntry {
     "q_eval_map_areas" -> ((s, dir) => {
       val (gt, det) = cocoFixture(s, dir)
       val thr = Seq(0.5)
-      val small = (0.0, 550.0)
+      // inclusive hi (pycocotools semantics): area <= 549 ⟺ area < 550
+      // on this integer-area fixture — the DuckDB twin filters < 550
+      val small = (0.0, 549.0)
       val apSmall = Coco.accumulate(
           Coco.matchDetections(gt, det, thr, 100, small),
           Coco.gtCountsInRange(gt, small), thr, 100)

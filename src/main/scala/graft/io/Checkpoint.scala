@@ -155,6 +155,11 @@ object Checkpoint {
       lit(numChunks))
     turns.toDF().withColumn("chunk", chunkExpr)
       .write.mode("overwrite").partitionBy("chunk").parquet(srcDir)
+    // layout identity: a fresh token per bucketing run, so a resume
+    // against RE-bucketed data (new chunk count or new contents) is
+    // detectable — the Iceberg analogue is the table's snapshot id
+    commitMarker(Paths.get(srcDir, "_BUCKETED_DONE"),
+      s"""{"num_chunks":$numChunks,"layout_id":"${java.util.UUID.randomUUID()}"}""")
   }
 
   /** Chunk ids present in a `chunk=`-partitioned source dir (from the
@@ -190,6 +195,25 @@ object Checkpoint {
     val chunks = bucketedChunks(spark, srcDir)
     require(chunks.nonEmpty, s"$srcDir has no chunk= partitions — " +
       "bucket it once with bucketSource(), or use runAll() to stage")
+    // resume guard (same class of bug runAll's stagedNumChunks guard
+    // closes): _DONE_ markers in outDir are only valid against the
+    // SOURCE LAYOUT they were produced from. The layout key is the
+    // bucketSource marker (layout id + chunk count) when present, else
+    // the observed chunk list; a mismatch on resume means the source
+    // was re-bucketed under this output dir — stale markers would
+    // silently skip changed partitions.
+    val srcMarker = Paths.get(srcDir, "_BUCKETED_DONE")
+    val layoutKey =
+      if (Files.exists(srcMarker)) Files.readString(srcMarker).trim
+      else s"""{"chunks":"${chunks.mkString(",")}"}"""
+    val outLayout = Paths.get(outDir, "_SRC_LAYOUT")
+    if (Files.exists(outLayout)) {
+      val recorded = Files.readString(outLayout).trim
+      require(recorded == layoutKey,
+        s"$outDir was produced from a different source layout " +
+          s"($recorded vs $layoutKey) — the source was re-bucketed; " +
+          "clear the output dir instead of resuming against stale markers")
+    } else commitMarker(outLayout, layoutKey)
     chunks.map(k => runChunkFrom(spark, srcDir, outDir, k, cfg))
   }
 

@@ -90,7 +90,7 @@ object Coco {
     */
   def matchDetections(gt: Dataset[GtBox], det: Dataset[DetBox],
       iouThrs: Seq[Double] = DefaultIouThrs, maxDets: Int = 100,
-      areaRng: (Double, Double) = (0.0, Double.MaxValue)): DataFrame = {
+      areaRng: (Double, Double) = (0.0, 1e10)): DataFrame = {
     val spark = det.sparkSession
     import spark.implicits._
     val thrs = iouThrs.toArray
@@ -98,8 +98,11 @@ object Coco {
     gt.groupByKey(g => (g.img, g.cat))
       .cogroup(det.groupByKey(d => (d.img, d.cat))) { case ((_, cat), gs, ds) =>
         val gts0 = gs.toArray
+        // INCLUSIVE bounds like pycocotools (ignore iff area<lo or
+        // area>hi): a 32×32 box (area 1024.0) counts in BOTH the small
+        // and the medium range at the shared boundary
         val ig0 = gts0.map { g =>
-          val a = areaOf(g.ulx, g.uly, g.lrx, g.lry); a < aLo || a >= aHi
+          val a = areaOf(g.ulx, g.uly, g.lrx, g.lry); a < aLo || a > aHi
         }
         // stable ignored-last order (pycocotools sorts gt by _ignore)
         val order = gts0.indices.sortBy(ig0(_))
@@ -132,7 +135,7 @@ object Coco {
             if (matched) gtMatched(best) = true
             val dIgnored =
               if (matched) ig(best)
-              else { val a = areaOf(d.ulx, d.uly, d.lrx, d.lry); a < aLo || a >= aHi }
+              else { val a = areaOf(d.ulx, d.uly, d.lrx, d.lry); a < aLo || a > aHi }
             (cat, thr, d.detId, d.score, matched, dIgnored, di + 1)
           }
         }
@@ -183,10 +186,12 @@ object Coco {
       .orderBy("cat", "thr")
   }
 
-  /** Non-ignored gt count per category for an area range. */
+  /** Non-ignored gt count per category for an area range (inclusive
+    * bounds, matching [[matchDetections]]'s pycocotools semantics).
+    */
   def gtCountsInRange(gt: Dataset[GtBox], areaRng: (Double, Double)): DataFrame = {
     val area = (col("lrx") - col("ulx")) * (col("lry") - col("uly"))
-    gt.toDF().filter(area >= areaRng._1 && area < areaRng._2)
+    gt.toDF().filter(area >= areaRng._1 && area <= areaRng._2)
       .groupBy("cat").agg(count(lit(1)).as("n_gt"))
   }
 
@@ -199,6 +204,10 @@ object Coco {
     */
   def summary(gt: Dataset[GtBox], det: Dataset[DetBox],
       maxDets: Int = 100): DataFrame = {
+    // ONE matchDetections (the expensive cogroup) per area range —
+    // the ap_* and ar_* rows of a range share its accumulate, and the
+    // 'all' rows (ap/ap50/ap75 + the AR@m family) share one matched
+    // DataFrame across the maxDets variants
     def per(areaRng: (Double, Double)) = accumulate(
       matchDetections(gt, det, DefaultIouThrs, maxDets, areaRng),
       gtCountsInRange(gt, areaRng), DefaultIouThrs, maxDets)
@@ -208,24 +217,20 @@ object Coco {
       df.agg(coalesce(avg(colName), lit(-1.0)).as("v"))
         .select(lit(name).as("metric"), col("v"))
 
-    val all = per(DefaultAreaRanges("all"))
     val matchedAll = matchDetections(gt, det, DefaultIouThrs, maxDets,
       DefaultAreaRanges("all"))
     val gtAll = gtCountsInRange(gt, DefaultAreaRanges("all"))
+    val all = accumulate(matchedAll, gtAll, DefaultIouThrs, maxDets)
+    val subRanges = DefaultAreaRanges.toSeq.sortBy(_._1)
+      .collect { case (label, rng) if label != "all" => label -> per(rng) }
     val rows =
       row("ap", all, "ap") ::
       row("ap50", all.filter(col("thr") === 0.5), "ap") ::
       row("ap75", all.filter(col("thr") === 0.75), "ap") ::
-      DefaultAreaRanges.toSeq.sortBy(_._1).collect {
-        case (label, rng) if label != "all" =>
-          row(s"ap_$label", per(rng), "ap")
-      }.toList :::
+      subRanges.map { case (label, acc) => row(s"ap_$label", acc, "ap") }.toList :::
       DefaultMaxDets.toList.map(m =>
         row(s"ar$m", accumulate(matchedAll, gtAll, DefaultIouThrs, m), "ar")) :::
-      DefaultAreaRanges.toSeq.sortBy(_._1).collect {
-        case (label, rng) if label != "all" =>
-          row(s"ar_$label", per(rng), "ar")
-      }.toList
+      subRanges.map { case (label, acc) => row(s"ar_$label", acc, "ar") }.toList
     rows.reduce(_ unionByName _)
       .select(col("metric"), round(col("v"), 6).as("value"))
   }

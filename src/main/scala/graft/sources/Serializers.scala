@@ -254,12 +254,20 @@ object Serializers {
         col("entity_box"), col("linked_entity_ids"))
   }
 
-  /** FUNSD/XFund loader: one json per page (FUNSD) or jsonl (XFund) →
-    * word-level token-classification rows. The datasets that populate
-    * the `Word.tokenClass` slot the LM services reserve.
+  /** FUNSD/XFund loader → word-level token-classification rows. The
+    * datasets that populate the `Word.tokenClass` slot the LM services
+    * reserve.
+    *
+    * `multiLine = true` (FUNSD: one pretty-printed json PER FILE)
+    * parses exactly ONE record per file — reading a multi-record jsonl
+    * that way silently drops every record after the first, so the
+    * XFund registry entry passes `multiLine = false` (jsonl: one
+    * record per line).
     */
-  def readFunsd(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("multiLine", "true").schema(FunsdSchema).json(path)
+  def readFunsd(spark: SparkSession, path: String,
+      multiLine: Boolean = true): DataFrame = {
+    val raw = spark.read.option("multiLine", multiLine.toString)
+      .schema(FunsdSchema).json(path)
       .withColumn("file_name",
         coalesce(col("img.fname"),
           element_at(split(input_file_name(), "/"), -1)))
@@ -466,9 +474,9 @@ object Serializers {
     "pdf_pages" -> ((s, path) => readPdfPages(s, path)),
     "pubtabnet" -> ((s, path) => pubTabNetDataset(s, path)),
     // token-classification datasets (funsd.py / xfund.py) — same
-    // loader, the schema covers both envelopes
-    "funsd" -> ((s, path) => readFunsd(s, path)),
-    "xfund" -> ((s, path) => readFunsd(s, path)),
+    // loader/schema; funsd = one json per file, xfund = jsonl
+    "funsd" -> ((s, path) => readFunsd(s, path, multiLine = true)),
+    "xfund" -> ((s, path) => readFunsd(s, path, multiLine = false)),
     // document-type classification (rvlcdip.py)
     "rvl-cdip" -> ((s, path) => readRvlcdip(s, path)),
     // prodigy-export layout sample (layouttest.py)

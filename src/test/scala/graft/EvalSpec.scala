@@ -141,6 +141,20 @@ class CocoSpec extends AnyFunSuite {
       counts, Seq(0.5), maxDets = 1).head()
     assert(math.abs(acc1.getAs[Double]("ar") - 0.5) < 1e-9)
   }
+
+  test("area bounds are inclusive: a 32x32 box counts in small AND medium") {
+    import spark.implicits._
+    // pycocotools ignores iff area < lo or area > hi — the 32² = 1024
+    // boundary belongs to both ranges
+    val gt = Seq(Coco.GtBox(1, 1, 0, 0, 32, 32)).toDS()
+    val det = Seq(Coco.DetBox(1, 1, 10, 0.9, 0, 0, 32, 32)).toDS()
+    for (label <- Seq("small", "medium")) {
+      val rng = Coco.DefaultAreaRanges(label)
+      assert(Coco.gtCountsInRange(gt, rng).head().getLong(1) == 1L, label)
+      val m = Coco.matchDetections(gt, det, Seq(0.5), 100, rng).head()
+      assert(m.getBoolean(4) && !m.getBoolean(5), s"$label: tp, not ignored")
+    }
+  }
 }
 
 class EvaluatorSpec extends AnyFunSuite {

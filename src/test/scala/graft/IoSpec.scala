@@ -151,6 +151,15 @@ class CheckpointSpec extends AnyFunSuite {
     // kill/resume: completed chunks skip, end state unchanged
     val resumed = Checkpoint.runAllBucketed(spark, srcDir, outDir, cfg)
     assert(resumed.forall(_.skipped))
+
+    // re-bucketing the source invalidates the output's markers: a
+    // resume against the NEW layout must be rejected, not silently
+    // skip chunks whose contents changed
+    Checkpoint.bucketSource(turns, srcDir, 8, cfg)
+    val e = intercept[IllegalArgumentException] {
+      Checkpoint.runAllBucketed(spark, srcDir, outDir, cfg)
+    }
+    assert(e.getMessage.contains("re-bucketed"))
   }
 
   test("resume with a mismatched numChunks is rejected, not silently lossy") {

@@ -102,21 +102,28 @@ class FunsdSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("file_name") == "page1.json"))
   }
 
-  test("xfund envelope (document/img/lang) loads through the same schema") {
+  test("xfund envelope: multi-record jsonl keeps EVERY record (multiLine=false)") {
     val dir = Files.createTempDirectory("graft_xfund")
-    Files.writeString(dir.resolve("de.jsonl"),
-      """{"uid": "u1", "lang": "de", "img": {"fname": "de_form_1.jpg", "width": 800, "height": 1000},
+    def rec(uid: String, fname: String, label: String, word: String) =
+      s"""{"uid": "$uid", "lang": "de", "img": {"fname": "$fname", "width": 800, "height": 1000},
           "document": [
-            {"id": 7, "label": "header", "box": [0,0,300,40],
-             "words": [{"text": "Antrag", "box": [0,0,100,40]}],
-             "linking": []}]}""".replaceAll("\n\\s*", " "))
-    val rows = Serializers.readFunsd(spark, dir.toString).collect()
-    assert(rows.length == 1)
+            {"id": 7, "label": "$label", "box": [0,0,300,40],
+             "words": [{"text": "$word", "box": [0,0,100,40]}],
+             "linking": []}]}""".replaceAll("\n\\s*", " ")
+    // two records in ONE file: multiLine=true would silently keep only
+    // the first — the xfund registry entry must not lose page 2
+    Files.writeString(dir.resolve("de.jsonl"),
+      rec("u1", "de_form_1.jpg", "header", "Antrag") + "\n" +
+        rec("u2", "de_form_2.jpg", "question", "Name") + "\n")
+    val rows = Serializers.instanceRegistry("xfund")(spark, dir.toString)
+      .orderBy("file_name").collect()
+    assert(rows.length == 2, "second jsonl record must not be dropped")
     val r = rows.head
     assert(r.getAs[String]("file_name") == "de_form_1.jpg")
     assert(r.getAs[String]("lang") == "de")
     assert(r.getAs[String]("token_class") == "header")
     assert(r.getAs[String]("token_tag") == "B-header")
+    assert(rows(1).getAs[String]("token_tag") == "B-question")
     // registry wiring
     assert(Serializers.instanceRegistry.contains("funsd") &&
       Serializers.instanceRegistry.contains("xfund"))
