@@ -241,6 +241,8 @@ object Bench {
     val ScalingPartitions = wide * 4
     def median(xs: Seq[(Long, Double)]): (Long, Double) =
       xs.sortBy(_._2).apply(xs.length / 2)
+    def arr(xs: Seq[(Long, Double)]) =
+      xs.map(r => f"${r._2}%.3f").mkString("[", ",", "]")
     val runs8 = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
     val runs32 = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
     def cycleOnce(): Unit = {
@@ -273,8 +275,36 @@ object Bench {
     val eff = (tput32 / tput8) / widthFactor
     val effPlausible = eff >= 0.55 && eff <= 1.05
 
-    def arr(xs: Seq[(Long, Double)]) =
-      xs.map(r => f"${r._2}%.3f").mkString("[", ",", "]")
+    // secondary UNSATURATED pairing (the property the north rule's
+    // N→4N criterion actually tests — each added executor on a real
+    // cluster brings its own cores and memory channels): when the
+    // primary pairing saturates the host (wide == all hardware
+    // threads), also measure 2→8 with the host ≤25% loaded. Fewer
+    // cycles than the primary (it is corroboration, the full-rigor
+    // protocol ran on the primary; medians of 2 interleaved cycles).
+    val unsaturated: String =
+      if (wide < Runtime.getRuntime.availableProcessors()) ""
+      else scala.util.Try {
+        val runs2u = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+        val runs8u = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+        for (_ <- 1 to 2) {
+          spark = session(2, ScalingPartitions)
+          timeExtraction(spark, warmDir)
+          runs2u += timeExtraction(spark, turnsDir)
+          spark.stop()
+          spark = session(8, ScalingPartitions)
+          timeExtraction(spark, warmDir)
+          runs8u += timeExtraction(spark, turnsDir)
+          spark.stop()
+        }
+        val (n2, s2) = median(runs2u.toList)
+        val (n8u, s8u) = median(runs8u.toList)
+        val effU = ((n8u / s8u) / (n2 / s2)) / 4.0
+        s""""sec_2_unsat":${f"$s2%.3f"},"sec_8_unsat":${f"$s8u%.3f"},""" +
+          s""""sec_2_unsat_all":${arr(runs2u.toList)},"sec_8_unsat_all":${arr(runs8u.toList)},""" +
+          s""""scaling_efficiency_unsaturated":${f"$effU%.3f"},"""
+      }.getOrElse("")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
     println(
@@ -286,6 +316,7 @@ object Bench {
       s""""sec_8":${f"$sec8%.3f"},"sec_32":${f"$sec32%.3f"},"scaling_efficiency":${f"$eff%.3f"},""" +
       s""""scaling_partitions":$ScalingPartitions,"cycles":$cycles,""" +
       s""""sec_8_all":${arr(runs8.toList)},"sec_32_all":${arr(runs32.toList)},""" +
+      unsaturated +
       s""""efficiency_plausible":$effPlausible}""")
   }
 }

@@ -486,6 +486,54 @@ object SparkEntry {
         }).toDF("doc_id", "norm", "raw_len", "norm_len", "raw_begin", "raw_end")
     }),
 
+    // geometric transform under the driver gate: tpl 7's four blocks
+    // have fully pinned geometry, so their 90°-rotated boxes are
+    // closed-form constants the DuckDB twin states independently
+    "x9_rotate" -> ((s, dir) => {
+      import s.implicits._
+      Extract.run(Turns.synth(s, dir))
+        .filter(length($"extractedText") > 0)
+        .flatMap { et =>
+          // only tpl 7 turns are asserted (the oracle filters the
+          // same); page is the renderer's 1000×1000 virtual frame
+          if (!et.extractedText.startsWith("Banner head\n")) Nil
+          else {
+            val rot = graft.kernels.Transform.rotateTurn(et, 90, 1000.0, 1000.0)
+            rot.blocks.filter(_.kept).sortBy(_.readingOrder).map(b =>
+              (et.conv_id, et.turn_idx, b.readingOrder, b.text,
+                b.box.ulx.round.toInt, b.box.uly.round.toInt,
+                b.box.lrx.round.toInt, b.box.lry.round.toInt))
+          }
+        }
+        .toDF("conv_id", "turn_idx", "reading_order", "text",
+          "ulx", "uly", "lrx", "lry")
+    }),
+
+    // layout-link under the driver gate: fixed caption payload built
+    // in-flight, linked parent's text is a closed-form constant
+    "q_layout_link" -> ((s, dir) => {
+      import s.implicits._
+      val payload =
+        """<p>alpha para</p><figcaption>cap text</figcaption>""" +
+          """<div style="left:0%;width:40%;top:50%"><p>far away body</p></div>"""
+      val cfg = graft.pipeline.ExtractConfig(
+        layoutLinkParents = Set("text"), layoutLinkChildren = Set("caption"))
+      val turns = docs(s, dir).filter(col("doc_id") < 100)
+        .select(concat(lit("link-"), col("doc_id")).as("conv_id"),
+          lit(0).as("turn_idx"), lit("user").as("role"),
+          lit(payload).as("text"), lit("").as("tool"),
+          timestamp_seconds(col("doc_id")).as("ts"))
+        .as[graft.model.Turn]
+      Extract.run(turns, cfg)
+        .flatMap { et =>
+          val byId = et.blocks.map(b => b.id -> b).toMap
+          et.blocks.filter(_.kind == "caption").map(c =>
+            (et.conv_id, c.text,
+              byId.get(c.linkedBlockId).map(_.text).getOrElse("")))
+        }
+        .toDF("conv_id", "caption_text", "linked_text")
+    }),
+
     // FUNSD/XFund token-classification rows (instances/funsd.py via
     // mapper/xfundstruct.py): funsd-format JSON synthesized in-flight
     // from documents, run through the REAL parse path (FunsdSchema →
@@ -1104,6 +1152,30 @@ object SparkEntry {
              CAST(length(nfc_normalize(replace(raw, chr(13) || chr(10), chr(10)))) AS INT) AS norm_len,
              CAST(0 AS INT) AS raw_begin, CAST(5 AS INT) AS raw_end
            FROM r""",
+
+      // tpl 7's blocks have pinned geometry: B(0,0,88,20)
+      // A(0,200,72,220) Bm(340,210,404,230) C(680,220,768,240) in the
+      // 1000×1000 frame; 90° CW maps (ulx,uly,lrx,lry) →
+      // (1000−lry, ulx, 1000−uly, lrx)
+      "x9_rotate" ->
+        s"""$cte, t7 AS (SELECT conv_id, turn_idx FROM turns WHERE doc_id % 12 = 7)
+           SELECT conv_id, turn_idx, CAST(1 AS INT) AS reading_order,
+                  'Banner head' AS text, CAST(980 AS INT) AS ulx, CAST(0 AS INT) AS uly,
+                  CAST(1000 AS INT) AS lrx, CAST(88 AS INT) AS lry FROM t7
+           UNION ALL SELECT conv_id, turn_idx, CAST(2 AS INT), 'alpha one',
+                  CAST(780 AS INT), CAST(0 AS INT), CAST(800 AS INT), CAST(72 AS INT) FROM t7
+           UNION ALL SELECT conv_id, turn_idx, CAST(3 AS INT), 'beta two',
+                  CAST(770 AS INT), CAST(340 AS INT), CAST(790 AS INT), CAST(404 AS INT) FROM t7
+           UNION ALL SELECT conv_id, turn_idx, CAST(4 AS INT), 'gamma three',
+                  CAST(760 AS INT), CAST(680 AS INT), CAST(780 AS INT), CAST(768 AS INT) FROM t7""",
+
+      // fixed payload → the caption's nearest text parent is always
+      // the adjacent 'alpha para' block (the far-away body is 400px+
+      // below); stated as constants per input doc
+      "q_layout_link" ->
+        """SELECT concat('link-', doc_id) AS conv_id, 'cap text' AS caption_text,
+                  'alpha para' AS linked_text
+           FROM documents WHERE doc_id < 100""",
 
       // class/tag distribution stated independently: 'other' entities
       // yield nw O-words, everything else 1 B + (nw-1) I
