@@ -213,7 +213,16 @@ object Checkpoint {
         s"$outDir was produced from a different source layout " +
           s"($recorded vs $layoutKey) — the source was re-bucketed; " +
           "clear the output dir instead of resuming against stale markers")
-    } else commitMarker(outLayout, layoutKey)
+    } else {
+      // markers of unknown provenance (pre-guard outputs, partial
+      // copies) must NOT be adopted under the current layout — that
+      // would be exactly the stale-skip this guard closes
+      require(chunks.forall(k => !Files.exists(markerPath(outDir, k))),
+        s"$outDir contains _DONE_ markers but no _SRC_LAYOUT record — " +
+          "cannot prove they match this source layout; clear the " +
+          "output dir (or restore its _SRC_LAYOUT) before resuming")
+      commitMarker(outLayout, layoutKey)
+    }
     chunks.map(k => runChunkFrom(spark, srcDir, outDir, k, cfg))
   }
 

@@ -103,21 +103,33 @@ object Match {
   /** match.py:170 `match_anns_by_distance` — nearest parent by center
     * Euclidean distance (cdist argmin, :209-213).
     */
-  def matchByDistance(parents: IndexedSeq[BBox], children: IndexedSeq[BBox]): Seq[(Int, Int)] = {
+  def matchByDistance(parents: IndexedSeq[BBox], children: IndexedSeq[BBox]): Seq[(Int, Int)] =
+    matchByDistance(parents, children, (_, _) => false)
+
+  /** [[matchByDistance]] with an exclusion predicate over (childIdx,
+    * parentIdx) — the layout-link service uses it to skip a block
+    * matching ITSELF when a kind is in both the parent and child sets
+    * (distance 0). Children whose every parent is excluded emit no
+    * pair.
+    */
+  def matchByDistance(parents: IndexedSeq[BBox], children: IndexedSeq[BBox],
+      exclude: (Int, Int) => Boolean): Seq[(Int, Int)] = {
     if (parents.isEmpty || children.isEmpty) return Nil
-    children.indices.map { c =>
+    children.indices.flatMap { c =>
       val ch = children(c)
-      var best = 0
+      var best = -1
       var bestD = Double.MaxValue
       var p = 0
       while (p < parents.length) {
-        val dx = parents(p).cx - ch.cx
-        val dy = parents(p).cy - ch.cy
-        val d = dx * dx + dy * dy
-        if (d < bestD) { bestD = d; best = p }
+        if (!exclude(c, p)) {
+          val dx = parents(p).cx - ch.cx
+          val dy = parents(p).cy - ch.cy
+          val d = dx * dx + dy * dy
+          if (d < bestD) { bestD = d; best = p }
+        }
         p += 1
       }
-      (c, best)
+      if (best >= 0) Some((c, best)) else None
     }
   }
 }

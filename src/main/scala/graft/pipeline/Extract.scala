@@ -245,19 +245,11 @@ object Extract {
         val pIdx = blocks0.indices.filter(i => cfg.layoutLinkParents.contains(blocks0(i).kind))
         val cIdx = blocks0.indices.filter(i => cfg.layoutLinkChildren.contains(blocks0(i).kind))
         // when a kind is in BOTH sets a block is its own distance-0
-        // nearest neighbour — link to the nearest OTHER parent instead
-        cIdx.flatMap { ci =>
-          val cb = blocks0(ci).box
-          var best = -1
-          var bestD = Double.MaxValue
-          for (pi <- pIdx if pi != ci) {
-            val dx = blocks0(pi).box.cx - cb.cx
-            val dy = blocks0(pi).box.cy - cb.cy
-            val d = dx * dx + dy * dy
-            if (d < bestD) { bestD = d; best = pi }
-          }
-          if (best >= 0) Some(ci -> best) else None
-        }.toMap
+        // nearest neighbour — exclude self, link to the nearest OTHER
+        Match.matchByDistance(
+            pIdx.map(blocks0(_).box).toIndexedSeq, cIdx.map(blocks0(_).box).toIndexedSeq,
+            exclude = (c, p) => pIdx(p) == cIdx(c))
+          .map { case (c, p) => cIdx(c) -> pIdx(p) }.toMap
       }
 
     val blocks = (blocks0.indices.map { i =>

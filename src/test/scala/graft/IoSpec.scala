@@ -160,6 +160,15 @@ class CheckpointSpec extends AnyFunSuite {
       Checkpoint.runAllBucketed(spark, srcDir, outDir, cfg)
     }
     assert(e.getMessage.contains("re-bucketed"))
+
+    // markers of unknown provenance (no _SRC_LAYOUT record) must not
+    // be adopted under the current layout either
+    val orphanOut = Files.createTempDirectory("graft_bucketed_orphan")
+    Files.writeString(orphanOut.resolve("_DONE_0"), """{"chunk":0,"rows":1}""")
+    val e2 = intercept[IllegalArgumentException] {
+      Checkpoint.runAllBucketed(spark, srcDir, orphanOut.toString, cfg)
+    }
+    assert(e2.getMessage.contains("_SRC_LAYOUT"))
   }
 
   test("resume with a mismatched numChunks is rejected, not silently lossy") {
