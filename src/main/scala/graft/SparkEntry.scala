@@ -486,6 +486,25 @@ object SparkEntry {
         }).toDF("doc_id", "norm", "raw_len", "norm_len", "raw_begin", "raw_end")
     }),
 
+    // LMTokenClassifierService slot under the driver gate: the
+    // heuristic classifier plugs into the pipeline's per-word hook
+    // (ExtractConfig.tokenClassifier — a model callable plugs in the
+    // same way); class distribution over kept-block words is oracled
+    // against the expected extracted text's word split
+    "q_token_class" -> ((s, dir) => {
+      import s.implicits._
+      val cfg = graft.pipeline.ExtractConfig(
+        tokenClassifier = Some(graft.operators.Lm.heuristicTokenClass))
+      Extract.run(Turns.synth(s, dir), cfg)
+        .flatMap { et =>
+          val keptIds = et.blocks.filter(_.kept).map(_.id).toSet
+          et.words.filter(w => keptIds.contains(w.blockId)).map(_.tokenClass)
+        }
+        .toDF("token_class")
+        .groupBy("token_class").agg(count(lit(1)).as("n"))
+        .orderBy("token_class")
+    }),
+
     // geometric transform under the driver gate: tpl 7's four blocks
     // have fully pinned geometry, so their 90°-rotated boxes are
     // closed-form constants the DuckDB twin states independently
@@ -1152,6 +1171,17 @@ object SparkEntry {
              CAST(length(nfc_normalize(replace(raw, chr(13) || chr(10), chr(10)))) AS INT) AS norm_len,
              CAST(0 AS INT) AS raw_begin, CAST(5 AS INT) AS raw_end
            FROM r""",
+
+      // the kept-block word multiset == the expected extracted text
+      // split on whitespace (block texts are space-joined words,
+      // blocks newline-joined), so the class histogram is stated
+      // independently from the generator
+      "q_token_class" ->
+        s"""$cte SELECT token_class, count(*) AS n FROM (
+              SELECT ${graft.operators.Lm.heuristicTokenClassSql("w")} AS token_class FROM (
+                SELECT unnest(string_split(replace(${Turns.ExpectedExtractedSql}, chr(10), ' '), ' ')) AS w
+                FROM turns))
+            GROUP BY token_class ORDER BY token_class""",
 
       // tpl 7's blocks have pinned geometry: B(0,0,88,20)
       // A(0,200,72,220) Bm(340,210,404,230) C(680,220,768,240) in the

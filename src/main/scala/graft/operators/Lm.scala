@@ -1,0 +1,44 @@
+package graft.operators
+
+/** `LMTokenClassifierService` plumbing (deepdoctection/pipe/lm.py:40,
+  * serve :175): the reference runs a transformer over a turn's words
+  * and stores each word's TOKEN_CLASS sub-category. Model inference is
+  * out of scope for this sandbox (no weights, no torch), but the
+  * SERVICE is not the model: it is "apply a word→class function inside
+  * the pipeline and carry the result on the word row". That slot is
+  * real here — `ExtractConfig.tokenClassifier` takes any
+  * `String => String` (a user plugs a quantized model callable or an
+  * external scorer the same way), and this object ships a
+  * deterministic rule-based stand-in whose SQL twin lets the driver
+  * oracle the whole path end to end.
+  */
+object Lm {
+
+  /** Rule-based token classes, defined so the Scala and SQL versions
+    * are identical by construction (ASCII digit test, no lookahead —
+    * RE2-safe in both engines): all-digits → number, any digit →
+    * alnum, single char → single, else word.
+    */
+  def heuristicTokenClass(w: String): String = {
+    var digits = 0
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      if (c >= '0' && c <= '9') digits += 1
+      i += 1
+    }
+    if (w.nonEmpty && digits == w.length) "number"
+    else if (digits > 0) "alnum"
+    else if (w.length == 1) "single"
+    else "word"
+  }
+
+  /** The DuckDB oracle twin of [[heuristicTokenClass]] (anchored
+    * regexp_matches = full match).
+    */
+  def heuristicTokenClassSql(col: String): String =
+    s"""CASE WHEN regexp_matches($col, '^[0-9]+$$') THEN 'number'
+        WHEN regexp_matches($col, '[0-9]') THEN 'alnum'
+        WHEN length($col) = 1 THEN 'single'
+        ELSE 'word' END"""
+}

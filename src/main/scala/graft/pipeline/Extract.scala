@@ -47,6 +47,14 @@ final case class ExtractConfig(
       */
     layoutLinkParents: Set[String] = Set.empty,
     layoutLinkChildren: Set[String] = Set.empty,
+    /** LMTokenClassifierService slot (pipe/lm.py:40, serve :175): a
+      * word→class function applied inside the kernel and stored as
+      * `Word.tokenClass` (the reference's TOKEN_CLASS sub-category).
+      * None (default) leaves the reference's OTHER default
+      * (lm.py:215-233); plug `Lm.heuristicTokenClass` or any model
+      * callable.
+      */
+    tokenClassifier: Option[String => String] = None,
     /** SimpleTransformService analogue (pipe/transform.py:32-96):
       * NFC + newline canonicalization applied to the payload BEFORE
       * segmentation, so every emitted span indexes the normalized
@@ -119,6 +127,10 @@ object Extract {
     // ---- words + word↔block assignment via the IoA matching kernel
     // (MatchingService analogue, pipe/common.py:271) ----
     val allWords = blocks0.flatMap(_.words)
+    // LMTokenClassifierService slot: per-word class via the configured
+    // classifier (reference default OTHER when none)
+    def tokenClassOf(text: String): String =
+      cfg.tokenClassifier.fold(LayoutLabel.TOKEN_OTHER)(f => f(text))
     val wordIds =
       if (cfg.emitWordIds) allWords.map(w => annIds.annId(LayoutLabel.WORD, w.begin, w.end))
       else Array.fill(allWords.length)("")
@@ -163,7 +175,7 @@ object Extract {
           val wi = wis(li)
           val w = allWords(wi)
           orderedWords(wi) = Word(wordIds(wi), w.text, w.begin, w.end, w.box,
-            blockIds(bi), pos, line, LayoutLabel.TOKEN_OTHER)
+            blockIds(bi), pos, line, tokenClassOf(w.text))
           if (sb.nonEmpty) sb.append(' ')
           sb.append(w.text)
         }
@@ -186,7 +198,7 @@ object Extract {
     for (wi <- allWords.indices if orderedWords(wi) == null) {
       val w = allWords(wi)
       orderedWords(wi) = Word(wordIds(wi), w.text, w.begin, w.end, w.box, "", -1, -1,
-        LayoutLabel.TOKEN_OTHER)
+        tokenClassOf(w.text))
     }
     // ---- residual words → synthetic LINE blocks (TextOrderService
     // include_residual_text_container, pipe/order.py:737-748) ----
@@ -209,7 +221,7 @@ object Extract {
             val wi = members(li)
             val w = allWords(wi)
             orderedWords(wi) = Word(wordIds(wi), w.text, w.begin, w.end, w.box,
-              lineId, pos, line, LayoutLabel.TOKEN_OTHER)
+              lineId, pos, line, tokenClassOf(w.text))
             if (sb.nonEmpty) sb.append(' ')
             sb.append(w.text)
           }

@@ -34,6 +34,20 @@ class LayoutLinkSpec extends AnyFunSuite {
     assert(et.blocks.forall(_.linkedBlockId == ""))
   }
 
+  test("token classifier slot: classes ride Word.tokenClass when plugged") {
+    val cfg = ExtractConfig(
+      tokenClassifier = Some(graft.operators.Lm.heuristicTokenClass))
+    val et = Extract.extractTurn(Turn("c", 0, "user",
+      "<p>total 1234 a5b x</p>", "", new java.sql.Timestamp(0L)), cfg)
+    val byText = et.words.map(w => w.text -> w.tokenClass).toMap
+    assert(byText == Map("total" -> "word", "1234" -> "number",
+      "a5b" -> "alnum", "x" -> "single"))
+    // default config keeps the reference's OTHER default
+    val plain = Extract.extractTurn(Turn("c", 0, "user",
+      "<p>total 1234</p>", "", new java.sql.Timestamp(0L)))
+    assert(plain.words.forall(_.tokenClass == "other"))
+  }
+
   test("removeAnnotations clears links that would dangle") {
     val cfg = ExtractConfig(
       layoutLinkParents = Set("text"), layoutLinkChildren = Set("caption"))
