@@ -1,6 +1,7 @@
 package graft.io
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{ExtractedTurn, Turn}
@@ -214,13 +215,24 @@ object Checkpoint {
           s"($recorded vs $layoutKey) — the source was re-bucketed; " +
           "clear the output dir instead of resuming against stale markers")
     } else {
-      // markers of unknown provenance (pre-guard outputs, partial
-      // copies) must NOT be adopted under the current layout — that
-      // would be exactly the stale-skip this guard closes
-      require(chunks.forall(k => !Files.exists(markerPath(outDir, k))),
-        s"$outDir contains _DONE_ markers but no _SRC_LAYOUT record — " +
-          "cannot prove they match this source layout; clear the " +
-          "output dir (or restore its _SRC_LAYOUT) before resuming")
+      // data of unknown provenance (pre-guard outputs, partial writes
+      // from a crashed run, chunk ids beyond a smaller re-bucketed
+      // layout) must NOT be adopted under the current layout: checking
+      // only the CURRENT chunk ids would let stale marker-less
+      // chunk=k dirs slip through and be swept up by readOutput's
+      // chunk=* glob — scan for ANY existing marker or chunk dir
+      val leftovers = {
+        val s = Files.list(Paths.get(outDir))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("_DONE_") || n.startsWith("chunk="))
+          .toList.sorted
+        finally s.close()
+      }
+      require(leftovers.isEmpty,
+        s"$outDir contains prior output (${leftovers.take(5).mkString(", ")}…) " +
+          "but no _SRC_LAYOUT record — cannot prove it matches this " +
+          "source layout; clear the output dir (or restore its " +
+          "_SRC_LAYOUT) before resuming")
       commitMarker(outLayout, layoutKey)
     }
     chunks.map(k => runChunkFrom(spark, srcDir, outDir, k, cfg))

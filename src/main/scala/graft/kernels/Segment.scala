@@ -67,6 +67,10 @@ object Segment {
       case "footer" => LayoutLabel.FOOTER
       case "aside" => LayoutLabel.ASIDE
       case "caption" | "figcaption" => LayoutLabel.CAPTION
+      // figure must be distinguishable from plain text so the
+      // reference's canonical layout-link pairing caption→figure
+      // (NeighbourMatcher, parent_categories=["figure"]) is expressible
+      case "figure" => LayoutLabel.FIGURE
     }.getOrElse(LayoutLabel.TEXT)
   }
 

@@ -228,7 +228,11 @@ object Coco {
       row("ap50", all.filter(col("thr") === 0.5), "ap") ::
       row("ap75", all.filter(col("thr") === 0.75), "ap") ::
       subRanges.map { case (label, acc) => row(s"ap_$label", acc, "ap") }.toList :::
-      DefaultMaxDets.toList.map(m =>
+      // matchedAll is truncated at the caller's maxDets, so an AR row
+      // at m > maxDets would silently report AR@maxDets under the
+      // 'ar<m>' label — derive the effective rank (and its label) from
+      // min(m, maxDets) instead
+      DefaultMaxDets.toList.map(m => math.min(m, maxDets)).distinct.map(m =>
         row(s"ar$m", accumulate(matchedAll, gtAll, DefaultIouThrs, m), "ar")) :::
       subRanges.map { case (label, acc) => row(s"ar_$label", acc, "ar") }.toList
     rows.reduce(_ unionByName _)

@@ -94,6 +94,21 @@ class CocoSpec extends AnyFunSuite {
       "ar_small" -> 1.0, "ar_medium" -> -1.0, "ar_large" -> -1.0))
   }
 
+  test("summary with maxDets < 100 labels AR rows by the effective rank") {
+    import spark.implicits._
+    // matchedAll is truncated at maxDets, so AR@m for m > maxDets is
+    // unobtainable — the rows must say what they measured (ar1/ar5),
+    // not report AR@5 under an 'ar100' label
+    val gt = Seq(Coco.GtBox(1, 1, 0, 0, 10, 10)).toDS()
+    val det = Seq(Coco.DetBox(1, 1, 10, 0.9, 0, 0, 10, 10)).toDS()
+    val rows = Coco.summary(gt, det, maxDets = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == Set(
+      "ap", "ap50", "ap75", "ap_small", "ap_medium", "ap_large",
+      "ar1", "ar5", "ar_small", "ar_medium", "ar_large"))
+    assert(rows("ar1") == 1.0 && rows("ar5") == 1.0)
+  }
+
   test("area-range ignore semantics match pycocotools evaluateImg") {
     import spark.implicits._
     val rng = (50.0, 110.0)

@@ -169,6 +169,16 @@ class CheckpointSpec extends AnyFunSuite {
       Checkpoint.runAllBucketed(spark, srcDir, orphanOut.toString, cfg)
     }
     assert(e2.getMessage.contains("_SRC_LAYOUT"))
+
+    // marker-LESS leftover data dirs (partial write from a crashed
+    // run, or chunk ids beyond a smaller re-bucketed layout) are just
+    // as unprovable — they'd be swept up by readOutput's chunk=* glob
+    val staleData = Files.createTempDirectory("graft_bucketed_stale")
+    Files.createDirectory(staleData.resolve("chunk=9"))
+    val e3 = intercept[IllegalArgumentException] {
+      Checkpoint.runAllBucketed(spark, srcDir, staleData.toString, cfg)
+    }
+    assert(e3.getMessage.contains("_SRC_LAYOUT"))
   }
 
   test("resume with a mismatched numChunks is rejected, not silently lossy") {

@@ -29,6 +29,26 @@ class LayoutLinkSpec extends AnyFunSuite {
     assert(byKind("text").forall(_.linkedBlockId == ""))
   }
 
+  test("canonical caption→figure pairing (NeighbourMatcher example) is expressible") {
+    // the reference's canonical layout-link config pairs captions with
+    // figures (parent_categories=["figure"]); that requires figure
+    // blocks to carry their own label, not fold into 'text'
+    val figPayload =
+      """<figure>chart body here</figure><figcaption>fig cap</figcaption>""" +
+        """<div style="left:0%;width:40%;top:50%"><p>far away body</p></div>"""
+    val cfg = ExtractConfig(
+      layoutLinkParents = Set("figure"), layoutLinkChildren = Set("caption"))
+    val et = Extract.extractTurn(
+      Turn("c", 0, "user", figPayload, "", new java.sql.Timestamp(0L)), cfg)
+    val fig = et.blocks.find(_.kind == "figure")
+    assert(fig.nonEmpty, "figure block must carry the FIGURE label")
+    val cap = et.blocks.find(_.kind == "caption").get
+    assert(cap.linkedBlockId == fig.get.id,
+      s"caption must link to the figure, got ${cap.linkedBlockId}")
+    // the plain paragraph is untouched
+    assert(et.blocks.filter(_.kind == "text").forall(_.linkedBlockId == ""))
+  }
+
   test("the service is off by default (config gate, like USE_LAYOUT_LINK)") {
     val et = Extract.extractTurn(turn)
     assert(et.blocks.forall(_.linkedBlockId == ""))
