@@ -585,6 +585,20 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.withBinary(docs(s, dir), "text"), "doc_id")
         .toDF().select(col("id").as("doc_id"), col("n_bytes"), col("width"),
           col("height"), col("channels"))
+    }),
+
+    // REAL image decode under the driver gate: PNGs of closed-form
+    // dimensions encoded in-flight (ImageIO), decoded back through the
+    // batched kernel; DuckDB states the dimensions independently from
+    // doc_id arithmetic — any stub-shaped decode would hash-mismatch
+    "q_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 64)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.encodePng((id % 7 + 1).toInt, (id % 5 + 2).toInt, id)))
+        .toDF("doc_id", "media")
+        .transform(df => Multimodal.decodeMeta(df, "doc_id").toDF())
+        .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"))
     })
   )
 
@@ -1226,7 +1240,12 @@ object SparkEntry {
                   CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
                   CAST(1 + octet_length(encode(text)) % 48 AS INT) AS height,
                   CAST(3 AS INT) AS channels
-           FROM documents"""
+           FROM documents""",
+      "q_multimodal_decode" ->
+        """SELECT doc_id, CAST(doc_id % 7 + 1 AS INT) AS width,
+                  CAST(doc_id % 5 + 2 AS INT) AS height,
+                  CAST(3 AS INT) AS channels
+           FROM documents WHERE doc_id < 64"""
     )
   }
 }

@@ -8,64 +8,164 @@ import scala.collection.mutable.ArrayBuffer
   * .py:674) walks a document and emits one datapoint per page via
   * `pdf_utils.PDFStreamer` (dd_core/utils/pdf_utils.py:406).
   *
-  * This sandbox has no PDF library, so the parser covers the
-  * UNCOMPRESSED subset honestly rather than stubbing: it scans the
-  * byte stream for `N G obj … endobj` objects, identifies page objects
-  * (`/Type /Page`, not `/Pages`), resolves their `/Contents N G R`
-  * reference, and extracts text from uncompressed content streams
-  * (`(…) Tj` and `[…] TJ` show-text operators, with PDF string
-  * escapes). Compressed streams (`/FlateDecode`) yield pages with
-  * empty text — the page COUNT and per-page split (what the dataflow
-  * shape needs) still work, since page objects themselves are rarely
-  * compressed in the wild pre-1.5 and object streams are out of scope.
-  * The Spark-side plumbing (binaryFile scan → flatMap split) is the
-  * real deliverable; swap [[splitPages]]'s internals for a full parser
-  * when a library is available.
+  * This sandbox has no PDF library, so the parser is built from the
+  * public PDF spec with the JDK only: it scans the byte stream for
+  * `N G obj … endobj` objects (skipping stream payloads while
+  * scanning, honoring a direct `/Length` so binary bytes can't fake
+  * object boundaries), identifies page objects (`/Type /Page`, not
+  * `/Pages`), resolves their `/Contents N G R` reference (single or
+  * array), and extracts text from the content streams (`(…) Tj` and
+  * `[…] TJ` show-text operators, with PDF string escapes).
+  * `/FlateDecode` streams — the common case in real-world PDFs — are
+  * inflated with `java.util.zip.Inflater` (FlateDecode IS zlib,
+  * ISO 32000-1 §7.4.4) before text extraction. Honest residual gaps:
+  * predictor-coded Flate (`/DecodeParms`/`/Predictor`, used for xref
+  * and image data, not content streams), non-Flate filters (LZW,
+  * ASCII85, DCT…), object streams (`/Type /ObjStm`, PDF ≥1.5), and
+  * encrypted documents all yield pages with empty text rather than
+  * garbage — the page COUNT and per-page split still work.
   */
 object Pdf {
 
   final case class PdfPage(pageNo: Int, objOffset: Long, text: String)
 
-  private val ObjRe = """(?s)(\d+)\s+(\d+)\s+obj(.*?)endobj""".r
-  private val ContentsRe = """/Contents\s+(\d+)\s+(\d+)\s+R""".r
-  private val StreamRe = """(?s)stream\r?\n(.*?)\r?\nendstream""".r
+  /** One indirect object: number, byte offset, dict/body text (before
+    * any stream keyword), and the raw (still-encoded) stream payload.
+    */
+  final case class PdfObj(num: Int, off: Int, dict: String, stream: Option[Array[Byte]])
+
+  private val HeaderRe = """(\d+)\s+(\d+)\s+obj""".r.pattern
+  private val ContentsRefRe = """/Contents\s+(\d+)\s+(\d+)\s+R""".r
+  private val ContentsArrRe = """(?s)/Contents\s*\[(.*?)\]""".r
+  private val RefRe = """(\d+)\s+(\d+)\s+R""".r
+  // a direct /Length (an indirect `/Length N G R` falls through to the
+  // endstream scan). (?!\d) pins the full number so (\d+) can't
+  // backtrack to a prefix that sneaks past the indirect-ref lookahead
+  private val LengthRe = """/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)""".r
+
+  /** Sequential object scan. Latin-1 decode is byte-preserving, so
+    * offsets/regex stay exact and stream payloads round-trip through
+    * `.getBytes(ISO_8859_1)`. Stream payloads are SKIPPED while
+    * looking for `endobj`: deflate output is arbitrary binary that can
+    * contain `endobj`/`N G obj` byte runs, so a flat regex over the
+    * file (the round-2 design) could truncate or invent objects.
+    */
+  def scanObjects(bytes: Array[Byte]): Vector[PdfObj] = {
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val out = Vector.newBuilder[PdfObj]
+    val m = HeaderRe.matcher(s)
+    var p = 0
+    var go = p < s.length && m.find(p)
+    while (go) {
+      val num = m.group(1).toInt
+      val off = m.start
+      val bodyStart = m.end
+      val endobj0 = s.indexOf("endobj", bodyStart)
+      // first "stream" occurrence is the keyword when present ("endstream"
+      // can only appear after it); it must belong to THIS object
+      val streamKw = s.indexOf("stream", bodyStart)
+      if (endobj0 < 0) go = false
+      else if (streamKw < 0 || streamKw > endobj0) {
+        out += PdfObj(num, off, s.substring(bodyStart, endobj0), None)
+        go = m.find(endobj0 + 6)
+      } else {
+        val dict = s.substring(bodyStart, streamKw)
+        // spec: the stream keyword is followed by CRLF or LF (not bare CR)
+        var dataStart = streamKw + 6
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        val dataEnd = LengthRe.findFirstMatchIn(dict) match {
+          case Some(lm) if dataStart + lm.group(1).toInt <= s.length =>
+            dataStart + lm.group(1).toInt
+          case _ =>
+            // no direct /Length: scan for endstream, strip its EOL
+            val es = s.indexOf("endstream", dataStart)
+            if (es < 0) dataStart
+            else {
+              var e = es
+              if (e > dataStart && s.charAt(e - 1) == '\n') e -= 1
+              if (e > dataStart && s.charAt(e - 1) == '\r') e -= 1
+              e
+            }
+        }
+        val data = s.substring(dataStart, dataEnd).getBytes(StandardCharsets.ISO_8859_1)
+        val endobj = s.indexOf("endobj", math.max(dataEnd, dataStart))
+        out += PdfObj(num, off, dict, Some(data))
+        if (endobj < 0) go = false else go = m.find(endobj + 6)
+      }
+    }
+    out.result()
+  }
+
+  /** Inflate a zlib (FlateDecode) payload; None for truncated,
+    * corrupt, or preset-dictionary streams (strict — garbage text is
+    * worse than the documented empty page).
+    */
+  def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val buf = new Array[Byte](8192)
+      var n = inf.inflate(buf)
+      while (n > 0) {
+        out.write(buf, 0, n)
+        n = inf.inflate(buf)
+      }
+      // n == 0 means finished, truncated (needsInput), or needsDictionary
+      if (inf.finished()) Some(out.toByteArray) else None
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Decode a content stream to its text-operator byte string: raw
+    * when unfiltered, inflated for `/FlateDecode`, None (documented
+    * skip) for predictor-coded Flate and every other filter.
+    */
+  private def decodeContent(dict: String, data: Array[Byte]): Option[String] =
+    if (!dict.contains("/Filter")) Some(new String(data, StandardCharsets.ISO_8859_1))
+    else if (dict.contains("/FlateDecode") && !dict.contains("/Predictor"))
+      inflate(data).map(new String(_, StandardCharsets.ISO_8859_1))
+    else None
 
   /** Split a PDF byte array into pages (1-based page numbers, in
     * document object order — the order `/Kids` arrays list them for
     * the linear writers this subset targets).
     */
   def splitPages(bytes: Array[Byte]): Seq[PdfPage] = {
-    // Latin-1 decode is byte-preserving, so offsets/regex stay exact
-    val s = new String(bytes, StandardCharsets.ISO_8859_1)
-    val objects = ObjRe.findAllMatchIn(s).map(m =>
-      (m.group(1).toInt, m.group(3), m.start)).toVector
-    val byNum = objects.map { case (num, body, off) => num -> ((body, off)) }.toMap
+    val objects = scanObjects(bytes)
+    val byNum = objects.map(o => o.num -> o).toMap
+    def contentText(o: PdfObj): String =
+      o.stream.flatMap(decodeContent(o.dict, _)).map(extractText).getOrElse("")
     val pages = ArrayBuffer.empty[PdfPage]
     var pageNo = 0
-    for ((_, body, off) <- objects) {
+    for (o <- objects) {
+      val body = o.dict
       val isPage = body.contains("/Type /Page") && !body.contains("/Type /Pages") ||
         body.contains("/Type/Page") && !body.contains("/Type/Pages")
       if (isPage) {
         pageNo += 1
-        val text = ContentsRe.findFirstMatchIn(body) match {
-          case Some(ref) =>
-            byNum.get(ref.group(1).toInt)
-              .flatMap { case (contentBody, _) =>
-                StreamRe.findFirstMatchIn(contentBody).map(sm => extractText(sm.group(1)))
-              }
-              .getOrElse("")
-          case None =>
-            // inline content stream inside the page object
-            StreamRe.findFirstMatchIn(body).map(sm => extractText(sm.group(1))).getOrElse("")
+        val refs: Seq[Int] = ContentsArrRe.findFirstMatchIn(body) match {
+          case Some(arr) => RefRe.findAllMatchIn(arr.group(1)).map(_.group(1).toInt).toSeq
+          case None => ContentsRefRe.findFirstMatchIn(body).map(_.group(1).toInt).toSeq
         }
-        pages += PdfPage(pageNo, off.toLong, text)
+        val text =
+          if (refs.nonEmpty)
+            // multiple content streams concatenate (spec: treated as one
+            // stream with whitespace between), non-empty parts joined
+            refs.flatMap(byNum.get).map(contentText).filter(_.nonEmpty).mkString(" ")
+          else
+            // inline content stream inside the page object
+            contentText(o)
+        pages += PdfPage(pageNo, o.off.toLong, text)
       }
     }
     pages.toSeq
   }
 
   /** Text of the `(…) Tj` / `[(…) -10 (…)] TJ` / `'` / `"` show-text
-    * operators of an uncompressed content stream, whitespace-joined,
+    * operators of a decoded content stream, whitespace-joined,
     * with PDF string escapes (\\, \(, \), \n, \t, octal) decoded.
     *
     * Content streams are postfix: operands accumulate on a stack until

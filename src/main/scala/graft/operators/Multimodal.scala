@@ -6,14 +6,70 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with
   * typed metadata structs, batched decode/feature-extract kernels.
   *
-  * The actual byte→pixels decode is a STUB by design (no image/audio
-  * libraries in this environment, per the task brief): `fakeDecode`
-  * derives deterministic pseudo-metadata from the bytes. Everything
-  * Spark-side — schema, batching shape, partitioning, the
-  * mapPartitions signature a real decoder would plug into — is real
-  * and tested.
+  * IMAGE decode is REAL: PNG/JPEG/GIF/BMP payloads are decoded with
+  * the JDK's `javax.imageio.ImageIO` (no external dependency) and
+  * report true width/height/channel counts. Audio/video decode remains
+  * a documented deterministic stub (`fakeDecode` — no codecs in this
+  * environment); the Spark-side shape (schema, batching, partitioning,
+  * the mapPartitions signature a real codec plugs into) is identical
+  * for both and fully tested.
   */
 object Multimodal {
+
+  // ImageIO defaults to a temp-FILE cache per read; executors decode
+  // thousands of in-memory payloads, so force the heap path once
+  private lazy val imageIoReady: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** PNG / JPEG / GIF / BMP magic — the formats the JDK decodes. */
+  def isImageMagic(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** Decode one media payload: real ImageIO decode for image formats,
+    * the deterministic stub otherwise (audio/video/unknown). Corrupt
+    * image bytes (`ImageIO.read` → null or IIOException) also fall to
+    * the stub rather than failing the partition — quarantine-by-value,
+    * like the extraction kernel's parse-failure rows.
+    */
+  def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val img =
+      if (!isImageMagic(bytes)) null
+      else {
+        imageIoReady
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      }
+    if (img == null) fakeDecode(id, bytes)
+    else MediaMeta(id, bytes.length, img.getWidth, img.getHeight,
+      img.getRaster.getNumBands, XxHash.hashBytes(bytes, 0L))
+  }
+
+  /** Deterministic PNG fixture generator (splitmix64 pixels): real
+    * ImageIO encode so specs/oracle queries can round-trip the REAL
+    * decode path without committed binaries.
+    */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var z = seed + (y.toLong * width + x) * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        img.setRGB(x, y, ((z ^ (z >>> 31)) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   /** Typed metadata a decoder returns per media object. */
   final case class MediaMeta(
@@ -25,10 +81,10 @@ object Multimodal {
   def withBinary(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("media", encode(col(textCol), "UTF-8"))
 
-  /** STUB decode: deterministic fake header parse. A real
-    * implementation swaps this body for an image decoder; the
-    * signature (bytes → meta) and the batched mapPartitions driver
-    * below stay unchanged.
+  /** STUB decode for NON-image media (audio/video — no codecs in this
+    * environment): deterministic fake header parse. The signature
+    * (bytes → meta) and the batched mapPartitions driver below are
+    * shared with the real image path.
     */
   def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length
@@ -47,7 +103,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (decoder handle, model, …)
-        batch.iterator.map { case (id, bytes) => fakeDecode(id, bytes) }
+        batch.iterator.map { case (id, bytes) => decode(id, bytes) }
       })
   }
 

@@ -144,6 +144,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas.sortBy(_.id).toList == again.sortBy(_.id).toList)
   }
 
+  test("real image decode: PNG round-trips true width/height/channels") {
+    import spark.implicits._
+    // encode with ImageIO, decode through the FULL Spark path — true
+    // dimensions, not the fake-header arithmetic
+    val imgs = Seq((1L, 5, 3), (2L, 17, 9), (3L, 1, 1))
+    val df = imgs.map { case (id, w, h) => (id, Multimodal.encodePng(w, h, id)) }
+      .toDF("doc_id", "media")
+    val metas = Multimodal.decodeMeta(df, "doc_id").collect().sortBy(_.id)
+    assert(metas.map(m => (m.id, m.width, m.height, m.channels)).toSeq ==
+      imgs.map { case (id, w, h) => (id, w, h, 3) })
+    // the pixel payload is real: same dims + different seed → different bytes
+    assert(!java.util.Arrays.equals(
+      Multimodal.encodePng(5, 3, 1L), Multimodal.encodePng(5, 3, 2L)))
+  }
+
+  test("corrupt image bytes quarantine to the stub, not a task failure") {
+    // valid PNG magic, garbage body → ImageIO.read yields null
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 42, 42, 42, 42)
+    val m = Multimodal.decode(9L, junk)
+    assert(m == Multimodal.fakeDecode(9L, junk))
+  }
+
   test("frame sampling explodes deterministically with stride") {
     val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(5)
     val frames = Multimodal.sampleFrames(Multimodal.withBinary(d, "text"), "doc_id")

@@ -31,6 +31,79 @@ class PdfSpec extends AnyFunSuite {
     sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  private def deflate(s: String): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** The same document shape as [[minimalPdf]] but with every content
+    * stream Flate-compressed (the real-world common case), built
+    * binary-safe. `lengthOverride` swaps the direct /Length for an
+    * indirect reference to exercise the endstream-scan fallback.
+    */
+  private def flatePdf(pages: Seq[String], filter: String = "/FlateDecode",
+      lengthOverride: Option[String] = None): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    put("%PDF-1.4\n")
+    put("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    put(s"2 0 obj << /Type /Pages /Kids [$kids] /Count ${pages.length} >> endobj\n")
+    pages.zipWithIndex.foreach { case (txt, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      put(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /Contents $contObj 0 R >> endobj\n")
+      val data = deflate(s"BT /F1 12 Tf ($txt) Tj ET")
+      val len = lengthOverride.getOrElse(data.length.toString)
+      put(s"$contObj 0 obj << /Length $len /Filter $filter >> stream\n")
+      out.write(data)
+      put("\nendstream endobj\n")
+    }
+    put("%%EOF\n")
+    out.toByteArray
+  }
+
+  test("FlateDecode content streams extract the same text as their uncompressed twin") {
+    val texts = Seq("Hello page one", "Second page")
+    val plain = Pdf.splitPages(minimalPdf(texts))
+    val flate = Pdf.splitPages(flatePdf(texts))
+    assert(flate.map(_.pageNo) == Seq(1, 2))
+    assert(flate.map(_.text) == plain.map(_.text))
+    assert(flate.forall(_.text.nonEmpty))
+  }
+
+  test("indirect /Length falls back to the endstream scan and still inflates") {
+    val pages = Pdf.splitPages(flatePdf(Seq("indirect length"),
+      lengthOverride = Some("99 0 R")))
+    assert(pages.map(_.text) == Seq("indirect length"))
+  }
+
+  test("unknown filters skip to empty text but keep the page split") {
+    val pages = Pdf.splitPages(flatePdf(Seq("opaque"), filter = "/LZWDecode"))
+    assert(pages.map(_.pageNo) == Seq(1))
+    assert(pages.head.text == "")
+  }
+
+  test("a direct /Length shields binary payloads from faking object boundaries") {
+    // raw stream whose BYTES contain 'endobj' and an object header —
+    // honoring /Length must keep the scan from truncating/inventing
+    // objects (deflate output is arbitrary binary, so this happens)
+    val trap = "BT (x) Tj ET endobj 9 0 obj"
+    val bytes = minimalPdf(Seq("first"), rawContent = None) // twin for count
+    val trapped = minimalPdf(Seq("first", "second"), rawContent = Some(trap))
+    assert(Pdf.splitPages(bytes).length == 1)
+    val pages = Pdf.splitPages(trapped)
+    assert(pages.length == 2, s"object scan invented/lost pages: $pages")
+    assert(pages.map(_.text) == Seq("x", "x"))
+  }
+
   test("splitPages: page count, order, and uncompressed text extraction") {
     val pages = Pdf.splitPages(minimalPdf(Seq("Hello page one", "Second page")))
     assert(pages.map(_.pageNo) == Seq(1, 2))
@@ -54,12 +127,16 @@ class PdfSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_pdf")
     Files.write(dir.resolve("a.pdf"), minimalPdf(Seq("alpha one", "alpha two")))
     Files.write(dir.resolve("b.pdf"), minimalPdf(Seq("bravo only")))
+    // a real-world (compressed) PDF must yield non-empty text through
+    // the full Spark path, not just the unit kernel
+    Files.write(dir.resolve("c.pdf"), flatePdf(Seq("charlie flate")))
     Files.writeString(dir.resolve("skip.txt"), "not a pdf")
     val rows = Serializers.readPdfPages(spark, dir.toString)
       .orderBy("path", "page_no").collect()
-    assert(rows.length == 3)
-    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 1))
-    assert(rows.map(_.getString(2)).toSeq == Seq("alpha one", "alpha two", "bravo only"))
+    assert(rows.length == 4)
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 1, 1))
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("alpha one", "alpha two", "bravo only", "charlie flate"))
   }
 }
 
