@@ -553,6 +553,43 @@ object SparkEntry {
         .toDF("conv_id", "caption_text", "linked_text")
     }),
 
+    // LMSequenceClassifierService slot under the driver gate: the
+    // page-level heuristic classifier plugs into the pipeline's
+    // per-turn hook (ExtractConfig.sequenceClassifier — a model
+    // callable plugs in the same way); class distribution oracled
+    // against the expected extracted text expression
+    "q_seq_class" -> ((s, dir) => {
+      val cfg = graft.pipeline.ExtractConfig(
+        sequenceClassifier = Some(graft.operators.Lm.heuristicSeqClass))
+      Extract.run(Turns.synth(s, dir), cfg)
+        .select(col("docClass").as("doc_class"))
+        .groupBy("doc_class").agg(count(lit(1)).as("n"))
+        .orderBy("doc_class")
+    }),
+
+    // USE_LINE_MATCHER under the driver gate: a pinned list+paragraph
+    // layout where exactly the two list-item lines must parent onto
+    // their list blocks and the paragraph line must stay free — the
+    // DuckDB twin states the counts from the doc count alone
+    "q_line_match" -> ((s, dir) => {
+      import s.implicits._
+      val payload = "<ul><li>item one</li><li>item two</li></ul><p>plain para here</p>"
+      val cfg = graft.pipeline.ExtractConfig(useLineMatcher = true)
+      val turns = docs(s, dir).filter(col("doc_id") < 150)
+        .select(concat(lit("lm-"), col("doc_id")).as("conv_id"),
+          lit(0).as("turn_idx"), lit("user").as("role"),
+          lit(payload).as("text"), lit("").as("tool"),
+          timestamp_seconds(col("doc_id")).as("ts"))
+        .as[graft.model.Turn]
+      Extract.run(turns, cfg)
+        .flatMap(et => et.lines.map(l => (l.listId.nonEmpty, l.listId == l.blockId)))
+        .toDF("matched", "own_block")
+        .agg(
+          sum(when(col("matched"), 1L).otherwise(0L)).cast("long").as("n_matched"),
+          sum(when(col("matched") && col("own_block"), 1L).otherwise(0L)).cast("long").as("n_own"),
+          sum(when(!col("matched"), 1L).otherwise(0L)).cast("long").as("n_free"))
+    }),
+
     // FUNSD/XFund token-classification rows (instances/funsd.py via
     // mapper/xfundstruct.py): funsd-format JSON synthesized in-flight
     // from documents, run through the REAL parse path (FunsdSchema →
@@ -1220,6 +1257,23 @@ object SparkEntry {
         """SELECT concat('link-', doc_id) AS conv_id, 'cap text' AS caption_text,
                   'alpha para' AS linked_text
            FROM documents WHERE doc_id < 100""",
+
+      // doc_class derived independently from the expected extracted
+      // text expression (same lock-step-by-construction design as
+      // q_token_class)
+      "q_seq_class" ->
+        s"""$cte SELECT ${graft.operators.Lm.heuristicSeqClassSql(
+               s"(${Turns.ExpectedExtractedSql})")} AS doc_class,
+               count(*) AS n
+            FROM turns GROUP BY doc_class ORDER BY doc_class""",
+
+      // per pinned turn: 2 list-item lines parent onto their own list
+      // blocks, the paragraph line stays free
+      "q_line_match" ->
+        """SELECT CAST(2 * count(*) AS BIGINT) AS n_matched,
+                  CAST(2 * count(*) AS BIGINT) AS n_own,
+                  CAST(count(*) AS BIGINT) AS n_free
+           FROM documents WHERE doc_id < 150""",
 
       // class/tag distribution stated independently: 'other' entities
       // yield nw O-words, everything else 1 B + (nw-1) I

@@ -72,7 +72,13 @@ final case class LineOut(
     blockId: String,
     begin: Int,
     end: Int,
-    nWords: Int
+    nWords: Int,
+    /** USE_LINE_MATCHER relationship (factory.py:1787 →
+      * MatchingService with FamilyCompound(parent=LIST, child=LINE),
+      * :1135): the matched list-family parent block's id, "" when the
+      * service is off or no parent clears the threshold.
+      */
+    listId: String = ""
 )
 
 /** One layout block (reference: layout `ImageAnnotation` with a
@@ -137,6 +143,12 @@ final case class ExtractedTurn(
     extractedText: String,
     toolText: String, // values extracted from the tool (JSON) payload
     lang: String, // LanguageDetectionService analogue (pipe/language.py:33)
+    /** LMSequenceClassifierService slot (pipe/lm.py:289 — a page-level
+      * category from a sequence classifier over the page text): filled
+      * by `ExtractConfig.sequenceClassifier`, "" when the service is
+      * off (the reference's config-off default).
+      */
+    docClass: String,
     blocks: Array[Block],
     words: Array[Word],
     lines: Array[LineOut],

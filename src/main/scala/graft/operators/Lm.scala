@@ -41,4 +41,34 @@ object Lm {
         WHEN regexp_matches($col, '[0-9]') THEN 'alnum'
         WHEN length($col) = 1 THEN 'single'
         ELSE 'word' END"""
+
+  /** Page-level stand-in for the sequence-classifier slot
+    * (`LMSequenceClassifierService`, pipe/lm.py:289) — same
+    * SQL-twinnable design as [[heuristicTokenClass]]: empty → empty,
+    * any ASCII digit → report, long → longform, else note. All tests
+    * are BMP-safe so Scala's UTF-16 `length` and DuckDB's codepoint
+    * `length` agree on this corpus.
+    */
+  def heuristicSeqClass(text: String): String = {
+    if (text.isEmpty) "empty"
+    else {
+      var digits = false
+      var i = 0
+      while (i < text.length && !digits) {
+        val c = text.charAt(i)
+        if (c >= '0' && c <= '9') digits = true
+        i += 1
+      }
+      if (digits) "report"
+      else if (text.length > 120) "longform"
+      else "note"
+    }
+  }
+
+  /** The DuckDB oracle twin of [[heuristicSeqClass]]. */
+  def heuristicSeqClassSql(col: String): String =
+    s"""CASE WHEN $col = '' THEN 'empty'
+        WHEN regexp_matches($col, '[0-9]') THEN 'report'
+        WHEN length($col) > 120 THEN 'longform'
+        ELSE 'note' END"""
 }

@@ -55,6 +55,27 @@ final case class ExtractConfig(
       * callable.
       */
     tokenClassifier: Option[String => String] = None,
+    /** LMSequenceClassifierService slot (pipe/lm.py:289, gated by
+      * USE_LM_SEQUENCE_CLASS, factory.py:1795): a pageText→class
+      * function applied to the assembled extracted text and stored as
+      * `ExtractedTurn.docClass` — the page-level twin of
+      * [[tokenClassifier]]. None (default) = service off = "" class.
+      * Plug `Lm.heuristicSeqClass` or any model callable.
+      */
+    sequenceClassifier: Option[String => String] = None,
+    /** USE_LINE_MATCHER service (factory.py:1787 →
+      * `build_line_matching_service` :1135): a second MatchingService
+      * pass that parents LINE annotations onto list-family blocks with
+      * the SAME WORD_MATCHING knobs (rule/threshold/max_parent_only —
+      * the reference reuses them verbatim, :1121-1132). Off by default
+      * (conf_dd_one.yaml:177 `USE_LINE_MATCHER: false`).
+      */
+    useLineMatcher: Boolean = false,
+    /** The line matcher's parent categories (reference FamilyCompound
+      * parent `LayoutLabel.LIST`; this renderer's list family is the
+      * per-item block, so LIST_ITEM is the default representative).
+      */
+    lineMatchParents: Set[String] = Set(graft.model.LayoutLabel.LIST_ITEM),
     /** SimpleTransformService analogue (pipe/transform.py:32-96):
       * NFC + newline canonicalization applied to the payload BEFORE
       * segmentation, so every emitted span indexes the normalized
@@ -85,7 +106,7 @@ object Extract {
     Try(extractTurnUnsafe(t, turnId, cfg)) match {
       case Success(et) => et
       case Failure(_) =>
-        ExtractedTurn(t.conv_id, t.turn_idx, turnId, t.role, t.ts, "", "", "und",
+        ExtractedTurn(t.conv_id, t.turn_idx, turnId, t.role, t.ts, "", "", "und", "",
           Array.empty, Array.empty, Array.empty, Array.empty,
           TurnMetrics(0, 0, 0, 0, parseFailed = true))
     }
@@ -164,6 +185,8 @@ object Extract {
     val orderedWords = Array.fill[Word](allWords.length)(null)
     val blockTexts = Array.fill(blocks0.length)("")
     val linesBuf = scala.collection.mutable.ArrayBuffer.empty[LineOut]
+    // geometry rides alongside each emitted line for the line matcher
+    val lineBoxesBuf = scala.collection.mutable.ArrayBuffer.empty[BBox]
     var bi = 0
     while (bi < wordsByBlock.length) {
       val wis = wordsByBlock(bi)
@@ -190,6 +213,7 @@ object Extract {
           val b = ws.map(allWords(_).begin).min
           val e = ws.map(allWords(_).end).max
           linesBuf += LineOut(annIds.annId(LayoutLabel.LINE, b, e), blockIds(bi), b, e, ws.length)
+          lineBoxesBuf += lr.box
         }
       }
       bi += 1
@@ -228,8 +252,28 @@ object Extract {
           ResLine(lineId, lr.box, members, sb.toString, b, e)
         }.toArray
       } else Array.empty[ResLine]
-    if (residualLines.nonEmpty) linesBuf ++= residualLines.map(rl =>
-      LineOut(rl.id, "", rl.begin, rl.end, rl.members.length))
+    if (residualLines.nonEmpty) {
+      linesBuf ++= residualLines.map(rl =>
+        LineOut(rl.id, "", rl.begin, rl.end, rl.members.length))
+      lineBoxesBuf ++= residualLines.map(_.box)
+    }
+    // ---- line matcher (USE_LINE_MATCHER, factory.py:1787): LINE
+    // annotations parented onto list-family blocks via the SAME
+    // intersection kernel + WORD_MATCHING knobs as word↔block ----
+    if (cfg.useLineMatcher && linesBuf.nonEmpty) {
+      // backfilled whole-page placeholders are excluded for the same
+      // reason as in word matching: a page-covering box out-scores
+      // every real parent
+      val pIdx = (0 until realBlockCount).filter(i => cfg.lineMatchParents.contains(blocks0(i).kind))
+      if (pIdx.nonEmpty) {
+        Match.matchByIntersection(
+          pIdx.map(blocks0(_).box).toIndexedSeq, lineBoxesBuf.toIndexedSeq,
+          cfg.matchRule, cfg.matchThreshold, maxParentOnly = cfg.maxParentOnly
+        ).foreach { case (c, p) =>
+          linesBuf(c) = linesBuf(c).copy(listId = blockIds(pIdx(p)))
+        }
+      }
+    }
     val lines: Array[LineOut] = linesBuf.toArray
 
     // ---- main-content classification + block-level reading order
@@ -302,6 +346,9 @@ object Extract {
     val kept = blocks.count(_.kept)
     ExtractedTurn(t.conv_id, t.turn_idx, turnId, t.role, t.ts, extractedText, toolText,
       graft.operators.TextStats.langIdScala(extractedText),
+      // LMSequenceClassifierService slot: page-level class over the
+      // assembled text (the token-level twin runs inside the word loop)
+      cfg.sequenceClassifier.fold("")(f => f(extractedText)),
       blocks, orderedWords, lines, tables,
       TurnMetrics(kept, blocks.length - kept, orderedWords.length,
         orderedWords.count(_.readingOrder > 0), parseFailed = false))
@@ -329,7 +376,9 @@ object Extract {
       .map(w => if (w.blockId.nonEmpty && ids.contains(w.blockId))
         w.copy(blockId = "", readingOrder = -1, lineNo = -1) else w)
     val lines = et.lines.filterNot(l => ids.contains(l.id) ||
-      (l.blockId.nonEmpty && ids.contains(l.blockId)))
+        (l.blockId.nonEmpty && ids.contains(l.blockId)))
+      // a line-matcher link to a removed list block is dangling too
+      .map(l => if (l.listId.nonEmpty && ids.contains(l.listId)) l.copy(listId = "") else l)
     val tables = et.tables.filterNot(tb => ids.contains(tb.id))
     val text = blocks.filter(_.kept).sortBy(_.readingOrder).map(_.text).mkString("\n")
     val kept = blocks.count(_.kept)

@@ -68,6 +68,35 @@ class LayoutLinkSpec extends AnyFunSuite {
     assert(plain.words.forall(_.tokenClass == "other"))
   }
 
+  test("sequence classifier slot: docClass rides the turn when plugged") {
+    val cfg = ExtractConfig(
+      sequenceClassifier = Some(graft.operators.Lm.heuristicSeqClass))
+    def run(payload: String, c: ExtractConfig = cfg) =
+      Extract.extractTurn(Turn("c", 0, "user", payload, "", new java.sql.Timestamp(0L)), c)
+    assert(run("<p>total 1234</p>").docClass == "report")
+    assert(run("<p>short prose</p>").docClass == "note")
+    assert(run("<p>" + "wordy text " * 20 + "</p>").docClass == "longform")
+    // default config keeps the reference's service-off default
+    assert(run("<p>total 1234</p>", ExtractConfig()).docClass == "")
+  }
+
+  test("line matcher parents LINE annotations onto list blocks (USE_LINE_MATCHER)") {
+    val lm = "<ul><li>item one</li><li>item two</li></ul><p>plain para here</p>"
+    val cfg = ExtractConfig(useLineMatcher = true)
+    val et = Extract.extractTurn(Turn("c", 0, "user", lm, "", new java.sql.Timestamp(0L)), cfg)
+    val liIds = et.blocks.filter(_.kind == "list_item").map(_.id).toSet
+    assert(liIds.size == 2)
+    // each list item's line is parented onto ITS list block; the
+    // paragraph's line clears no list parent
+    val matched = et.lines.filter(_.listId.nonEmpty)
+    assert(matched.length == 2, s"expected 2 matched lines, got ${et.lines.toList}")
+    assert(matched.forall(l => l.listId == l.blockId && liIds.contains(l.listId)))
+    assert(et.lines.count(_.listId.isEmpty) == 1)
+    // config gate: off by default like the reference yaml
+    val off = Extract.extractTurn(Turn("c", 0, "user", lm, "", new java.sql.Timestamp(0L)))
+    assert(off.lines.forall(_.listId == ""))
+  }
+
   test("removeAnnotations clears links that would dangle") {
     val cfg = ExtractConfig(
       layoutLinkParents = Set("text"), layoutLinkChildren = Set("caption"))
