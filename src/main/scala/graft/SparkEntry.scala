@@ -553,6 +553,27 @@ object SparkEntry {
         .toDF("conv_id", "caption_text", "linked_text")
     }),
 
+    // checkpoint/resume under the driver gate: bucket the source by
+    // the salt key, run the chunked resumable pipeline (fresh temp
+    // dirs per call), read the chunk outputs back and aggregate — the
+    // oracle states the same aggregate from the turns CTE, proving
+    // chunked == single-run through the driver's own gate. turn_idx
+    // capped so the bench sweep stays bounded at any sf.
+    "q_checkpoint" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q_ckpt")
+      val srcDir = tmp.resolve("src").toString
+      val outDir = tmp.resolve("out").toString
+      val cfg = graft.pipeline.ExtractConfig()
+      val turns = Turns.synth(s, dir).filter(col("turn_idx") < 50)
+      graft.io.Checkpoint.bucketSource(turns, srcDir, 4, cfg)
+      graft.io.Checkpoint.runAllBucketed(s, srcDir, outDir, cfg)
+      graft.io.Checkpoint.readOutput(s, outDir)
+        .agg(
+          count(lit(1)).cast("long").as("n_turns"),
+          sum(col("metrics.wordCount")).cast("long").as("n_words"),
+          sum(when(col("metrics.parseFailed"), 1L).otherwise(0L)).cast("long").as("n_failed"))
+    }),
+
     // LMSequenceClassifierService slot under the driver gate: the
     // page-level heuristic classifier plugs into the pipeline's
     // per-turn hook (ExtractConfig.sequenceClassifier — a model
@@ -1257,6 +1278,14 @@ object SparkEntry {
         """SELECT concat('link-', doc_id) AS conv_id, 'cap text' AS caption_text,
                   'alpha para' AS linked_text
            FROM documents WHERE doc_id < 100""",
+
+      // the checkpointed run must reproduce the direct per-turn
+      // expectations in aggregate (zero parse failures by construction)
+      "q_checkpoint" ->
+        s"""$cte SELECT CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(${Turns.ExpectedWordCountSql}) AS BIGINT) AS n_words,
+               CAST(0 AS BIGINT) AS n_failed
+            FROM turns WHERE turn_idx < 50""",
 
       // doc_class derived independently from the expected extracted
       // text expression (same lock-step-by-construction design as

@@ -32,6 +32,44 @@ class TransformSpec extends AnyFunSuite {
     assert(Transform.rotateBox(b, 270, W, H) == BBox(0, 900, 50, 1000, absCoords = true))
   }
 
+  test("arbitrary-angle rotation: 30° pinned against hand-computed values") {
+    // 20×10 box at (10,10) in a 100×100 page, 30° clockwise.
+    // cos=√3/2, sin=1/2 → expanded frame 50(√3+1) square; corners
+    // rotated about the center, bounding box taken.
+    val b = Transform.rotateBoxAngle(
+      BBox(10, 10, 30, 20, absCoords = true), 30.0, 100, 100)
+    val eps = 1e-6
+    assert(math.abs(b.ulx - 48.660254) < eps, b.toString)
+    assert(math.abs(b.uly - 13.660254) < eps, b.toString)
+    assert(math.abs(b.lrx - 70.980762) < eps, b.toString)
+    assert(math.abs(b.lry - 32.320508) < eps, b.toString)
+    val (rw, rh) = Transform.rotatedDimsAngle(30.0, 100, 100)
+    assert(math.abs(rw - 136.602540) < eps && math.abs(rh - 136.602540) < eps)
+  }
+
+  test("arbitrary-angle round trip: unrotate(rotate(b)) ⊇ b, equality at right angles") {
+    val boxes = Seq(
+      BBox(10, 10, 30, 20, absCoords = true),
+      BBox(0, 0, 100, 50, absCoords = true),
+      BBox(412.5, 87.25, 613.75, 402.5, absCoords = true))
+    val eps = 1e-9
+    for (b <- boxes; angle <- Seq(7.3, 30.0, 45.0, 61.7, 119.9, 213.4, 359.5)) {
+      val rt = Transform.unrotateBoxAngle(
+        Transform.rotateBoxAngle(b, angle, W, H), angle, W, H)
+      // ⊇: each side at or beyond the original
+      assert(rt.ulx <= b.ulx + eps && rt.uly <= b.uly + eps &&
+        rt.lrx >= b.lrx - eps && rt.lry >= b.lry - eps,
+        s"round trip at $angle° lost coverage: $b → $rt")
+    }
+    for (b <- boxes; angle <- Seq(0.0, 90.0, 180.0, 270.0)) {
+      // right angles delegate to the exact integer path — EQUALITY
+      assert(Transform.rotateBoxAngle(b, angle, W, H) ==
+        Transform.rotateBox(b, angle.toInt, W, H))
+      assert(Transform.unrotateBoxAngle(
+        Transform.rotateBoxAngle(b, angle, W, H), angle, W, H) == b)
+    }
+  }
+
   test("rotation preserves area and containment; inverse restores exactly") {
     val outer = BBox(100, 100, 400, 300, absCoords = true)
     val inner = BBox(150, 120, 200, 140, absCoords = true)
