@@ -398,8 +398,68 @@ object Dedup {
     require(converged,
       s"components() did not converge within maxIter=$maxIter rounds; " +
         "the pair graph has a longer chain diameter than near-dup " +
-        "clusters should — raise maxIter or switch to large-star/small-star")
+        "clusters should — raise maxIter or use componentsLargeSmallStar")
     labels.orderBy("id")
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * remedy [[components]]'s non-convergence guard points at: round
+    * count is O(log² n) on ANY graph (O(log n) in practice) instead of
+    * O(diameter), so adversarial long chains converge where plain
+    * min-label propagation would hit its iteration bound.
+    *
+    * Per round, two edge rewrites that preserve connectivity and only
+    * ever point edges at smaller ids:
+    *  - large-star: per node u, connect every STRICTLY LARGER neighbor
+    *    to m = min(Γ(u) ∪ u)
+    *  - small-star: per node u, connect u and its strictly smaller
+    *    neighbors to their minimum
+    * At the fixed point the edges form stars (v → component min);
+    * convergence is checked with exact set `except`s, not a hash.
+    * Same output contract as [[components]]: (id, component-min) with
+    * singletons labeled themselves. Shape per round: two groupBy-min
+    * shuffles + the convergence check — all on (a, b) long pairs.
+    */
+  def componentsLargeSmallStar(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    var edges = pairs.select(
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("a"),
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (iter < maxIter && !converged) {
+      // ---- large-star ----
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      // ---- small-star (edges already point larger → smaller) ----
+      val ssMin = large.groupBy("a").agg(min("b").as("m"))
+      val small = large.join(ssMin, "a").filter(col("b") =!= col("m"))
+        .select(col("b").as("edge_a"), col("m").as("edge_b"))
+        .unionByName(ssMin.select(col("a").as("edge_a"), col("m").as("edge_b")))
+        .select(col("edge_a").as("a"), col("edge_b").as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      val changed = small.except(edges).count() + edges.except(small).count()
+      edges = small
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"componentsLargeSmallStar did not converge within maxIter=$maxIter " +
+        "rounds — not expected for any graph at O(log² n); raise maxIter")
+    nodes.select(col("id").cast("long").as("id"))
+      .join(edges.select(col("a").as("id"), col("b").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      .orderBy("id")
   }
 
   /** Embedding near-dup: BANDED sign-bit LSH, cosine-verified pairs.

@@ -469,4 +469,33 @@ class ComponentsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("did not converge"))
   }
+
+  test("large-star/small-star converges on a 50-chain where propagation cannot") {
+    import spark.implicits._
+    // diameter 49: plain min-label propagation needs 49 rounds (> its
+    // default 20 bound); the star algorithm is O(log n) rounds — 8
+    // rounds here would already be generous
+    val n = 50
+    val nodes = (1L to n.toLong).toDF("id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.components(nodes, pairs).collect() // diameter > default bound
+    }
+    val got = Dedup.componentsLargeSmallStar(nodes, pairs, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n && got.forall(_._2 == 1L))
+  }
+
+  test("large-star/small-star output equals plain propagation on a mixed graph") {
+    import spark.implicits._
+    val nodes = (1L to 30L).toDF("id")
+    // two clusters + bridges + singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 12L), (12L, 14L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (14L, 16L), (5L, 7L)).toDF("id_a", "id_b")
+    val naive = Dedup.components(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val stars = Dedup.componentsLargeSmallStar(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(stars == naive)
+  }
 }
