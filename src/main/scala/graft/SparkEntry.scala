@@ -560,18 +560,26 @@ object SparkEntry {
     // chunked == single-run through the driver's own gate. turn_idx
     // capped so the bench sweep stays bounded at any sf.
     "q_checkpoint" -> ((s, dir) => {
+      import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_q_ckpt")
-      val srcDir = tmp.resolve("src").toString
-      val outDir = tmp.resolve("out").toString
       val cfg = graft.pipeline.ExtractConfig()
       val turns = Turns.synth(s, dir).filter(col("turn_idx") < 50)
-      graft.io.Checkpoint.bucketSource(turns, srcDir, 4, cfg)
-      graft.io.Checkpoint.runAllBucketed(s, srcDir, outDir, cfg)
-      graft.io.Checkpoint.readOutput(s, outDir)
+      graft.io.Checkpoint.bucketSource(turns, tmp.resolve("src").toString, 4, cfg)
+      graft.io.Checkpoint.runAllBucketed(s, tmp.resolve("src").toString,
+        tmp.resolve("out").toString, cfg)
+      // aggregate EAGERLY so the temp corpus copies can be deleted
+      // before returning — the bench sweep runs every query twice and
+      // would otherwise leak two corpus copies per invocation
+      val row = graft.io.Checkpoint.readOutput(s, tmp.resolve("out").toString)
         .agg(
           count(lit(1)).cast("long").as("n_turns"),
           sum(col("metrics.wordCount")).cast("long").as("n_words"),
           sum(when(col("metrics.parseFailed"), 1L).otherwise(0L)).cast("long").as("n_failed"))
+        .head()
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
+        .toDF("n_turns", "n_words", "n_failed")
     }),
 
     // LMSequenceClassifierService slot under the driver gate: the

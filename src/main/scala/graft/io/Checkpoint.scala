@@ -140,8 +140,38 @@ object Checkpoint {
         s"resume with numChunks=$numChunks but $outDir was staged with " +
           s"numChunks=$staged — pass $staged (or clear the output dir)")
     }
+    if (stagedNumChunks(outDir).isEmpty) {
+      // same unknown-provenance rule as runAllBucketed: without a
+      // _STAGED_DONE record, any pre-existing markers/chunk dirs (e.g.
+      // a dir previously populated by the BUCKETED protocol, whose
+      // _DONE_ markers describe a different input) must not be
+      // adopted — runChunk would skip them as "done" for THIS input
+      val leftovers = priorOutputEntries(outDir)
+      require(leftovers.isEmpty,
+        s"$outDir contains prior output (${leftovers.take(5).mkString(", ")}…) " +
+          "but no _STAGED_DONE record — markers cannot be proven to " +
+          "match this input; clear the output dir before running")
+    }
     stage(turns, outDir, numChunks, cfg)
     (0 until numChunks).map(k => runChunk(turns.sparkSession, outDir, k, cfg))
+  }
+
+  /** Entries in `outDir` that belong to SOME prior checkpoint run —
+    * completion markers, chunk data dirs, or either protocol's layout
+    * record. Both adoption guards refuse a dir containing any of these
+    * without the matching provenance record.
+    */
+  private def priorOutputEntries(outDir: String): List[String] = {
+    val p = Paths.get(outDir)
+    if (!Files.exists(p)) Nil
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("_DONE_") || n.startsWith("chunk=") ||
+          n == "_SRC_LAYOUT" || n == "_STAGED_DONE")
+        .toList.sorted
+      finally s.close()
+    }
   }
 
   /** One-time layout migration: write the input partitioned by the
@@ -221,13 +251,7 @@ object Checkpoint {
       // only the CURRENT chunk ids would let stale marker-less
       // chunk=k dirs slip through and be swept up by readOutput's
       // chunk=* glob — scan for ANY existing marker or chunk dir
-      val leftovers = {
-        val s = Files.list(Paths.get(outDir))
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("_DONE_") || n.startsWith("chunk="))
-          .toList.sorted
-        finally s.close()
-      }
+      val leftovers = priorOutputEntries(outDir)
       require(leftovers.isEmpty,
         s"$outDir contains prior output (${leftovers.take(5).mkString(", ")}…) " +
           "but no _SRC_LAYOUT record — cannot prove it matches this " +

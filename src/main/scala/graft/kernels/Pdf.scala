@@ -11,8 +11,9 @@ import scala.collection.mutable.ArrayBuffer
   * This sandbox has no PDF library, so the parser is built from the
   * public PDF spec with the JDK only: it scans the byte stream for
   * `N G obj … endobj` objects (skipping stream payloads while
-  * scanning, honoring a direct `/Length` so binary bytes can't fake
-  * object boundaries), identifies page objects (`/Type /Page`, not
+  * scanning, honoring `/Length` — direct, or indirect via an
+  * integer-object pre-pass — so binary bytes can't fake object
+  * boundaries), identifies page objects (`/Type /Page`, not
   * `/Pages`), resolves their `/Contents N G R` reference (single or
   * array), and extracts text from the content streams (`(…) Tj` and
   * `[…] TJ` show-text operators, with PDF string escapes).
@@ -38,10 +39,15 @@ object Pdf {
   private val ContentsRefRe = """/Contents\s+(\d+)\s+(\d+)\s+R""".r
   private val ContentsArrRe = """(?s)/Contents\s*\[(.*?)\]""".r
   private val RefRe = """(\d+)\s+(\d+)\s+R""".r
-  // a direct /Length (an indirect `/Length N G R` falls through to the
-  // endstream scan). (?!\d) pins the full number so (\d+) can't
-  // backtrack to a prefix that sneaks past the indirect-ref lookahead
+  // a direct /Length (an indirect `/Length N G R` resolves via the
+  // integer-object pre-pass, else falls to the endstream scan).
+  // (?!\d) pins the full number so (\d+) can't backtrack to a prefix
+  // that sneaks past the indirect-ref lookahead
   private val LengthRe = """/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)""".r
+  private val LengthRefRe = """/Length\s+(\d+)\s+\d+\s+R""".r
+  // a whole object that is just an integer (how writers emit stream
+  // lengths they only know after writing): `12 0 obj 4096 endobj`
+  private val IntObjRe = """(\d+)\s+\d+\s+obj\s*(\d+)\s*endobj""".r
 
   /** Sequential object scan. Latin-1 decode is byte-preserving, so
     * offsets/regex stay exact and stream payloads round-trip through
@@ -52,6 +58,18 @@ object Pdf {
     */
   def scanObjects(bytes: Array[Byte]): Vector[PdfObj] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    // pre-pass: integer-valued objects, so an INDIRECT `/Length N G R`
+    // can still slice its stream exactly (the endstream fallback can be
+    // fooled by binary payloads containing the 'endstream' bytes —
+    // deflate stored blocks make that craftable). The pattern is
+    // specific enough (obj <digits> endobj) that binary false positives
+    // would need those exact bytes in sequence; worst case it resolves
+    // a wrong length and the <= s.length guard falls back to the scan.
+    val intObjs: Map[Int, Long] = IntObjRe.findAllMatchIn(s).flatMap { m =>
+      // toLong-safe: both groups are bounded digit runs, but the VALUE
+      // may exceed Long on adversarial input — skip those
+      scala.util.Try(m.group(1).toInt -> m.group(2).toLong).toOption
+    }.toMap
     val out = Vector.newBuilder[PdfObj]
     val m = HeaderRe.matcher(s)
     var p = 0
@@ -74,19 +92,26 @@ object Pdf {
         var dataStart = streamKw + 6
         if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
         if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-        val dataEnd = LengthRe.findFirstMatchIn(dict) match {
-          case Some(lm) if dataStart + lm.group(1).toInt <= s.length =>
-            dataStart + lm.group(1).toInt
+        // toLong + Try: a corrupt `/Length 99999999999999999999` must
+        // degrade to the fallback scan, not throw out of the job
+        val declaredLen: Option[Long] =
+          LengthRe.findFirstMatchIn(dict)
+            .flatMap(lm => scala.util.Try(lm.group(1).toLong).toOption)
+            .orElse(LengthRefRe.findFirstMatchIn(dict).flatMap(lm =>
+              scala.util.Try(lm.group(1).toInt).toOption.flatMap(intObjs.get)))
+        val dataEnd = declaredLen match {
+          case Some(len) if len >= 0 && dataStart + len <= s.length =>
+            (dataStart + len).toInt
           case _ =>
-            // no direct /Length: scan for endstream, strip its EOL
+            // no resolvable /Length: scan for endstream. Deliberately
+            // do NOT strip the preceding EOL — whether a trailing
+            // \r/\n byte is the separator or the last DATA byte is
+            // ambiguous without a length (stripping once truncated a
+            // deflate stream whose final byte was 0x0d), and both
+            // consumers tolerate the extra byte: Inflater stops at the
+            // deflate stream end, extractText ignores whitespace.
             val es = s.indexOf("endstream", dataStart)
-            if (es < 0) dataStart
-            else {
-              var e = es
-              if (e > dataStart && s.charAt(e - 1) == '\n') e -= 1
-              if (e > dataStart && s.charAt(e - 1) == '\r') e -= 1
-              e
-            }
+            if (es < 0) dataStart else es
         }
         val data = s.substring(dataStart, dataEnd).getBytes(StandardCharsets.ISO_8859_1)
         val endobj = s.indexOf("endobj", math.max(dataEnd, dataStart))

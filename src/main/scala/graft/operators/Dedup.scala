@@ -420,6 +420,13 @@ object Dedup {
     * Same output contract as [[components]]: (id, component-min) with
     * singletons labeled themselves. Shape per round: two groupBy-min
     * shuffles + the convergence check — all on (a, b) long pairs.
+    *
+    * Storage lifecycle: each round's `localCheckpoint(true)` persists
+    * RDD blocks; Dataset exposes no unpersist for them, so superseded
+    * rounds are reclaimed by Spark's ContextCleaner once their `var`
+    * reference is reassigned (the standard iterative-checkpoint
+    * pattern) — peak storage is the current round's ~2 edge sets, not
+    * the sum over rounds.
     */
   def componentsLargeSmallStar(nodes: DataFrame, pairs: DataFrame,
       maxIter: Int = 30): DataFrame = {

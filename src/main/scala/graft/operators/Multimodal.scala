@@ -39,8 +39,11 @@ object Multimodal {
       if (!isImageMagic(bytes)) null
       else {
         imageIoReady
+        // NonFatal, not just IOException: the JDK BMP/GIF readers throw
+        // IllegalArgument/ArrayIndexOutOfBounds on malformed headers,
+        // and any text payload starting with "BM"/"GIF8" reaches here
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       }
     if (img == null) fakeDecode(id, bytes)
     else MediaMeta(id, bytes.length, img.getWidth, img.getHeight,

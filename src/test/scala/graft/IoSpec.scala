@@ -152,6 +152,16 @@ class CheckpointSpec extends AnyFunSuite {
     val resumed = Checkpoint.runAllBucketed(spark, srcDir, outDir, cfg)
     assert(resumed.forall(_.skipped))
 
+    // cross-protocol adoption: runAll (staged protocol) over a dir the
+    // BUCKETED protocol populated must refuse — its _DONE_ markers
+    // describe a different provenance, and skipping on them would
+    // serve the bucketed run's data for runAll's (possibly different)
+    // input with all-green results
+    val eCross = intercept[IllegalArgumentException] {
+      Checkpoint.runAll(turns, outDir, 4, cfg)
+    }
+    assert(eCross.getMessage.contains("_STAGED_DONE"))
+
     // re-bucketing the source invalidates the output's markers: a
     // resume against the NEW layout must be rejected, not silently
     // skip chunks whose contents changed

@@ -80,9 +80,30 @@ class PdfSpec extends AnyFunSuite {
   }
 
   test("indirect /Length falls back to the endstream scan and still inflates") {
+    // reference to an object that does not exist → fallback scan
     val pages = Pdf.splitPages(flatePdf(Seq("indirect length"),
       lengthOverride = Some("99 0 R")))
     assert(pages.map(_.text) == Seq("indirect length"))
+  }
+
+  test("indirect /Length resolves through an integer object and slices exactly") {
+    // append the referenced length object so the pre-pass resolves it
+    // (no endstream scan — the length governs the slice)
+    val texts = Seq("resolved length")
+    val data = deflate("BT /F1 12 Tf (resolved length) Tj ET")
+    val base = flatePdf(texts, lengthOverride = Some("99 0 R"))
+    val withObj = new java.io.ByteArrayOutputStream()
+    withObj.write(base)
+    withObj.write(s"99 0 obj ${data.length} endobj\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val pages = Pdf.splitPages(withObj.toByteArray)
+    assert(pages.map(_.text) == Seq("resolved length"))
+  }
+
+  test("absurd /Length values degrade to the fallback scan, not an exception") {
+    val pages = Pdf.splitPages(flatePdf(Seq("huge length"),
+      lengthOverride = Some("99999999999999999999")))
+    assert(pages.map(_.text) == Seq("huge length"))
   }
 
   test("unknown filters skip to empty text but keep the page split") {
