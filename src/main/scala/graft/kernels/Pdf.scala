@@ -19,12 +19,15 @@ import scala.collection.mutable.ArrayBuffer
   * `[…] TJ` show-text operators, with PDF string escapes).
   * `/FlateDecode` streams — the common case in real-world PDFs — are
   * inflated with `java.util.zip.Inflater` (FlateDecode IS zlib,
-  * ISO 32000-1 §7.4.4) before text extraction. Honest residual gaps:
-  * predictor-coded Flate (`/DecodeParms`/`/Predictor`, used for xref
-  * and image data, not content streams), non-Flate filters (LZW,
-  * ASCII85, DCT…), object streams (`/Type /ObjStm`, PDF ≥1.5), and
-  * encrypted documents all yield pages with empty text rather than
-  * garbage — the page COUNT and per-page split still work.
+  * ISO 32000-1 §7.4.4) before text extraction; ASCII85/ASCIIHex
+  * transport filters decode too, including `[/ASCII85Decode
+  * /FlateDecode]` chains, and `/Type /ObjStm` object streams
+  * (PDF ≥1.5 — where modern writers put the page dicts) are expanded
+  * into the object list. Honest residual gaps: predictor-coded Flate
+  * (`/DecodeParms`/`/Predictor`, used for xref and image data, not
+  * content streams), LZW/DCT/JBIG2 filters, and encrypted documents
+  * all yield pages with empty text rather than garbage — the page
+  * COUNT and per-page split still work.
   */
 object Pdf {
 
@@ -144,22 +147,135 @@ object Pdf {
     } finally inf.end()
   }
 
-  /** Decode a content stream to its text-operator byte string: raw
-    * when unfiltered, inflated for `/FlateDecode`, None (documented
-    * skip) for predictor-coded Flate and every other filter.
+  /** ASCII85 decode (ISO 32000-1 §7.4.3): groups of 5 chars '!'..'u'
+    * → 4 bytes base 85, 'z' = four zero bytes, whitespace ignored,
+    * `~>` terminates, partial final group keeps n−1 bytes. None on any
+    * malformed input (strict, like [[inflate]]).
     */
+  def ascii85(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val group = new Array[Int](5)
+    var g = 0
+    var i = 0
+    var done = false
+    def flush(n: Int): Boolean = {
+      if (n < 2) return n == 0
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < n) group(k) else 84); k += 1 }
+      if (v > 0xffffffffL) return false
+      var b = 0
+      while (b < n - 1) { out.write(((v >>> (24 - 8 * b)) & 0xff).toInt); b += 1 }
+      true
+    }
+    while (i < data.length && !done) {
+      val c = data(i).toInt & 0xff
+      if (c == '~') done = true // `~>` terminator
+      else if (c == 'z' && g == 0) out.write(Array[Byte](0, 0, 0, 0))
+      else if (c >= '!' && c <= 'u') {
+        group(g) = c - '!'
+        g += 1
+        if (g == 5) { if (!flush(5)) return None; g = 0 }
+      } else if (!Character.isWhitespace(c)) return None
+      i += 1
+    }
+    if (flush(g)) Some(out.toByteArray) else None
+  }
+
+  /** ASCIIHex decode (§7.4.2): hex pairs, whitespace ignored, `>`
+    * terminates, odd final digit padded with 0.
+    */
+  def asciiHex(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toInt & 0xff
+      if (c == '>') done = true
+      else if (!Character.isWhitespace(c)) {
+        val d = Character.digit(c, 16)
+        if (d < 0) return None
+        if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi * 16)
+    Some(out.toByteArray)
+  }
+
+  // filter names in application order: `/Filter /Name` or
+  // `/Filter [/A /B]` (§7.3.8: array = filters applied in sequence)
+  private val FilterClauseRe = """(?s)/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+  private val NameRe = """/([A-Za-z0-9]+)""".r
+
+  private def filtersOf(dict: String): Seq[String] =
+    FilterClauseRe.findFirstMatchIn(dict)
+      .map(m => NameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil)
+
+  /** Decode a stream payload through its (possibly chained) filters:
+    * Flate / ASCII85 / ASCIIHex supported; None (documented skip) for
+    * predictor-coded Flate and every other filter (LZW, DCT, …).
+    */
+  def decodeStream(dict: String, data: Array[Byte]): Option[Array[Byte]] =
+    if (dict.contains("/Predictor")) None
+    else filtersOf(dict).foldLeft(Option(data)) { (acc, f) =>
+      acc.flatMap(d => f match {
+        case "FlateDecode" | "Fl" => inflate(d)
+        case "ASCII85Decode" | "A85" => ascii85(d)
+        case "ASCIIHexDecode" | "AHx" => asciiHex(d)
+        case _ => None
+      })
+    }
+
   private def decodeContent(dict: String, data: Array[Byte]): Option[String] =
-    if (!dict.contains("/Filter")) Some(new String(data, StandardCharsets.ISO_8859_1))
-    else if (dict.contains("/FlateDecode") && !dict.contains("/Predictor"))
-      inflate(data).map(new String(_, StandardCharsets.ISO_8859_1))
-    else None
+    decodeStream(dict, data).map(new String(_, StandardCharsets.ISO_8859_1))
+
+  /** Expand `/Type /ObjStm` object streams (PDF ≥1.5, §7.5.7): modern
+    * writers store most non-stream objects — including PAGE dicts —
+    * inside a compressed container stream, so a parser without this
+    * sees zero pages on current-generation PDFs. Layout: `/N` pairs of
+    * `objnum offset` ints, then the serialized objects starting at
+    * `/First` (offsets relative to it). Contained objects carry no
+    * obj/endobj wrappers and may not contain streams, so they merge
+    * into the object list as dict-only [[PdfObj]]s (container's byte
+    * offset, preserving document order).
+    */
+  private val IntPairHeaderRe = """\s*(\d+)\s+(\d+)""".r
+  def expandObjectStreams(objs: Vector[PdfObj]): Vector[PdfObj] =
+    objs.flatMap { o =>
+      if (!(o.dict.contains("/ObjStm") && o.stream.isDefined)) Vector(o)
+      else {
+        val expanded = for {
+          content <- decodeStream(o.dict, o.stream.get)
+          n <- """/N\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+          first <- """/First\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+        } yield {
+          val s = new String(content, StandardCharsets.ISO_8859_1)
+          val header = s.take(math.min(first, s.length))
+          val pairs = IntPairHeaderRe.findAllMatchIn(header)
+            .map(m => (m.group(1).toInt, m.group(2).toInt)).take(n).toVector
+          pairs.zipWithIndex.map { case ((num, off), i) =>
+            val start = math.min(first + off, s.length)
+            val end =
+              if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, s.length)
+              else s.length
+            PdfObj(num, o.off, s.substring(start, end), None)
+          }
+        }
+        // undecodable container (unknown filter / corrupt): keep the
+        // raw object so the page count degrades, never throws
+        expanded.getOrElse(Vector(o))
+      }
+    }
 
   /** Split a PDF byte array into pages (1-based page numbers, in
     * document object order — the order `/Kids` arrays list them for
     * the linear writers this subset targets).
     */
   def splitPages(bytes: Array[Byte]): Seq[PdfPage] = {
-    val objects = scanObjects(bytes)
+    val objects = expandObjectStreams(scanObjects(bytes))
     val byNum = objects.map(o => o.num -> o).toMap
     def contentText(o: PdfObj): String =
       o.stream.flatMap(decodeContent(o.dict, _)).map(extractText).getOrElse("")
