@@ -23,11 +23,18 @@ import scala.collection.mutable.ArrayBuffer
   * transport filters decode too, including `[/ASCII85Decode
   * /FlateDecode]` chains, and `/Type /ObjStm` object streams
   * (PDF ≥1.5 — where modern writers put the page dicts) are expanded
-  * into the object list. Honest residual gaps: predictor-coded Flate
-  * (`/DecodeParms`/`/Predictor`, used for xref and image data, not
-  * content streams), LZW/DCT/JBIG2 filters, and encrypted documents
-  * all yield pages with empty text rather than garbage — the page
-  * COUNT and per-page split still work.
+  * into the object list. PNG-predictor-coded Flate (§7.4.4.4,
+  * predictors 10–15) un-filters row-by-row after inflation. Text
+  * decodes through FONT STATE (round 5): `Tf` tracks the current font,
+  * the page's `/Resources /Font` dict resolves to font objects, and
+  * their `/ToUnicode` CMaps (`bfchar`/`bfrange`) map character codes
+  * to Unicode — so CID-font hex strings (Identity-H, the dominant
+  * modern encoding) extract real text; a Type0 font WITHOUT a CMap
+  * suppresses its strings (empty beats garbage), and `/Encoding
+  * /Differences` glyph-name remaps resolve through an Adobe-Glyph-List
+  * subset. Honest residual gaps: TIFF Predictor 2, LZW/DCT/JBIG2
+  * filters, and encrypted documents all yield pages with empty text
+  * rather than garbage — the page COUNT and per-page split still work.
   */
 object Pdf {
 
@@ -51,6 +58,26 @@ object Pdf {
   // a whole object that is just an integer (how writers emit stream
   // lengths they only know after writing): `12 0 obj 4096 endobj`
   private val IntObjRe = """(\d+)\s+\d+\s+obj\s*(\d+)\s*endobj""".r
+
+  /** First occurrence of the `stream` KEYWORD at or after `from`:
+    * preceded by `>>` plus optional whitespace, followed by CR/LF, and
+    * not the tail of `endstream`. −1 when absent.
+    */
+  private def findStreamKeyword(s: String, from: Int): Int = {
+    var p = s.indexOf("stream", from)
+    while (p >= 0) {
+      val after = p + 6
+      val okAfter = after < s.length &&
+        (s.charAt(after) == '\n' || s.charAt(after) == '\r')
+      var q = p - 1
+      while (q >= 0 && Character.isWhitespace(s.charAt(q))) q -= 1
+      val okBefore = q >= 1 && s.charAt(q) == '>' && s.charAt(q - 1) == '>'
+      val notEndstream = !(p >= 3 && s.regionMatches(p - 3, "end", 0, 3))
+      if (okAfter && okBefore && notEndstream) return p
+      p = s.indexOf("stream", p + 1)
+    }
+    -1
+  }
 
   /** Sequential object scan. Latin-1 decode is byte-preserving, so
     * offsets/regex stay exact and stream payloads round-trip through
@@ -82,9 +109,11 @@ object Pdf {
       val off = m.start
       val bodyStart = m.end
       val endobj0 = s.indexOf("endobj", bodyStart)
-      // first "stream" occurrence is the keyword when present ("endstream"
-      // can only appear after it); it must belong to THIS object
-      val streamKw = s.indexOf("stream", bodyStart)
+      // the stream KEYWORD (not the substring — a dict-only object can
+      // carry 'stream' inside a string or name, e.g. /PieceInfo text):
+      // per spec it follows the dict close '>>' (optional whitespace
+      // between) and is itself followed by CRLF or LF
+      val streamKw = findStreamKeyword(s, bodyStart)
       if (endobj0 < 0) go = false
       else if (streamKw < 0 || streamKw > endobj0) {
         out += PdfObj(num, off, s.substring(bodyStart, endobj0), None)
@@ -214,15 +243,79 @@ object Pdf {
       .map(m => NameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
       .getOrElse(Nil)
 
+  private val PredictorRe = """/Predictor\s+(\d+)""".r
+  private val ColumnsRe = """/Columns\s+(\d+)""".r
+  private val ColorsRe = """/Colors\s+(\d+)""".r
+  private val BpcRe = """/BitsPerComponent\s+(\d+)""".r
+  private def intParam(re: scala.util.matching.Regex, dict: String, dflt: Int): Int =
+    re.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(dflt)
+
+  /** Reverse PNG row predictors (ISO 32000-1 §7.4.4.4 / RFC 2083 §6):
+    * each row is a filter-type byte then `rowLen` filtered bytes; types
+    * 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth reconstruct against the
+    * left/up/up-left neighbours at `bpp` byte distance. Strict: a
+    * length that isn't whole rows, or an unknown filter type, → None.
+    */
+  def unpredictPng(data: Array[Byte], columns: Int, colors: Int, bpc: Int): Option[Array[Byte]] = {
+    val rowLen = (columns.toLong * colors * bpc + 7) / 8
+    if (rowLen <= 0 || rowLen > Int.MaxValue - 1 ||
+        data.length % (rowLen + 1) != 0) return None
+    val rl = rowLen.toInt
+    val bpp = math.max(1, colors * bpc / 8)
+    val rows = data.length / (rl + 1)
+    val out = new Array[Byte](rows * rl)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (rl + 1)) & 0xff
+      val src = r * (rl + 1) + 1
+      val dst = r * rl
+      var i = 0
+      while (i < rl) {
+        val x = data(src + i) & 0xff
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val b = if (r > 0) out(dst - rl + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) out(dst - rl + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) / 2)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** Post-inflate predictor stage: 1 = identity, 10–15 = PNG row
+    * filters (§7.4.4.4 — the spec says any PNG predictor value merely
+    * selects per-row filtering, so they share one decoder), 2 = TIFF
+    * (documented skip → None).
+    */
+  private def applyPredictor(dict: String, data: Array[Byte]): Option[Array[Byte]] =
+    intParam(PredictorRe, dict, 1) match {
+      case 1 => Some(data)
+      case p if p >= 10 && p <= 15 =>
+        unpredictPng(data, intParam(ColumnsRe, dict, 1),
+          intParam(ColorsRe, dict, 1), intParam(BpcRe, dict, 8))
+      case _ => None
+    }
+
   /** Decode a stream payload through its (possibly chained) filters:
-    * Flate / ASCII85 / ASCIIHex supported; None (documented skip) for
-    * predictor-coded Flate and every other filter (LZW, DCT, …).
+    * Flate (incl. PNG predictors) / ASCII85 / ASCIIHex supported; None
+    * (documented skip) for every other filter (LZW, DCT, …).
     */
   def decodeStream(dict: String, data: Array[Byte]): Option[Array[Byte]] =
-    if (dict.contains("/Predictor")) None
-    else filtersOf(dict).foldLeft(Option(data)) { (acc, f) =>
+    filtersOf(dict).foldLeft(Option(data)) { (acc, f) =>
       acc.flatMap(d => f match {
-        case "FlateDecode" | "Fl" => inflate(d)
+        case "FlateDecode" | "Fl" => inflate(d).flatMap(applyPredictor(dict, _))
         case "ASCII85Decode" | "A85" => ascii85(d)
         case "ASCIIHexDecode" | "AHx" => asciiHex(d)
         case _ => None
@@ -232,6 +325,221 @@ object Pdf {
   private def decodeContent(dict: String, data: Array[Byte]): Option[String] =
     decodeStream(dict, data).map(new String(_, StandardCharsets.ISO_8859_1))
 
+  // ---------------------------------------------------------------
+  // Font state (round 5): /Resources /Font resolution, /ToUnicode
+  // CMaps, /Encoding /Differences. Reference semantics:
+  // extern/pdftext.py:50,138 (pdfplumber/pdfium resolve these per
+  // font); rebuilt here from ISO 32000-1 §9.6–9.10 + Adobe CMap spec.
+  // ---------------------------------------------------------------
+
+  /** Per-font decode state: Type0 (CID) fonts show 2-byte codes that
+    * MUST go through a ToUnicode CMap (no CMap → strings suppressed:
+    * empty beats garbage); simple fonts show 1-byte codes through
+    * ToUnicode, else `/Differences`, else Latin-1 identity.
+    */
+  final case class PdfFont(isType0: Boolean,
+      toUnicode: Option[Map[Int, String]], differences: Map[Int, String])
+
+  /** Substring of `s` spanning the balanced `<< … >>` whose opening
+    * `<<` starts at `open`; None if unterminated.
+    */
+  private def balancedDict(s: String, open: Int): Option[String] = {
+    var i = open
+    var depth = 0
+    while (i + 1 < s.length) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return Some(s.substring(open, i))
+      } else i += 1
+    }
+    None
+  }
+
+  /** Index of `/Key` in `body` where the match is the WHOLE key (the
+    * next char is a delimiter, so `/Font` can't hit `/FontFile`).
+    */
+  private def keyIndex(body: String, key: String): Int = {
+    var k = body.indexOf(key)
+    while (k >= 0) {
+      val after = k + key.length
+      if (after >= body.length || !Character.isLetterOrDigit(body.charAt(after))) return k
+      k = body.indexOf(key, k + 1)
+    }
+    -1
+  }
+
+  private val AnchoredRefRe = """^(\d+)\s+\d+\s+R""".r
+
+  /** The dict VALUE of `/Key` in `body`: an inline `<< … >>` taken
+    * balanced, or an indirect `N G R` resolved through `byNum` (whose
+    * object body is itself scanned for its leading dict). None when
+    * the key is absent or its value is neither (e.g. a name like
+    * `/Encoding /Identity-H`).
+    */
+  private def dictValue(body: String, key: String, byNum: Map[Int, PdfObj]): Option[String] = {
+    val k = keyIndex(body, key)
+    if (k < 0) return None
+    var i = k + key.length
+    while (i < body.length && Character.isWhitespace(body.charAt(i))) i += 1
+    if (i + 1 < body.length && body.charAt(i) == '<' && body.charAt(i + 1) == '<')
+      balancedDict(body, i)
+    else
+      AnchoredRefRe.findFirstMatchIn(body.substring(i, math.min(body.length, i + 24)))
+        .map(_.group(1).toInt).flatMap(byNum.get).flatMap { o =>
+          val d = o.dict
+          val open = d.indexOf("<<")
+          if (open < 0) None else balancedDict(d, open)
+        }
+  }
+
+  private def utf16OfHex(hex: String): String = {
+    val clean = if (hex.length % 2 == 1) hex + "0" else hex
+    val bytes = new Array[Byte](clean.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = Integer.parseInt(clean.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    new String(bytes, StandardCharsets.UTF_16BE)
+  }
+
+  private val BfCharSecRe = """(?s)beginbfchar(.*?)endbfchar""".r
+  private val BfRangeSecRe = """(?s)beginbfrange(.*?)endbfrange""".r
+  private val CmapTokRe = """<([0-9A-Fa-f]+)>|(\[)|(\])""".r
+  private val MaxCmapEntries = 1 << 17 // adversarial-range cap
+
+  /** Parse a ToUnicode CMap stream (Adobe CMap spec / §9.10.3):
+    * `bfchar` pairs `<src> <dstUtf16be>`; `bfrange` triples
+    * `<lo> <hi> <dstStart>` (last UTF-16 unit increments across the
+    * range) or `<lo> <hi> [<dst0> <dst1> …]` (one dst per code).
+    */
+  def parseToUnicode(cmap: String): Map[Int, String] = {
+    val out = scala.collection.mutable.HashMap.empty[Int, String]
+    def put(code: Int, dst: String): Unit =
+      if (out.size < MaxCmapEntries) out.update(code, dst)
+    for (sec <- BfCharSecRe.findAllMatchIn(cmap)) {
+      val toks = CmapTokRe.findAllMatchIn(sec.group(1))
+        .flatMap(m => Option(m.group(1))).toVector
+      toks.grouped(2).foreach {
+        case Vector(src, dst) => put(Integer.parseInt(src, 16), utf16OfHex(dst))
+        case _ => ()
+      }
+    }
+    for (sec <- BfRangeSecRe.findAllMatchIn(cmap)) {
+      val toks = CmapTokRe.findAllMatchIn(sec.group(1)).map { m =>
+        if (m.group(1) != null) ("hex", m.group(1))
+        else if (m.group(2) != null) ("[", "") else ("]", "")
+      }.toVector
+      var i = 0
+      while (i + 1 < toks.length) {
+        if (toks(i)._1 != "hex" || toks(i + 1)._1 != "hex") { i += 1 }
+        else {
+          val lo = Integer.parseInt(toks(i)._2, 16)
+          val hi = Integer.parseInt(toks(i + 1)._2, 16)
+          i += 2
+          if (i < toks.length && toks(i)._1 == "[") {
+            i += 1
+            var c = lo
+            while (i < toks.length && toks(i)._1 == "hex") {
+              if (c <= hi) put(c, utf16OfHex(toks(i)._2))
+              c += 1; i += 1
+            }
+            if (i < toks.length && toks(i)._1 == "]") i += 1
+          } else if (i < toks.length && toks(i)._1 == "hex") {
+            val base = utf16OfHex(toks(i)._2)
+            i += 1
+            val span = math.min(hi - lo, MaxCmapEntries)
+            var d = 0
+            while (d <= span) {
+              val dst = if (base.isEmpty) "" else base.init + (base.last + d).toChar
+              put(lo + d, dst)
+              d += 1
+            }
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Adobe Glyph List subset: ASCII letters, digits, and common
+    * punctuation — enough to resolve `/Differences` remaps of simple
+    * fonts; unknown glyph names map to "" (dropped, never garbage).
+    */
+  private val GlyphChar: Map[String, String] = {
+    val letters = (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toString -> c.toString)
+    val digits = Seq("zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
+      "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
+      "eight" -> "8", "nine" -> "9")
+    val punct = Seq("space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+", "comma" -> ",",
+      "hyphen" -> "-", "period" -> ".", "slash" -> "/", "colon" -> ":",
+      "semicolon" -> ";", "less" -> "<", "equal" -> "=", "greater" -> ">",
+      "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+      "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~")
+    (letters ++ digits ++ punct).toMap
+  }
+
+  private val DiffsArrRe = """(?s)/Differences\s*\[(.*?)\]""".r
+  private val DiffsTokRe = """(\d+)|/([A-Za-z0-9.]+)""".r
+
+  /** `/Differences [ code /name /name code /name … ]` → code→string
+    * via the AGL subset (§9.6.5.2: each integer restarts the code
+    * counter; each name consumes one code).
+    */
+  def parseDifferences(encDict: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    DiffsArrRe.findFirstMatchIn(encDict).foreach { m =>
+      var code = 0
+      for (t <- DiffsTokRe.findAllMatchIn(m.group(1))) {
+        if (t.group(1) != null) code = t.group(1).toInt
+        else {
+          out += code -> GlyphChar.getOrElse(t.group(2), "")
+          code += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  private val ToUnicodeRefRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+  private val FontEntryRefRe = """/(\w+)\s+(\d+)\s+\d+\s+R""".r
+  private val FontEntryInlineRe = """/(\w+)\s*(?=<<)""".r
+
+  private def parseFont(fdict: String, byNum: Map[Int, PdfObj]): PdfFont = {
+    val isType0 = fdict.contains("/Type0")
+    val toUni = ToUnicodeRefRe.findFirstMatchIn(fdict).map(_.group(1).toInt)
+      .flatMap(byNum.get)
+      .flatMap(o => o.stream.flatMap(decodeStream(o.dict, _)))
+      .map(b => parseToUnicode(new String(b, StandardCharsets.ISO_8859_1)))
+    val diffs = dictValue(fdict, "/Encoding", byNum)
+      .map(parseDifferences).getOrElse(Map.empty[Int, String])
+    PdfFont(isType0, toUni, diffs)
+  }
+
+  /** Resolve the page's `/Resources /Font` dict (inline or indirect at
+    * either level) to name→[[PdfFont]]; indirect font objects memoize
+    * through `cache` so a shared font's CMap parses once per document.
+    */
+  def fontsOf(pageDict: String, byNum: Map[Int, PdfObj],
+      cache: scala.collection.mutable.HashMap[Int, PdfFont]): Map[String, PdfFont] =
+    dictValue(pageDict, "/Resources", byNum)
+      .flatMap(res => dictValue(res, "/Font", byNum)) match {
+      case None => Map.empty
+      case Some(fd) =>
+        val out = Map.newBuilder[String, PdfFont]
+        for (m <- FontEntryRefRe.findAllMatchIn(fd); o <- byNum.get(m.group(2).toInt))
+          out += m.group(1) -> cache.getOrElseUpdate(o.num, parseFont(o.dict, byNum))
+        for (m <- FontEntryInlineRe.findAllMatchIn(fd); d <- balancedDict(fd, m.end))
+          out += m.group(1) -> parseFont(d, byNum)
+        out.result()
+    }
+
   /** Expand `/Type /ObjStm` object streams (PDF ≥1.5, §7.5.7): modern
     * writers store most non-stream objects — including PAGE dicts —
     * inside a compressed container stream, so a parser without this
@@ -239,8 +547,10 @@ object Pdf {
     * `objnum offset` ints, then the serialized objects starting at
     * `/First` (offsets relative to it). Contained objects carry no
     * obj/endobj wrappers and may not contain streams, so they merge
-    * into the object list as dict-only [[PdfObj]]s (container's byte
-    * offset, preserving document order).
+    * into the object list as dict-only [[PdfObj]]s at offset
+    * `container offset + First + in-stream offset` — page-DISTINCT
+    * (two pages in one ObjStm must not share an `objOffset`) while
+    * preserving document order.
     */
   private val IntPairHeaderRe = """\s*(\d+)\s+(\d+)""".r
   def expandObjectStreams(objs: Vector[PdfObj]): Vector[PdfObj] =
@@ -261,7 +571,7 @@ object Pdf {
             val end =
               if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, s.length)
               else s.length
-            PdfObj(num, o.off, s.substring(start, end), None)
+            PdfObj(num, o.off + first + off, s.substring(start, end), None)
           }
         }
         // undecodable container (unknown filter / corrupt): keep the
@@ -277,8 +587,10 @@ object Pdf {
   def splitPages(bytes: Array[Byte]): Seq[PdfPage] = {
     val objects = expandObjectStreams(scanObjects(bytes))
     val byNum = objects.map(o => o.num -> o).toMap
-    def contentText(o: PdfObj): String =
-      o.stream.flatMap(decodeContent(o.dict, _)).map(extractText).getOrElse("")
+    val fontCache = scala.collection.mutable.HashMap.empty[Int, PdfFont]
+    def contentText(o: PdfObj, fonts: Map[String, PdfFont]): String =
+      o.stream.flatMap(decodeContent(o.dict, _))
+        .map(extractText(_, fonts)).getOrElse("")
     val pages = ArrayBuffer.empty[PdfPage]
     var pageNo = 0
     for (o <- objects) {
@@ -287,6 +599,7 @@ object Pdf {
         body.contains("/Type/Page") && !body.contains("/Type/Pages")
       if (isPage) {
         pageNo += 1
+        val fonts = fontsOf(body, byNum, fontCache)
         val refs: Seq[Int] = ContentsArrRe.findFirstMatchIn(body) match {
           case Some(arr) => RefRe.findAllMatchIn(arr.group(1)).map(_.group(1).toInt).toSeq
           case None => ContentsRefRe.findFirstMatchIn(body).map(_.group(1).toInt).toSeq
@@ -295,10 +608,10 @@ object Pdf {
           if (refs.nonEmpty)
             // multiple content streams concatenate (spec: treated as one
             // stream with whitespace between), non-empty parts joined
-            refs.flatMap(byNum.get).map(contentText).filter(_.nonEmpty).mkString(" ")
+            refs.flatMap(byNum.get).map(contentText(_, fonts)).filter(_.nonEmpty).mkString(" ")
           else
             // inline content stream inside the page object
-            contentText(o)
+            contentText(o, fonts)
         pages += PdfPage(pageNo, o.off.toLong, text)
       }
     }
@@ -317,9 +630,21 @@ object Pdf {
     * `[…] TJ` array is kept (the round-2 first cut only kept the last
     * one: the lookahead from an inner string stopped at the next '(').
     */
-  def extractText(stream: String): String = {
+  def extractText(stream: String): String =
+    extractText(stream, Map.empty[String, PdfFont])
+
+  /** Font-aware variant: `Tf` selects the current font from `fonts`
+    * (by the name operand preceding it); every string operand maps
+    * through that font's decode rules at push time. A font NAME that
+    * doesn't resolve keeps the legacy Latin-1 identity (the fixture /
+    * no-resources case); a RESOLVED Type0 font without a ToUnicode
+    * CMap suppresses its strings entirely — empty beats garbage.
+    */
+  def extractText(stream: String, fonts: Map[String, PdfFont]): String = {
     val out = new StringBuilder
     val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+    var lastName = ""
+    var curFont: Option[PdfFont] = None
     def emit(): Unit = {
       for (s <- pending) {
         if (out.nonEmpty) out.append(' ')
@@ -327,6 +652,38 @@ object Pdf {
       }
       pending.clear()
     }
+    // map a raw byte-string (chars = code bytes) through the current
+    // font; None = suppressed
+    def mapped(raw: String): Option[String] = curFont match {
+      case None => Some(raw)
+      case Some(f) if f.isType0 =>
+        f.toUnicode match {
+          case None => None
+          case Some(cmap) =>
+            val sb = new StringBuilder
+            var k = 0
+            while (k + 1 < raw.length) {
+              val code = ((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff)
+              sb.append(cmap.getOrElse(code, ""))
+              k += 2
+            }
+            Some(sb.toString)
+        }
+      case Some(f) =>
+        val sb = new StringBuilder
+        for (ch <- raw) {
+          val code = ch.toInt & 0xff
+          f.toUnicode.flatMap(_.get(code)).orElse(f.differences.get(code)) match {
+            case Some(s2) => sb.append(s2)
+            case None => sb.append(ch)
+          }
+        }
+        Some(sb.toString)
+    }
+    def push(raw: String): Unit =
+      mapped(raw).foreach(s => if (s.nonEmpty) pending += s)
+    def isDelim(c: Char): Boolean =
+      Character.isWhitespace(c) || "()<>[]{}/%".indexOf(c) >= 0
     var i = 0
     val n = stream.length
     while (i < n) {
@@ -357,7 +714,7 @@ object Pdf {
           else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
           else { sb.append(ch); i += 1 }
         }
-        pending += sb.toString
+        push(sb.toString)
       } else if (c == '<') {
         // hex string <4A6F> (or dict open <<): consume wholesale so its
         // hex letters can't parse as operators and clear pending
@@ -376,18 +733,28 @@ object Pdf {
               sb.append(Integer.parseInt(padded.substring(h, h + 2), 16).toChar)
               h += 2
             }
-            pending += sb.toString
+            push(sb.toString)
           }
         }
       } else if (c == '\'' || c == '"') {
         // single-char show-text operators (move-and-show)
         emit(); i += 1
+      } else if (c == '/') {
+        // name token: remember it so a following Tf can select the font
+        val s = i + 1
+        i += 1
+        while (i < n && !isDelim(stream.charAt(i))) i += 1
+        lastName = stream.substring(s, i)
       } else if (c.isLetter) {
         val s = i
         while (i < n && (stream.charAt(i).isLetter || stream.charAt(i) == '*')) i += 1
         val op = stream.substring(s, i)
-        if (op == "Tj" || op == "TJ") emit() else pending.clear()
-      } else i += 1 // numbers, names, brackets, whitespace: skip
+        if (op == "Tj" || op == "TJ") emit()
+        else {
+          if (op == "Tf") curFont = fonts.get(lastName)
+          pending.clear()
+        }
+      } else i += 1 // numbers, brackets, whitespace: skip
     }
     out.toString
   }
