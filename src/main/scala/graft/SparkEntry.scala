@@ -219,6 +219,54 @@ object SparkEntry {
         .toDF("conv_id", "turn_idx", "n_rows", "n_cols", "html")
     }),
 
+    // Page.get_layout_context under the driver gate: pinned payloads
+    // with a known block count per doc parity, so every window's size
+    // and reading-order bounds are closed-form (interior 2k+1, edges
+    // truncated)
+    "q_layout_context" -> ((s, dir) => {
+      import s.implicits._
+      val p6 = (1 to 6).map(i => s"<p>alpha block number $i carries several words</p>").mkString
+      val p2 = (1 to 2).map(i => s"<p>beta block number $i carries several words</p>").mkString
+      val turns = docs(s, dir).filter(col("doc_id") < 200)
+        .select(concat(lit("ctx-"), col("doc_id")).as("conv_id"),
+          lit(0).as("turn_idx"), lit("user").as("role"),
+          when(col("doc_id") % 2 === 0, p6).otherwise(p2).as("text"),
+          lit("").as("tool"), timestamp_seconds(col("doc_id")).as("ts"))
+        .as[graft.model.Turn]
+      Extract.layoutContexts(Extract.run(turns), 2)
+        .orderBy("conv_id", "reading_order")
+    }),
+
+    // kv_header_rows under the driver gate: pinned spanning-header
+    // table → header→value mapping per data row is a closed-form
+    // constant (incl. the overwrite under the colspan=2 header)
+    "q_table_kv" -> ((s, dir) => {
+      import s.implicits._
+      val payload =
+        "<table><tr><th>Region</th><th colspan=2>Sales</th></tr>" +
+          "<tr><td>EMEA</td><td>10</td><td>20</td></tr>" +
+          "<tr><td>APAC</td><td>30</td><td>40</td></tr></table>"
+      val turns = docs(s, dir).filter(col("doc_id") < 100)
+        .select(concat(lit("kv-"), col("doc_id")).as("conv_id"),
+          lit(0).as("turn_idx"), lit("user").as("role"),
+          lit(payload).as("text"), lit("").as("tool"),
+          timestamp_seconds(col("doc_id")).as("ts"))
+        .as[graft.model.Turn]
+      Extract.run(turns)
+        .flatMap { et =>
+          et.tables.flatMap { tb =>
+            val cells = tb.cells.map(c => graft.kernels.Table.TableCell(
+              c.row, c.col, c.rowSpan, c.colSpan, c.text, c.begin, c.end, c.header)).toSeq
+            (2 to tb.nRows).flatMap(r =>
+              graft.kernels.Table.kvHeaderRows(cells, r).map {
+                case (hc, ht, v) => (et.conv_id, r, hc, ht, v)
+              })
+          }
+        }
+        .toDF("conv_id", "row_number", "header_col", "header_text", "value")
+        .orderBy("conv_id", "row_number", "header_col")
+    }),
+
     // per-turn language id over the extracted text
     "x6_lang" -> ((s, dir) => {
       import s.implicits._
@@ -344,6 +392,15 @@ object SparkEntry {
       val all = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
       val pairs = Dedup.minhashLshExactPairs(all, "doc_id", "text")
       Dedup.components(all.select(col("doc_id").as("id")), pairs)
+    }),
+    // the O(log² n) large-star/small-star alternative over the SAME
+    // pair graph — adversarial-diameter-safe; must agree with the
+    // identical transitive-closure oracle
+    "q_dedup_components_lss" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200).select("doc_id", "text")
+      val all = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+      val pairs = Dedup.minhashLshExactPairs(all, "doc_id", "text")
+      Dedup.componentsLargeSmallStar(all.select(col("doc_id").as("id")), pairs)
     }),
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 150), "doc_id", "text")
@@ -528,6 +585,32 @@ object SparkEntry {
           "ulx", "uly", "lrx", "lry")
     }),
 
+    // deskew estimator under the driver gate: per doc, a deterministic
+    // word grid is skewed by a planted integer angle derived from
+    // doc_id alone; the estimator must invert it to within rounding,
+    // so DuckDB states the angle from the generator constants
+    "q_deskew" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val sign = if (id % 2 == 0) 1.0 else -1.0
+          val planted = sign * (3.0 + (id % 7))
+          val grid = for (r <- 0 until 10; c <- 0 until 14) yield {
+            val jx = (r * 31 + c * 17) % 5 - 2.0
+            val jy = (r * 13 + c * 7) % 3 - 1.0
+            val x = 60.0 + c * 62 + jx
+            val y = 80.0 + r * 34 + jy
+            graft.model.BBox(x, y, x + 46, y + 14, absCoords = true)
+          }
+          val skewed = grid.map(
+            graft.kernels.Transform.rotateBoxAngle(_, planted, 1000, 500))
+          (id, math.rint(graft.kernels.Transform.estimateSkew(skewed)).toLong)
+        }
+        .toDF("doc_id", "angle_deg")
+        .orderBy("doc_id")
+    }),
+
     // layout-link under the driver gate: fixed caption payload built
     // in-flight, linked parent's text is a closed-form constant
     "q_layout_link" -> ((s, dir) => {
@@ -562,24 +645,34 @@ object SparkEntry {
     "q_checkpoint" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_q_ckpt")
-      val cfg = graft.pipeline.ExtractConfig()
-      val turns = Turns.synth(s, dir).filter(col("turn_idx") < 50)
-      graft.io.Checkpoint.bucketSource(turns, tmp.resolve("src").toString, 4, cfg)
-      graft.io.Checkpoint.runAllBucketed(s, tmp.resolve("src").toString,
-        tmp.resolve("out").toString, cfg)
-      // aggregate EAGERLY so the temp corpus copies can be deleted
-      // before returning — the bench sweep runs every query twice and
-      // would otherwise leak two corpus copies per invocation
-      val row = graft.io.Checkpoint.readOutput(s, tmp.resolve("out").toString)
-        .agg(
-          count(lit(1)).cast("long").as("n_turns"),
-          sum(col("metrics.wordCount")).cast("long").as("n_words"),
-          sum(when(col("metrics.parseFailed"), 1L).otherwise(0L)).cast("long").as("n_failed"))
-        .head()
-      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
-        .toDF("n_turns", "n_words", "n_failed")
+      try {
+        val cfg = graft.pipeline.ExtractConfig()
+        // turn cap + 2 chunks keep the gate's cost ≤~2 s in the bench
+        // sweep (it runs every query twice) while still exercising
+        // bucket → per-chunk resume → reconcile end to end
+        val turns = Turns.synth(s, dir).filter(col("turn_idx") < 24)
+        graft.io.Checkpoint.bucketSource(turns, tmp.resolve("src").toString, 2, cfg)
+        graft.io.Checkpoint.runAllBucketed(s, tmp.resolve("src").toString,
+          tmp.resolve("out").toString, cfg)
+        // aggregate EAGERLY so the temp corpus copies can be deleted
+        // before returning
+        val row = graft.io.Checkpoint.readOutput(s, tmp.resolve("out").toString)
+          .agg(
+            count(lit(1)).cast("long").as("n_turns"),
+            sum(col("metrics.wordCount")).cast("long").as("n_words"),
+            sum(when(col("metrics.parseFailed"), 1L).otherwise(0L)).cast("long").as("n_failed"))
+          .head()
+        Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
+          .toDF("n_turns", "n_words", "n_failed")
+      } finally {
+        // delete even when the query fails mid-way (a failure would
+        // otherwise leak two corpus copies per invocation), and close
+        // the walk stream (it holds a directory handle)
+        val st = java.nio.file.Files.walk(tmp)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally st.close()
+      }
     }),
 
     // LMSequenceClassifierService slot under the driver gate: the
@@ -834,6 +927,30 @@ object SparkEntry {
                    '${Turns.T11InnerHtml}'
             FROM turns WHERE doc_id % 12 = 11""",
 
+      // context windows stated from the pinned block counts alone:
+      // n = 6 (even doc_id) or 2 (odd); size = bounded window length
+      "q_layout_context" ->
+        """SELECT concat('ctx-', doc_id) AS conv_id, CAST(0 AS INT) AS turn_idx,
+                  CAST(t.ro AS INT) AS reading_order,
+                  CAST(least(t.ro + 2, n.n) - greatest(t.ro - 2, 1) + 1 AS INT) AS ctx_size,
+                  CAST(greatest(t.ro - 2, 1) AS INT) AS ctx_first,
+                  CAST(least(t.ro + 2, n.n) AS INT) AS ctx_last
+           FROM (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 2 END AS n
+                 FROM documents WHERE doc_id < 200) n, range(1, 7) t(ro)
+           WHERE t.ro <= n.n
+           ORDER BY conv_id, reading_order""",
+
+      // the header→value map per data row, as constants: the colspan=2
+      // Sales header takes the LAST covered cell (reference overwrite
+      // semantics, view.py:720-726)
+      "q_table_kv" ->
+        """SELECT concat('kv-', doc_id) AS conv_id, CAST(r AS INT) AS row_number,
+                  CAST(hc AS INT) AS header_col, ht AS header_text, v AS value
+           FROM documents, (VALUES (2, 1, 'Region', 'EMEA'), (2, 2, 'Sales', '20'),
+                                   (3, 1, 'Region', 'APAC'), (3, 2, 'Sales', '40')) kv(r, hc, ht, v)
+           WHERE doc_id < 100
+           ORDER BY conv_id, row_number, header_col""",
+
       "q_lang_id" ->
         s"SELECT doc_id, ${TextStats.langIdSql("text")} AS lang_id FROM documents",
 
@@ -1048,6 +1165,31 @@ object SparkEntry {
       // connected components as a recursive transitive closure — an
       // INDEPENDENT algorithm from the Spark side's label propagation
       "q_dedup_components" ->
+        """WITH RECURSIVE d AS (
+             SELECT doc_id, text FROM documents WHERE doc_id < 200
+             UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200),
+           sh AS (
+             SELECT doc_id AS id, list_distinct(list_transform(
+               range(1, greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 2, 1) + 1),
+               i -> substring(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 3))) AS s
+             FROM d),
+           p AS (
+             SELECT a.id AS id_a, b.id AS id_b
+             FROM sh a JOIN sh b ON a.id < b.id
+             WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   length(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+           e AS (SELECT id_a AS a, id_b AS b FROM p
+                 UNION ALL SELECT id_b, id_a FROM p),
+           reach(node, lab) AS (
+             SELECT id, id FROM sh
+             UNION
+             SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node)
+           SELECT node AS id, CAST(min(lab) AS BIGINT) AS label
+           FROM reach GROUP BY node ORDER BY id""",
+
+      // identical closure oracle for the large-star/small-star path —
+      // an independent THIRD derivation of the same cluster labels
+      "q_dedup_components_lss" ->
         """WITH RECURSIVE d AS (
              SELECT doc_id, text FROM documents WHERE doc_id < 200
              UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200),
@@ -1287,13 +1429,22 @@ object SparkEntry {
                   'alpha para' AS linked_text
            FROM documents WHERE doc_id < 100""",
 
+      // the estimator's recovered angle equals the planted one (the
+      // generator constants), stated by DuckDB without running any
+      // estimation — TransformSpec pins the ≤0.4° error bound that
+      // makes integer rounding exact
+      "q_deskew" ->
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) * (3 + doc_id % 7) AS BIGINT) AS angle_deg
+           FROM documents WHERE doc_id < 120 ORDER BY doc_id""",
+
       // the checkpointed run must reproduce the direct per-turn
       // expectations in aggregate (zero parse failures by construction)
       "q_checkpoint" ->
         s"""$cte SELECT CAST(count(*) AS BIGINT) AS n_turns,
                CAST(sum(${Turns.ExpectedWordCountSql}) AS BIGINT) AS n_words,
                CAST(0 AS BIGINT) AS n_failed
-            FROM turns WHERE turn_idx < 50""",
+            FROM turns WHERE turn_idx < 24""",
 
       // doc_class derived independently from the expected extracted
       // text expression (same lock-step-by-construction design as

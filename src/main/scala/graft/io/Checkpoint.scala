@@ -57,6 +57,47 @@ object Checkpoint {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Fingerprint of the checkpoint dir's on-disk schemas (input [[Turn]]
+    * + output [[ExtractedTurn]], by field name and Catalyst type).
+    * Adding a field to either case class changes the chunk parquet
+    * layout — without this record a pre-upgrade output dir's valid
+    * markers would let chunks skip as "done" and `readOutput(...).as[
+    * ExtractedTurn]` then dies with an opaque AnalysisException instead
+    * of an actionable resume error.
+    */
+  private[graft] val schemaFingerprint: String = {
+    import org.apache.spark.sql.Encoders
+    val desc = Encoders.product[Turn].schema.catalogString + "|" +
+      Encoders.product[ExtractedTurn].schema.catalogString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(desc.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+  }
+
+  private def schemaMarker(outDir: String) = Paths.get(outDir, "_OUT_SCHEMA")
+
+  /** Resume-time schema gate: a fresh output dir records this build's
+    * fingerprint; a resumed dir must carry a MATCHING record — a
+    * mismatch, or a pre-fingerprint dir (markers but no record), is
+    * rejected with the same clear-the-dir error the layout guards use.
+    */
+  private def checkOrRecordSchema(outDir: String, adopting: Boolean): Unit = {
+    val p = schemaMarker(outDir)
+    if (Files.exists(p)) {
+      val recorded = Files.readString(p).trim
+      require(recorded == schemaFingerprint,
+        s"$outDir was written with schema fingerprint $recorded but this " +
+          s"build produces $schemaFingerprint — the Turn/ExtractedTurn " +
+          "schema changed between builds; clear the output dir instead " +
+          "of resuming (stale chunks would fail to deserialize)")
+    } else if (adopting) {
+      throw new IllegalArgumentException(
+        s"requirement failed: $outDir carries completion markers but no " +
+          "_OUT_SCHEMA record (written by a pre-fingerprint build) — its " +
+          "chunk schema cannot be proven to match this build; clear the " +
+          "output dir instead of resuming")
+    } else commitMarker(p, schemaFingerprint)
+  }
+
   /** Phase 1: one scan of the input, written partitioned by chunk.
     * Skipped when `_STAGED_DONE` exists (resume).
     */
@@ -64,6 +105,7 @@ object Checkpoint {
       cfg: ExtractConfig = ExtractConfig()): Boolean = {
     Files.createDirectories(Paths.get(outDir))
     if (Files.exists(stagedMarker(outDir))) return false
+    checkOrRecordSchema(outDir, adopting = false)
     val chunkExpr = pmod(hash(col("conv_id"), floor(col("turn_idx") / cfg.saltChunkSize)),
       lit(numChunks))
     turns.toDF().withColumn("chunk", chunkExpr)
@@ -152,6 +194,7 @@ object Checkpoint {
           "but no _STAGED_DONE record — markers cannot be proven to " +
           "match this input; clear the output dir before running")
     }
+    checkOrRecordSchema(outDir, adopting = stagedNumChunks(outDir).nonEmpty)
     stage(turns, outDir, numChunks, cfg)
     (0 until numChunks).map(k => runChunk(turns.sparkSession, outDir, k, cfg))
   }
@@ -259,6 +302,8 @@ object Checkpoint {
           "_SRC_LAYOUT) before resuming")
       commitMarker(outLayout, layoutKey)
     }
+    checkOrRecordSchema(outDir, adopting = Files.exists(outLayout) &&
+      priorOutputEntries(outDir).exists(n => n.startsWith("_DONE_") || n.startsWith("chunk=")))
     chunks.map(k => runChunkFrom(spark, srcDir, outDir, k, cfg))
   }
 

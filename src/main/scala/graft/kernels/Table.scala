@@ -150,6 +150,31 @@ object Table {
     sb.append("</table>").toString
   }
 
+  /** `Table.kv_header_rows` (view.py:709-727): for one row number, map
+    * each column header to the row's cell value under it. Row cells =
+    * cells whose row span covers `rowNumber` (so a tall spanning cell
+    * serves every row it covers), in column order; headers = the
+    * COLUMN_HEADER cells (markup analogue: `<th>`), in column order; a
+    * cell matches a header when its column falls inside the header's
+    * column span. Reference overwrite semantics: later matching row
+    * cells replace earlier values for the same header key.
+    *
+    * @return (headerCol, headerText, cellText) ordered by headerCol —
+    *         the flattened form of the reference's
+    *         `{(col, header): value}` dict.
+    */
+  def kvHeaderRows(cells: Seq[TableCell], rowNumber: Int): Seq[(Int, String, String)] = {
+    val rowCells = cells
+      .filter(c => c.row <= rowNumber && rowNumber <= c.row + c.rowSpan - 1)
+      .sortBy(_.col)
+    val headers = cells.filter(_.header).sortBy(_.col)
+    val kv = mutable.LinkedHashMap.empty[(Int, String), String]
+    for (cell <- rowCells; h <- headers
+         if h.col <= cell.col && cell.col <= h.col + h.colSpan - 1)
+      kv.update((h.col, h.text), cell.text)
+    kv.toSeq.map { case ((c, h), v) => (c, h, v) }.sortBy(_._1)
+  }
+
   /** view.py:831-858 `csv`: content at the upper-left tile of a
     * spanning cell; covered tiles stay blank.
     */

@@ -122,7 +122,11 @@ final case class TurnMetrics(
   */
 final case class TableCellOut(
     row: Int, col: Int, rowSpan: Int, colSpan: Int,
-    text: String, begin: Int, end: Int)
+    text: String, begin: Int, end: Int,
+    /** COLUMN_HEADER sub-category analogue (view.py:656): markup `<th>`
+      * cells; feeds `kv_header_rows`-style header→value projections.
+      */
+    header: Boolean = false)
 
 /** One reconstructed table (reference `Table` view with html/csv,
   * view.py:787-858).

@@ -455,7 +455,13 @@ object Dedup {
         .select(col("edge_a").as("a"), col("edge_b").as("b"))
         .distinct()
         .localCheckpoint(true)
-      val changed = small.except(edges).count() + edges.except(small).count()
+      // exact set equality, cheaply: counts (already materialized by
+      // localCheckpoint) differ → changed; equal counts + one empty
+      // one-sided except ⇒ sets equal — at scale most rounds shrink
+      // the edge count and skip the except join entirely
+      val changed =
+        if (edges.count() != small.count()) 1L
+        else small.except(edges).count()
       edges = small
       converged = changed == 0
       iter += 1

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import scala.util.{Try, Success, Failure}
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model._
 import graft.kernels.{Segment, Match, Nms, Order}
@@ -328,7 +328,7 @@ object Extract {
           TableData(annIds.annId(LayoutLabel.TABLE, tr.begin, tr.end),
             tr.begin, tr.end, tr.nRows, tr.nCols, tr.html,
             tr.cells.map(c => TableCellOut(c.row, c.col, c.rowSpan, c.colSpan,
-              c.text, c.begin, c.end)))
+              c.text, c.begin, c.end, c.header)))
         }.toArray
       } else Array.empty[TableData]
 
@@ -435,5 +435,41 @@ object Extract {
           b.text, b.begin, b.end)
       }
     }
+  }
+
+  /** `Page.get_layout_context` (view.py:1383-1406): the blocks within
+    * ±`k` reading-order positions of `blockId` among the turn's kept
+    * floating-text blocks (the LM context-assembly window). Like the
+    * reference, a block that is not a kept floating-text element is an
+    * error, not an empty window.
+    */
+  def layoutContext(et: ExtractedTurn, blockId: String, k: Int): Seq[Block] = {
+    val ordered = et.blocks.filter(b => b.kept && b.readingOrder > 0)
+      .sortBy(_.readingOrder).toSeq
+    val pos = ordered.indexWhere(_.id == blockId)
+    require(pos >= 0,
+      s"cannot get context: $blockId is not a kept floating-text block of ${et.turn_id}")
+    ordered.slice(math.max(0, pos - k), math.min(pos + k + 1, ordered.length))
+  }
+
+  /** Dataset-level projection of [[layoutContext]]: one row per kept
+    * block carrying its window's size and reading-order bounds — pure
+    * narrow map, no shuffle.
+    */
+  def layoutContexts(ds: Dataset[ExtractedTurn], k: Int): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { et =>
+      // one sort per turn (layoutContext per block would re-sort B times;
+      // B is small but there's no reason to pay it)
+      val ordered = et.blocks.filter(b => b.kept && b.readingOrder > 0)
+        .sortBy(_.readingOrder)
+      ordered.zipWithIndex.map { case (b, pos) =>
+        val lo = math.max(0, pos - k)
+        val hi = math.min(pos + k + 1, ordered.length)
+        (et.conv_id, et.turn_idx, b.readingOrder, hi - lo,
+          ordered(lo).readingOrder, ordered(hi - 1).readingOrder)
+      }
+    }.toDF("conv_id", "turn_idx", "reading_order", "ctx_size", "ctx_first", "ctx_last")
   }
 }

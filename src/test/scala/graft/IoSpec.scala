@@ -204,6 +204,47 @@ class CheckpointSpec extends AnyFunSuite {
     // the staged count itself resumes fine
     assert(Checkpoint.runAll(turns, outDir, 4, cfg).length == 4)
   }
+
+  test("resume against a different (or missing) schema fingerprint is rejected with a clear error") {
+    val turns = Turns.synth(spark, TestSpark.sfDir).limit(100)
+    val cfg = ExtractConfig(saltChunkSize = 16)
+
+    // mismatch: the dir records an older build's fingerprint
+    val outDir = Files.createTempDirectory("graft_ckpt_schema").toString
+    Checkpoint.runAll(turns, outDir, 2, cfg)
+    assert(Files.readString(Paths.get(outDir, "_OUT_SCHEMA")).trim
+      == Checkpoint.schemaFingerprint)
+    Files.writeString(Paths.get(outDir, "_OUT_SCHEMA"), "deadbeef00000000")
+    val e = intercept[IllegalArgumentException] {
+      Checkpoint.runAll(turns, outDir, 2, cfg)
+    }
+    assert(e.getMessage.contains("schema") && e.getMessage.contains("clear the output dir"))
+
+    // pre-fingerprint dir: valid markers, no _OUT_SCHEMA record — a
+    // field added to ExtractedTurn means readOutput would die with an
+    // opaque AnalysisException; the guard must reject up front
+    Files.delete(Paths.get(outDir, "_OUT_SCHEMA"))
+    val e2 = intercept[IllegalArgumentException] {
+      Checkpoint.runAll(turns, outDir, 2, cfg)
+    }
+    assert(e2.getMessage.contains("_OUT_SCHEMA"))
+
+    // same gate on the bucketed protocol
+    val srcDir = Files.createTempDirectory("graft_ckpt_schema_src").toString
+    val outB = Files.createTempDirectory("graft_ckpt_schema_outb").toString
+    Checkpoint.bucketSource(turns, srcDir, 2, cfg)
+    Checkpoint.runAllBucketed(spark, srcDir, outB, cfg)
+    Files.writeString(Paths.get(outB, "_OUT_SCHEMA"), "deadbeef00000000")
+    val e3 = intercept[IllegalArgumentException] {
+      Checkpoint.runAllBucketed(spark, srcDir, outB, cfg)
+    }
+    assert(e3.getMessage.contains("schema"))
+    Files.delete(Paths.get(outB, "_OUT_SCHEMA"))
+    val e4 = intercept[IllegalArgumentException] {
+      Checkpoint.runAllBucketed(spark, srcDir, outB, cfg)
+    }
+    assert(e4.getMessage.contains("_OUT_SCHEMA"))
+  }
 }
 
 class StreamSpec extends AnyFunSuite {

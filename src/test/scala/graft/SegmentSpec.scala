@@ -188,4 +188,28 @@ class ResidualSpec extends org.scalatest.funsuite.AnyFunSuite {
     val et = Extract.extractTurn(turn("<p>alpha beta</p>"))
     assert(!et.blocks.exists(_.kind == graft.model.LayoutLabel.LINE))
   }
+
+  test("layoutContext: ±k reading-order window, truncated at the edges, error off the float text") {
+    val payload = (1 to 5).map(i => s"<p>block number $i has words</p>").mkString
+    val et = Extract.extractTurn(turn(payload))
+    val ordered = et.blocks.filter(b => b.kept && b.readingOrder > 0)
+      .sortBy(_.readingOrder)
+    assert(ordered.length == 5)
+    // interior: 2k+1 blocks centered on the target
+    val mid = Extract.layoutContext(et, ordered(2).id, 1)
+    assert(mid.map(_.readingOrder) == Seq(2, 3, 4))
+    // edge: truncated window keeps order
+    val first = Extract.layoutContext(et, ordered(0).id, 2)
+    assert(first.map(_.readingOrder) == Seq(1, 2, 3))
+    val last = Extract.layoutContext(et, ordered(4).id, 2)
+    assert(last.map(_.readingOrder) == Seq(3, 4, 5))
+    // k larger than the page → the whole ordered sequence
+    assert(Extract.layoutContext(et, ordered(1).id, 99).length == 5)
+    // like the reference (view.py:1397 ImageError): a non-floating id
+    // is an error, not an empty window
+    val e = intercept[IllegalArgumentException] {
+      Extract.layoutContext(et, "not-a-block", 1)
+    }
+    assert(e.getMessage.contains("context"))
+  }
 }

@@ -64,4 +64,28 @@ class TableSpec extends AnyFunSuite {
     val List(t) = Table.parseTables(s)
     assert(t.cells.head.header && t.cells.head.text == "Name & Id")
   }
+
+  test("kvHeaderRows: spanning header maps to the last covered cell; tall cells serve every covered row") {
+    // | Region | Sales (colspan 2) |
+    // | EMEA↓  | 10 | 20 |         EMEA has rowspan=2
+    // | (cov)  | 30 | 40 |
+    val s = "<table><tr><th>Region</th><th colspan=2>Sales</th></tr>" +
+      "<tr><td rowspan=2>EMEA</td><td>10</td><td>20</td></tr>" +
+      "<tr><td>30</td><td>40</td></tr></table>"
+    val List(t) = Table.parseTables(s)
+    val cells = t.cells.toSeq
+    // row 2: Region ← EMEA; Sales header (cols 2-3) overwritten to the
+    // LAST covered cell (reference dict semantics, view.py:720-726)
+    assert(Table.kvHeaderRows(cells, 2) ==
+      Seq((1, "Region", "EMEA"), (2, "Sales", "20")))
+    // row 3: the rowspan=2 EMEA cell still covers it
+    assert(Table.kvHeaderRows(cells, 3) ==
+      Seq((1, "Region", "EMEA"), (2, "Sales", "40")))
+    // the header row maps headers onto themselves (reference behavior:
+    // header cells are row cells of row 1 too)
+    assert(Table.kvHeaderRows(cells, 1) ==
+      Seq((1, "Region", "Region"), (2, "Sales", "Sales")))
+    // out-of-range row → empty, no error
+    assert(Table.kvHeaderRows(cells, 9).isEmpty)
+  }
 }

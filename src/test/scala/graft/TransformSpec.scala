@@ -119,4 +119,60 @@ class TransformSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("right-angle"))
   }
+
+  /** Synthetic word grid (`rows`×`cols`, deterministic ±jitter) skewed
+    * clockwise by `angle` about the page center — the planted input the
+    * estimator must invert.
+    */
+  private def skewedGrid(angle: Double, rows: Int = 10, cols: Int = 14): Seq[BBox] = {
+    val grid = for (r <- 0 until rows; c <- 0 until cols) yield {
+      val jx = (r * 31 + c * 17) % 5 - 2.0 // deterministic jitter ±2px
+      val jy = (r * 13 + c * 7) % 3 - 1.0
+      val x = 60.0 + c * 62 + jx
+      val y = 80.0 + r * 34 + jy
+      BBox(x, y, x + 46, y + 14, absCoords = true)
+    }
+    if (angle == 0.0) grid
+    else grid.map(Transform.rotateBoxAngle(_, angle, 1000, 500))
+  }
+
+  test("deskew estimator recovers a planted skew within ±0.5° on synthetic word grids") {
+    for (planted <- Seq(-12.0, -7.3, -2.0, 0.0, 1.6, 4.25, 9.8)) {
+      val est = Transform.estimateSkew(skewedGrid(planted))
+      assert(math.abs(est - planted) <= 0.5,
+        s"planted $planted° estimated $est°")
+    }
+    // every integer angle q_deskew's oracle plants must round back
+    // exactly (error well inside the 0.5 rounding boundary)
+    for (mag <- 3 to 9; sign <- Seq(-1, 1)) {
+      val planted = (sign * mag).toDouble
+      val est = Transform.estimateSkew(skewedGrid(planted))
+      assert(math.abs(est - planted) <= 0.4,
+        s"planted $planted° estimated $est° (oracle rounds to int)")
+    }
+    // degenerate inputs: nothing to align → 0, not noise
+    assert(Transform.estimateSkew(Nil) == 0.0)
+    assert(Transform.estimateSkew(Seq(BBox(0, 0, 10, 10, absCoords = true))) == 0.0)
+  }
+
+  test("deskewTurn: below min_angle_rotation leaves boxes untouched, above re-levels them") {
+    val et0 = graft.pipeline.Extract.extractTurn(graft.model.Turn(
+      "c", 0, "user", "<p>alpha beta gamma delta epsilon zeta</p><p>eta theta iota kappa lambda mu</p><p>nu xi omicron pi rho sigma</p>", "",
+      new java.sql.Timestamp(0L)))
+    // level input: |estimate| ≤ 2.0 (reference min_angle_rotation) → untouched
+    val (a0, same) = Transform.deskewTurn(et0, 1000, 1000)
+    assert(math.abs(a0) <= 2.0 && (same eq et0))
+    // skew the word boxes 6° clockwise; the service must re-level them:
+    // after deskew, each original text line's words share a y-band again
+    val skewed = et0.copy(words = et0.words.map(w =>
+      w.copy(box = Transform.rotateBoxAngle(w.box, 6.0, 1000, 1000))))
+    val (a1, leveled) = Transform.deskewTurn(skewed, 1000, 1000)
+    assert(math.abs(a1 - 6.0) <= 0.5, s"estimated $a1 for planted 6.0")
+    val byLine = leveled.words.zip(et0.words).groupBy(_._2.box.uly)
+    for ((_, ws) <- byLine if ws.size > 1) {
+      val centers = ws.map { case (w, _) => (w.box.uly + w.box.lry) / 2 }
+      assert(centers.max - centers.min < 8.0,
+        s"line not re-leveled: centers $centers")
+    }
+  }
 }
