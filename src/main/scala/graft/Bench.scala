@@ -113,14 +113,37 @@ object Bench {
     // dev toggle: skip the 43-query timing sweep when iterating on the
     // scaling protocol alone (the driver always runs the full bench)
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
-    val results =
+    def timeQuery(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results0 =
       if (skipQueries) Map.empty[String, Double]
       else SparkEntry.queries.map { case (name, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L } // warm
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> timeQuery(name)
       }
+    // the 5 slowest queries get a median of 3 timed runs: a single VM
+    // burst or GC window on one run can no longer fake a 2× regression
+    // in the headline per-query table (BENCH_r04's q_eval_run read
+    // 2.4× on exactly that failure mode)
+    val slowest = results0.toSeq.sortBy(-_._2).take(5).map(_._1).toSet
+    val slowSamples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val results = results0.map { case (name, t1) =>
+      if (!slowest.contains(name)) name -> t1
+      else {
+        val all = (t1 +: Seq.fill(2)(timeQuery(name))).sorted
+        slowSamples(name) = all
+        name -> all(1)
+      }
+    }
+    val slowJson =
+      if (slowSamples.isEmpty) ""
+      else slowSamples.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(s => f"$s%.3f").mkString("[", ",", "]")
+      }.mkString("\"slowest_samples\":{", ",", "},")
 
     // ---- dedup/ANN candidate growth evidence (VERDICT r2 item 8) ----
     // Two corpora separate DESIGN cost from DATA cost:
@@ -243,16 +266,22 @@ object Bench {
       xs.sortBy(_._2).apply(xs.length / 2)
     def arr(xs: Seq[(Long, Double)]) =
       xs.map(r => f"${r._2}%.3f").mkString("[", ",", "]")
+    // timed runs per width per cycle: 2 by default; the sf1 protocol
+    // (18 M turns, ~25 min per narrow run) sets 1 so three interleaved
+    // cycles still finish in bounded wall-clock — cycles stay ≥3 so
+    // the median is a real median at any setting
+    val scalingRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_RUNS", "2").toIntOption.getOrElse(2))
     val runs8 = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
     val runs32 = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
     def cycleOnce(): Unit = {
       spark = session(narrow, ScalingPartitions)
       timeExtraction(spark, warmDir) // per-session codegen warm-up
-      runs8 ++= Seq.fill(2)(timeExtraction(spark, turnsDir))
+      runs8 ++= Seq.fill(scalingRuns)(timeExtraction(spark, turnsDir))
       spark.stop()
       spark = session(wide, ScalingPartitions)
       timeExtraction(spark, warmDir)
-      runs32 ++= Seq.fill(2)(timeExtraction(spark, turnsDir))
+      runs32 ++= Seq.fill(scalingRuns)(timeExtraction(spark, turnsDir))
       spark.stop()
     }
     def currentEff(): Double = {
@@ -325,6 +354,8 @@ object Bench {
     println(
       s"""{"metric":"turns_per_sec","value":${f"$tput32%.1f"},"unit":"turns/sec",""" +
       s""""queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.3f"},""" +
+      slowJson +
+      s""""bench_mult":$mult,""" +
       growth +
       s""""turns":$n32,"widths":"$narrow,$wide",""" +
       s""""turns_per_sec_8":${f"$tput8%.1f"},"turns_per_sec_32":${f"$tput32%.1f"},""" +

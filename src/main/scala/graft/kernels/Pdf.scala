@@ -32,9 +32,11 @@ import scala.collection.mutable.ArrayBuffer
   * modern encoding) extract real text; a Type0 font WITHOUT a CMap
   * suppresses its strings (empty beats garbage), and `/Encoding
   * /Differences` glyph-name remaps resolve through an Adobe-Glyph-List
-  * subset. Honest residual gaps: TIFF Predictor 2, LZW/DCT/JBIG2
-  * filters, and encrypted documents all yield pages with empty text
-  * rather than garbage — the page COUNT and per-page split still work.
+  * subset. LZWDecode (§7.4.4.2, incl. EarlyChange) decodes natively.
+  * Honest residual gaps: TIFF Predictor 2, image-codec filters
+  * (DCT/JBIG2/JPX), and encrypted documents all yield pages with empty
+  * text rather than garbage — the page COUNT and per-page split still
+  * work.
   */
 object Pdf {
 
@@ -294,6 +296,49 @@ object Pdf {
     Some(out)
   }
 
+  /** LZW decode (ISO 32000-1 §7.4.4.2 — the TIFF variant): 9→12-bit
+    * MSB-first variable-width codes; 256 = clear-table, 257 = EOD;
+    * width bumps one entry EARLY by default (`/EarlyChange 1`). Strict
+    * on impossible codes (→ None); a missing EOD at end-of-data is
+    * tolerated (some writers omit it).
+    */
+  def lzw(data: Array[Byte], earlyChange: Int = 1): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    val dict = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+    var dictSize = 258
+    var codeWidth = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    while (pos < data.length || bitCnt >= codeWidth) {
+      while (bitCnt < codeWidth && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xffL); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < codeWidth) return Some(out.toByteArray) // trailing pad bits
+      val code = ((bitBuf >>> (bitCnt - codeWidth)) & ((1L << codeWidth) - 1)).toInt
+      bitCnt -= codeWidth
+      if (code == 256) { dictSize = 258; codeWidth = 9; prev = null }
+      else if (code == 257) return Some(out.toByteArray)
+      else {
+        val entry: Array[Byte] =
+          if (code < 256) dict(code)
+          else if (code < dictSize && dict(code) != null) dict(code)
+          else if (code == dictSize && prev != null) prev :+ prev(0) // KwKwK case
+          else return None
+        out.write(entry, 0, entry.length)
+        if (prev != null && dictSize < 4096) { dict(dictSize) = prev :+ entry(0); dictSize += 1 }
+        prev = entry
+        if (codeWidth < 12 && dictSize >= (1 << codeWidth) - earlyChange) codeWidth += 1
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  private val EarlyChangeRe = """/EarlyChange\s+(\d+)""".r
+
   /** Post-inflate predictor stage: 1 = identity, 10–15 = PNG row
     * filters (§7.4.4.4 — the spec says any PNG predictor value merely
     * selects per-row filtering, so they share one decoder), 2 = TIFF
@@ -309,13 +354,17 @@ object Pdf {
     }
 
   /** Decode a stream payload through its (possibly chained) filters:
-    * Flate (incl. PNG predictors) / ASCII85 / ASCIIHex supported; None
-    * (documented skip) for every other filter (LZW, DCT, …).
+    * Flate / LZW (both incl. PNG predictors) / ASCII85 / ASCIIHex
+    * supported; None (documented skip) for every other filter
+    * (DCT, JBIG2, JPX, Crypt, …).
     */
   def decodeStream(dict: String, data: Array[Byte]): Option[Array[Byte]] =
     filtersOf(dict).foldLeft(Option(data)) { (acc, f) =>
       acc.flatMap(d => f match {
         case "FlateDecode" | "Fl" => inflate(d).flatMap(applyPredictor(dict, _))
+        case "LZWDecode" | "LZW" =>
+          val ec = EarlyChangeRe.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(1)
+          lzw(d, ec).flatMap(applyPredictor(dict, _))
         case "ASCII85Decode" | "A85" => ascii85(d)
         case "ASCIIHexDecode" | "AHx" => asciiHex(d)
         case _ => None
