@@ -171,7 +171,7 @@ object Bench {
           e.count(),
           graft.operators.Dedup.embeddingNearDupCandidates(e, "vec_id", "v").count())
       }.toOption
-    val dense = (candCounts(scalePair._1), candCounts(scalePair._2)) match {
+    val dense = if (skipQueries) "" else (candCounts(scalePair._1), candCounts(scalePair._2)) match {
       case (Some((n1, m1, v1, e1)), Some((n2, m2, v2, e2))) =>
         s""""candidate_growth_dense":{"docs_small":$n1,"docs_big":$n2,""" +
           s""""minhash_cand_small":$m1,"minhash_cand_big":$m2,""" +
@@ -208,7 +208,7 @@ object Bench {
       // planes=24 ×16 tables: fp ≈ 16/2²⁴ ≈ 1e−6, miss at cos 0.9996 ≈ 5e−12
       graft.operators.Dedup.embeddingNearDupCandidates(sparseVecs(nVecs), "vec_id", "v",
         planes = 24, tables = 16).count())
-    val sparse = scala.util.Try {
+    val sparse = if (skipQueries) "" else scala.util.Try {
       val (m1, e1) = sparseCounts(2000, 2000)
       val (m2, e2) = sparseCounts(20000, 8000)
       s""""candidate_growth_sparse":{"docs_small":2040,"docs_big":20400,""" +
