@@ -177,6 +177,9 @@ object Checkpoint {
     */
   def runAll(turns: Dataset[Turn], outDir: String, numChunks: Int,
       cfg: ExtractConfig = ExtractConfig()): Seq[ChunkResult] = {
+    // first touch (checkOrRecordSchema writes into outDir before
+    // stage() would otherwise create it)
+    Files.createDirectories(Paths.get(outDir))
     stagedNumChunks(outDir).foreach { staged =>
       require(staged == numChunks,
         s"resume with numChunks=$numChunks but $outDir was staged with " +
@@ -281,7 +284,8 @@ object Checkpoint {
       if (Files.exists(srcMarker)) Files.readString(srcMarker).trim
       else s"""{"chunks":"${chunks.mkString(",")}"}"""
     val outLayout = Paths.get(outDir, "_SRC_LAYOUT")
-    if (Files.exists(outLayout)) {
+    val resuming = Files.exists(outLayout)
+    if (resuming) {
       val recorded = Files.readString(outLayout).trim
       require(recorded == layoutKey,
         s"$outDir was produced from a different source layout " +
@@ -302,7 +306,10 @@ object Checkpoint {
           "_SRC_LAYOUT) before resuming")
       commitMarker(outLayout, layoutKey)
     }
-    checkOrRecordSchema(outDir, adopting = Files.exists(outLayout) &&
+    // adopting prior chunks only when this is a RESUME (the marker
+    // pre-existed; a fresh dir just committed it and was proven empty
+    // of markers/chunks by the leftover guard above)
+    checkOrRecordSchema(outDir, adopting = resuming &&
       priorOutputEntries(outDir).exists(n => n.startsWith("_DONE_") || n.startsWith("chunk=")))
     chunks.map(k => runChunkFrom(spark, srcDir, outDir, k, cfg))
   }

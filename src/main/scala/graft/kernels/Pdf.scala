@@ -32,11 +32,14 @@ import scala.collection.mutable.ArrayBuffer
   * modern encoding) extract real text; a Type0 font WITHOUT a CMap
   * suppresses its strings (empty beats garbage), and `/Encoding
   * /Differences` glyph-name remaps resolve through an Adobe-Glyph-List
-  * subset. LZWDecode (§7.4.4.2, incl. EarlyChange) decodes natively.
-  * Honest residual gaps: TIFF Predictor 2, image-codec filters
-  * (DCT/JBIG2/JPX), and encrypted documents all yield pages with empty
-  * text rather than garbage — the page COUNT and per-page split still
-  * work.
+  * subset. LZWDecode (§7.4.4.2, incl. EarlyChange) and TIFF
+  * Predictor 2 decode natively; RC4-encrypted documents (§7.6.3
+  * standard security handler, V1/V2 R2/R3, empty user password — the
+  * common owner-restricted case) decrypt through a verified /U gate.
+  * Honest residual gaps: image-codec filters (DCT/JBIG2/JPX), AES
+  * encryption, and password-protected documents yield pages with
+  * empty text rather than garbage — the page COUNT and per-page split
+  * still work.
   */
 object Pdf {
 
@@ -249,8 +252,23 @@ object Pdf {
   private val ColumnsRe = """/Columns\s+(\d+)""".r
   private val ColorsRe = """/Colors\s+(\d+)""".r
   private val BpcRe = """/BitsPerComponent\s+(\d+)""".r
-  private def intParam(re: scala.util.matching.Regex, dict: String, dflt: Int): Int =
-    re.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(dflt)
+  // like /Length: a corrupt numeric param must DEGRADE (absent →
+  // default; present-but-unparseable → stream decode fails to None),
+  // never throw out of the Spark task — one malformed PDF must not
+  // kill a corpus job
+  private def paramOr(re: scala.util.matching.Regex, dict: String, dflt: Int): Option[Int] =
+    re.findFirstMatchIn(dict) match {
+      case None => Some(dflt)
+      case Some(m) => m.group(1).toIntOption
+    }
+
+  /** Bounded hex→Int for CMap tokens; None on overflow (a >8-digit
+    * token is outside any code space this decoder maps).
+    */
+  private def hexInt(s: String): Option[Int] =
+    if (s.isEmpty || s.length > 8) None
+    else scala.util.Try(java.lang.Long.parseLong(s, 16)).toOption
+      .filter(_ <= Int.MaxValue).map(_.toInt)
 
   /** Reverse PNG row predictors (ISO 32000-1 §7.4.4.4 / RFC 2083 §6):
     * each row is a filter-type byte then `rowLen` filtered bytes; types
@@ -339,17 +357,45 @@ object Pdf {
 
   private val EarlyChangeRe = """/EarlyChange\s+(\d+)""".r
 
-  /** Post-inflate predictor stage: 1 = identity, 10–15 = PNG row
-    * filters (§7.4.4.4 — the spec says any PNG predictor value merely
-    * selects per-row filtering, so they share one decoder), 2 = TIFF
-    * (documented skip → None).
+  /** TIFF Predictor 2 (§7.4.4.3): horizontal differencing — each
+    * sample is a delta from the previous sample of the same component
+    * in its row; rows carry no filter-type byte. 8-bit samples only
+    * (sub-byte packing → None, documented skip).
+    */
+  def unpredictTiff(data: Array[Byte], columns: Int, colors: Int, bpc: Int): Option[Array[Byte]] = {
+    if (bpc != 8) return None
+    val rowLen = columns.toLong * colors
+    if (rowLen <= 0 || rowLen > Int.MaxValue || data.length % rowLen != 0) return None
+    val rl = rowLen.toInt
+    val out = data.clone()
+    var r = 0
+    while (r < out.length) {
+      var i = colors
+      while (i < rl) {
+        out(r + i) = ((out(r + i) + out(r + i - colors)) & 0xff).toByte
+        i += 1
+      }
+      r += rl
+    }
+    Some(out)
+  }
+
+  /** Post-inflate predictor stage: 1 = identity, 2 = TIFF horizontal
+    * differencing, 10–15 = PNG row filters (§7.4.4.4 — the spec says
+    * any PNG predictor value merely selects per-row filtering, so they
+    * share one decoder).
     */
   private def applyPredictor(dict: String, data: Array[Byte]): Option[Array[Byte]] =
-    intParam(PredictorRe, dict, 1) match {
-      case 1 => Some(data)
-      case p if p >= 10 && p <= 15 =>
-        unpredictPng(data, intParam(ColumnsRe, dict, 1),
-          intParam(ColorsRe, dict, 1), intParam(BpcRe, dict, 8))
+    paramOr(PredictorRe, dict, 1) match {
+      case Some(1) => Some(data)
+      case Some(p) if p == 2 || (p >= 10 && p <= 15) =>
+        for {
+          cols <- paramOr(ColumnsRe, dict, 1)
+          colors <- paramOr(ColorsRe, dict, 1)
+          bpc <- paramOr(BpcRe, dict, 8)
+          out <- (if (p == 2) unpredictTiff(data, cols, colors, bpc)
+                  else unpredictPng(data, cols, colors, bpc))
+        } yield out
       case _ => None
     }
 
@@ -363,8 +409,8 @@ object Pdf {
       acc.flatMap(d => f match {
         case "FlateDecode" | "Fl" => inflate(d).flatMap(applyPredictor(dict, _))
         case "LZWDecode" | "LZW" =>
-          val ec = EarlyChangeRe.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(1)
-          lzw(d, ec).flatMap(applyPredictor(dict, _))
+          paramOr(EarlyChangeRe, dict, 1).flatMap(lzw(d, _))
+            .flatMap(applyPredictor(dict, _))
         case "ASCII85Decode" | "A85" => ascii85(d)
         case "ASCIIHexDecode" | "AHx" => asciiHex(d)
         case _ => None
@@ -435,7 +481,7 @@ object Pdf {
       balancedDict(body, i)
     else
       AnchoredRefRe.findFirstMatchIn(body.substring(i, math.min(body.length, i + 24)))
-        .map(_.group(1).toInt).flatMap(byNum.get).flatMap { o =>
+        .flatMap(_.group(1).toIntOption).flatMap(byNum.get).flatMap { o =>
           val d = o.dict
           val open = d.indexOf("<<")
           if (open < 0) None else balancedDict(d, open)
@@ -471,7 +517,7 @@ object Pdf {
       val toks = CmapTokRe.findAllMatchIn(sec.group(1))
         .flatMap(m => Option(m.group(1))).toVector
       toks.grouped(2).foreach {
-        case Vector(src, dst) => put(Integer.parseInt(src, 16), utf16OfHex(dst))
+        case Vector(src, dst) => hexInt(src).foreach(put(_, utf16OfHex(dst)))
         case _ => ()
       }
     }
@@ -482,10 +528,11 @@ object Pdf {
       }.toVector
       var i = 0
       while (i + 1 < toks.length) {
-        if (toks(i)._1 != "hex" || toks(i + 1)._1 != "hex") { i += 1 }
+        if (toks(i)._1 != "hex" || toks(i + 1)._1 != "hex" ||
+            hexInt(toks(i)._2).isEmpty || hexInt(toks(i + 1)._2).isEmpty) { i += 1 }
         else {
-          val lo = Integer.parseInt(toks(i)._2, 16)
-          val hi = Integer.parseInt(toks(i + 1)._2, 16)
+          val lo = hexInt(toks(i)._2).get
+          val hi = hexInt(toks(i + 1)._2).get
           i += 2
           if (i < toks.length && toks(i)._1 == "[") {
             i += 1
@@ -546,7 +593,7 @@ object Pdf {
     DiffsArrRe.findFirstMatchIn(encDict).foreach { m =>
       var code = 0
       for (t <- DiffsTokRe.findAllMatchIn(m.group(1))) {
-        if (t.group(1) != null) code = t.group(1).toInt
+        if (t.group(1) != null) code = t.group(1).toIntOption.getOrElse(code)
         else {
           out += code -> GlyphChar.getOrElse(t.group(2), "")
           code += 1
@@ -562,7 +609,8 @@ object Pdf {
 
   private def parseFont(fdict: String, byNum: Map[Int, PdfObj]): PdfFont = {
     val isType0 = fdict.contains("/Type0")
-    val toUni = ToUnicodeRefRe.findFirstMatchIn(fdict).map(_.group(1).toInt)
+    val toUni = ToUnicodeRefRe.findFirstMatchIn(fdict)
+      .flatMap(_.group(1).toIntOption)
       .flatMap(byNum.get)
       .flatMap(o => o.stream.flatMap(decodeStream(o.dict, _)))
       .map(b => parseToUnicode(new String(b, StandardCharsets.ISO_8859_1)))
@@ -582,12 +630,194 @@ object Pdf {
       case None => Map.empty
       case Some(fd) =>
         val out = Map.newBuilder[String, PdfFont]
-        for (m <- FontEntryRefRe.findAllMatchIn(fd); o <- byNum.get(m.group(2).toInt))
-          out += m.group(1) -> cache.getOrElseUpdate(o.num, parseFont(o.dict, byNum))
-        for (m <- FontEntryInlineRe.findAllMatchIn(fd); d <- balancedDict(fd, m.end))
+        // inline entries first, BLANKING their spans: keys inside an
+        // inline font dict (`/ToUnicode 5 0 R`, `/Encoding <<…>>`)
+        // must not masquerade as sibling font entries in the ref scan
+        val masked = new StringBuilder(fd)
+        for (m <- FontEntryInlineRe.findAllMatchIn(fd)
+             // a match whose dict is already blanked was NESTED inside
+             // an earlier entry's dict (e.g. its /Encoding <<…>>) —
+             // not a sibling font
+             if masked.charAt(m.end) == '<';
+             d <- balancedDict(fd, m.end)) {
           out += m.group(1) -> parseFont(d, byNum)
+          var i = m.end
+          while (i < m.end + d.length) { masked.setCharAt(i, ' '); i += 1 }
+        }
+        for (m <- FontEntryRefRe.findAllMatchIn(masked.toString);
+             n <- m.group(2).toIntOption; o <- byNum.get(n))
+          out += m.group(1) -> cache.getOrElseUpdate(o.num, parseFont(o.dict, byNum))
         out.result()
     }
+
+  // ---------------------------------------------------------------
+  // Encryption (ISO 32000-1 §7.6.3, standard security handler): RC4
+  // V1/V2, R2/R3, empty user password — the archival-decryption case
+  // (most "encrypted" PDFs in a corpus are owner-restricted with an
+  // empty user password). AES (V≥4) and real passwords degrade to the
+  // documented empty-text skip; a failed /U check NEVER emits garbage.
+  // ---------------------------------------------------------------
+
+  /** §7.6.3.3 Algorithm 2 padding string. */
+  private val PadBytes: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  /** Plain RC4 (symmetric). */
+  def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0; var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + s(x)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** Derived file key; per-object keys via §7.6.2 Algorithm 1. */
+  final case class PdfCrypt(fileKey: Array[Byte]) {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val ext = Array(
+        (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
+        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+      rc4(md5(fileKey, ext).take(math.min(fileKey.length + 5, 16)), data)
+    }
+  }
+
+  /** §7.6.3.3 Algorithm 2 with the EMPTY user password: file key from
+    * pad + /O + /P (little-endian int32) + first /ID entry; R≥3 runs
+    * the 50-fold MD5 refinement at the key length.
+    */
+  def deriveFileKey(o: Array[Byte], p: Int, id0: Array[Byte],
+      r: Int, lengthBits: Int): Array[Byte] = {
+    val pLe = Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+    val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
+    var key = md5(PadBytes, o, pLe, id0)
+    if (r >= 3) { var i = 0; while (i < 50) { key = md5(key.take(n)); i += 1 } }
+    key.take(n)
+  }
+
+  /** §7.6.3.4 Algorithms 4/5: the /U entry the empty user password
+    * would produce — decryption proceeds only when it matches.
+    */
+  def expectedU(fileKey: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+    if (r == 2) rc4(fileKey, PadBytes)
+    else {
+      var u = rc4(fileKey, md5(PadBytes, id0))
+      var i = 1
+      while (i <= 19) {
+        u = rc4(fileKey.map(b => (b ^ i).toByte), u)
+        i += 1
+      }
+      u // first 16 bytes significant
+    }
+
+  /** Parse a PDF string VALUE (`(…)` with escapes or `<hex>`) right
+    * after `/Key` in a dict; byte-exact.
+    */
+  private def dictStringValue(dict: String, key: String): Option[Array[Byte]] = {
+    val k = keyIndex(dict, key)
+    if (k < 0) return None
+    var i = k + key.length
+    while (i < dict.length && Character.isWhitespace(dict.charAt(i))) i += 1
+    if (i >= dict.length) None
+    else if (dict.charAt(i) == '<') {
+      val e = dict.indexOf('>', i + 1)
+      if (e < 0) None
+      else {
+        val hex = dict.substring(i + 1, e).filterNot(_.isWhitespace)
+        if (!hex.forall(c => Character.digit(c, 16) >= 0)) None
+        else {
+          val padded = if (hex.length % 2 == 1) hex + "0" else hex
+          Some(padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        }
+      }
+    } else if (dict.charAt(i) == '(') {
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      i += 1
+      while (i < dict.length && depth > 0) {
+        val c = dict.charAt(i)
+        if (c == '\\' && i + 1 < dict.length) {
+          val e = dict.charAt(i + 1)
+          e match {
+            case 'n' => out.write('\n'); i += 2
+            case 't' => out.write('\t'); i += 2
+            case 'r' => out.write('\r'); i += 2
+            case '(' | ')' | '\\' => out.write(e); i += 2
+            case d if d >= '0' && d <= '7' =>
+              var j = i + 1; var v = 0
+              while (j < dict.length && j < i + 4 && dict.charAt(j) >= '0' && dict.charAt(j) <= '7') {
+                v = v * 8 + (dict.charAt(j) - '0'); j += 1
+              }
+              out.write(v & 0xff); i = j
+            case _ => out.write(e); i += 2
+          }
+        } else if (c == '(') { depth += 1; out.write(c); i += 1 }
+        else if (c == ')') { depth -= 1; if (depth > 0) out.write(c); i += 1 }
+        else { out.write(c); i += 1 }
+      }
+      Some(out.toByteArray)
+    } else None
+  }
+
+  private val EncryptRefRe = """/Encrypt\s+(\d+)\s+\d+\s+R""".r
+  private val IdHexRe = """(?s)/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r
+  private val PValRe = """/P\s+(-?\d+)""".r
+
+  /** Detect and resolve the document's encryption state.
+    *
+    * @return None = unencrypted; Some(None) = encrypted but not
+    *         decryptable here (AES, non-standard handler, real user
+    *         password) — streams must be DROPPED, never emitted raw;
+    *         Some(Some(crypt)) = RC4 with empty user password verified
+    *         via /U.
+    */
+  def detectEncryption(s: String, byNum: Map[Int, PdfObj]): Option[Option[PdfCrypt]] = {
+    val encObj = EncryptRefRe.findFirstMatchIn(s)
+      .flatMap(_.group(1).toIntOption).flatMap(byNum.get)
+    if (encObj.isEmpty) return None
+    val d = encObj.get.dict
+    Some(for {
+      _ <- Option.when(d.contains("/Standard"))(())
+      v = paramOr("""/V\s+(\d+)""".r, d, 0).getOrElse(0)
+      if v == 1 || v == 2
+      r <- paramOr("""/R\s+(\d+)""".r, d, 2)
+      if r == 2 || r == 3
+      o <- dictStringValue(d, "/O")
+      u <- dictStringValue(d, "/U")
+      p <- PValRe.findFirstMatchIn(d).flatMap(_.group(1).toIntOption)
+      lengthBits <- paramOr("""/Length\s+(\d+)""".r, d, 40)
+      id0 <- IdHexRe.findFirstMatchIn(s).map(m =>
+        m.group(1).filterNot(_.isWhitespace)).flatMap { hex =>
+          if (hex.isEmpty || hex.length % 2 == 1 ||
+              !hex.forall(c => Character.digit(c, 16) >= 0)) None
+          else Some(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        }
+      fileKey = deriveFileKey(o, p, id0, r, lengthBits)
+      // wrong /U = a real user password is set: suppress, never garbage
+      if expectedU(fileKey, id0, r).take(16).sameElements(u.take(16))
+    } yield PdfCrypt(fileKey))
+  }
 
   /** Expand `/Type /ObjStm` object streams (PDF ≥1.5, §7.5.7): modern
     * writers store most non-stream objects — including PAGE dicts —
@@ -634,7 +864,22 @@ object Pdf {
     * the linear writers this subset targets).
     */
   def splitPages(bytes: Array[Byte]): Seq[PdfPage] = {
-    val objects = expandObjectStreams(scanObjects(bytes))
+    val scanned = scanObjects(bytes)
+    // encryption applies to STREAM payloads (strings inside content
+    // streams ride along; dict keys are plaintext). Generation numbers
+    // are ~always 0 for linear writers; the per-object key uses 0.
+    val prepared = detectEncryption(
+        new String(bytes, StandardCharsets.ISO_8859_1),
+        scanned.map(o => o.num -> o).toMap) match {
+      case None => scanned
+      case Some(Some(c)) =>
+        scanned.map(o => o.copy(stream = o.stream.map(d => c.decrypt(o.num, 0, d))))
+      case Some(None) =>
+        // encrypted but not decryptable here: drop payloads — the page
+        // split (from plaintext dicts) survives, text is empty
+        scanned.map(o => o.copy(stream = None))
+    }
+    val objects = expandObjectStreams(prepared)
     val byNum = objects.map(o => o.num -> o).toMap
     val fontCache = scala.collection.mutable.HashMap.empty[Int, PdfFont]
     def contentText(o: PdfObj, fonts: Map[String, PdfFont]): String =

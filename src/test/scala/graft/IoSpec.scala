@@ -205,6 +205,14 @@ class CheckpointSpec extends AnyFunSuite {
     assert(Checkpoint.runAll(turns, outDir, 4, cfg).length == 4)
   }
 
+  test("runAll creates a missing (nested) output dir — fresh runs unaffected by the schema record") {
+    val turns = Turns.synth(spark, TestSpark.sfDir).limit(50)
+    val cfg = ExtractConfig(saltChunkSize = 16)
+    val outDir = Files.createTempDirectory("graft_ckpt_fresh")
+      .resolve("nested").resolve("out").toString
+    assert(Checkpoint.runAll(turns, outDir, 2, cfg).length == 2)
+  }
+
   test("resume against a different (or missing) schema fingerprint is rejected with a clear error") {
     val turns = Turns.synth(spark, TestSpark.sfDir).limit(100)
     val cfg = ExtractConfig(saltChunkSize = 16)

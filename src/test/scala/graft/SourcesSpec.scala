@@ -429,6 +429,18 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.unpredictPng(row, 3, 1, 8).map(_.toSeq).contains(Seq[Byte](10, 20, 30)))
     assert(Pdf.unpredictPng(Array[Byte](9, 0, 0), 2, 1, 8).isEmpty) // unknown type
     assert(Pdf.unpredictPng(Array[Byte](0, 0), 2, 1, 8).isEmpty) // ragged length
+    // TIFF Predictor 2: horizontal differencing, component-wise
+    val raw2 = "ABCDEFGH".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val enc2 = raw2.clone()
+    for (r <- 0 until 2; i <- (1 until 4).reverse) // rows of 4, colors=1
+      enc2(r * 4 + i) = ((raw2(r * 4 + i) - raw2(r * 4 + i - 1)) & 0xff).toByte
+    assert(Pdf.unpredictTiff(enc2, 4, 1, 8).map(_.toSeq).contains(raw2.toSeq))
+    // colors=2: deltas reach back one full pixel
+    val rawC = Array[Byte](10, 50, 30, 60, 70, 40)
+    val encC = Array[Byte](10, 50, 20, 10, 40, -20)
+    assert(Pdf.unpredictTiff(encC, 3, 2, 8).map(_.toSeq).contains(rawC.toSeq))
+    assert(Pdf.unpredictTiff(Array[Byte](1, 2, 3), 2, 1, 8).isEmpty) // ragged
+    assert(Pdf.unpredictTiff(Array[Byte](1, 2), 2, 1, 4).isEmpty) // sub-byte skip
   }
 
   test("'stream' inside a dict string is not the stream keyword (dict-only object keeps its /Type /Page)") {
@@ -445,6 +457,89 @@ class PdfSpec extends AnyFunSuite {
     val pages = Pdf.splitPages(out.toByteArray)
     assert(pages.length == 1, s"dict-only 'stream' substring misparsed: $pages")
     assert(pages.head.text == "trap survived")
+  }
+
+  test("corrupt numeric params degrade (empty text / skipped entries), never a thrown task failure") {
+    // present-but-unparseable /Columns under a predictor: the stream
+    // decode fails to None → empty text, page split intact
+    val pages = Pdf.splitPages(flatePdf(Seq("x"),
+      filter = "/FlateDecode /DecodeParms << /Predictor 12 /Columns 99999999999 >>"))
+    assert(pages.map(_.text) == Seq(""))
+    // CMap hex tokens beyond Int range are skipped, not thrown
+    val m = Pdf.parseToUnicode(
+      "1 beginbfchar <FFFFFFFFFF> <0041> endbfchar " +
+        "1 beginbfrange <0010> <0011> <0030> endbfrange")
+    assert(m == Map(0x10 -> "0", 0x11 -> "1"))
+    // overflow /Differences code keeps the running counter; names
+    // still consume codes
+    assert(Pdf.parseDifferences("/Differences [ 99999999999 /zero 65 /one ]") ==
+      Map(0 -> "0", 65 -> "1"))
+  }
+
+  test("inline font dicts don't leak their inner keys as sibling font entries") {
+    // /F1 is inline and carries /ToUnicode N R + a nested /Encoding
+    // dict — neither may surface as its own 'font'
+    val doc = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit =
+      doc.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val cmap = "1 beginbfrange <0000> <00FF> <0000> endbfrange"
+    put("%PDF-1.5\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 << /Subtype /Type0 /ToUnicode 6 0 R /Encoding << /Differences [ 65 /zero ] >> >> >> >> /Contents 4 0 R >> endobj\n")
+    put(s"6 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj\n")
+    val objs = Pdf.scanObjects(doc.toByteArray)
+    val byNum = objs.map(o => o.num -> o).toMap
+    val fonts = Pdf.fontsOf(byNum(3).dict, byNum,
+      scala.collection.mutable.HashMap.empty)
+    assert(fonts.keySet == Set("F1"), s"got ${fonts.keySet}")
+    assert(fonts("F1").isType0 && fonts("F1").toUnicode.nonEmpty)
+  }
+
+  /** RC4-encrypted document (standard handler, V2/R3, empty user
+    * password). The fixture is built with the kernel's own
+    * rc4/deriveFileKey/expectedU (RC4 is symmetric), so what this test
+    * proves is the INTEGRATION: /Encrypt+/ID detection, O/U/P/Length
+    * parsing, the /U gate, per-object keys, and stream decryption
+    * happening before filter decode — the places real bugs live.
+    */
+  private def encryptedPdf(content: String, uOverride: Option[String] = None,
+      v: Int = 2): Array[Byte] = {
+    val o32 = Array.tabulate(32)(i => (i * 7 + 3).toByte)
+    val id0 = Array.tabulate(16)(i => (i * 13 + 1).toByte)
+    val p = -44
+    val fileKey = Pdf.deriveFileKey(o32, p, id0, r = 3, lengthBits = 128)
+    val u = Pdf.expectedU(fileKey, id0, r = 3).take(16) ++ Array.fill[Byte](16)(0)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val enc = Pdf.PdfCrypt(fileKey)
+      .decrypt(4, 0, content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${enc.length} >> stream\n")
+    out.write(enc)
+    put("\nendstream endobj\n")
+    put(s"7 0 obj << /Filter /Standard /V $v /R 3 /Length 128 /P $p " +
+      s"/O <${hex(o32)}> /U <${uOverride.getOrElse(hex(u))}> >> endobj\n")
+    put(s"trailer << /Root 1 0 R /Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("RC4-encrypted PDFs (empty user password) decrypt through the /U gate") {
+    val pages = Pdf.splitPages(encryptedPdf("BT /F1 12 Tf (rc4 secret text) Tj ET"))
+    assert(pages.map(_.pageNo) == Seq(1))
+    assert(pages.head.text == "rc4 secret text")
+  }
+
+  test("a real user password (wrong /U) or AES suppresses text, keeps the page split") {
+    // /U that the empty password cannot produce → password-protected
+    val locked = Pdf.splitPages(encryptedPdf("BT (secret) Tj ET",
+      uOverride = Some("00" * 32)))
+    assert(locked.map(_.pageNo) == Seq(1) && locked.head.text == "")
+    // AES (/V 4): out of scope — same degrade, never garbage
+    val aes = Pdf.splitPages(encryptedPdf("BT (secret) Tj ET", v = 4))
+    assert(aes.map(_.pageNo) == Seq(1) && aes.head.text == "")
   }
 
   test("two pages inside one /ObjStm get distinct, ordered objOffsets") {
