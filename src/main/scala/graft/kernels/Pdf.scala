@@ -33,13 +33,13 @@ import scala.collection.mutable.ArrayBuffer
   * suppresses its strings (empty beats garbage), and `/Encoding
   * /Differences` glyph-name remaps resolve through an Adobe-Glyph-List
   * subset. LZWDecode (§7.4.4.2, incl. EarlyChange) and TIFF
-  * Predictor 2 decode natively; RC4-encrypted documents (§7.6.3
-  * standard security handler, V1/V2 R2/R3, empty user password — the
-  * common owner-restricted case) decrypt through a verified /U gate.
-  * Honest residual gaps: image-codec filters (DCT/JBIG2/JPX), AES
-  * encryption, and password-protected documents yield pages with
-  * empty text rather than garbage — the page COUNT and per-page split
-  * still work.
+  * Predictor 2 decode natively; encrypted documents (§7.6.3 standard
+  * security handler — RC4 V1/V2 R2/R3 and AES-128 `/AESV2` V4 R4,
+  * empty user password: the common owner-restricted case) decrypt
+  * through a verified /U gate. Honest residual gaps: image-codec
+  * filters (DCT/JBIG2/JPX), AES-256 (V5/R6), and password-protected
+  * documents yield pages with empty text rather than garbage — the
+  * page COUNT and per-page split still work.
   */
 object Pdf {
 
@@ -692,13 +692,37 @@ object Pdf {
     md.digest()
   }
 
-  /** Derived file key; per-object keys via §7.6.2 Algorithm 1. */
-  final case class PdfCrypt(fileKey: Array[Byte]) {
-    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
-      val ext = Array(
-        (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
-        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
-      rc4(md5(fileKey, ext).take(math.min(fileKey.length + 5, 16)), data)
+  /** AES-128-CBC with the PDF layout (§7.6.2): 16-byte IV prefix,
+    * PKCS#5 padding stripped manually so malformed padding degrades to
+    * None instead of throwing.
+    */
+  def aesCbcDecrypt(key: Array[Byte], data: Array[Byte]): Option[Array[Byte]] = {
+    if (data.length < 16 || (data.length - 16) % 16 != 0) return None
+    if (data.length == 16) return Some(Array.empty)
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(data, 0, 16))
+      val plain = c.doFinal(data, 16, data.length - 16)
+      val pad = plain(plain.length - 1) & 0xff
+      if (pad < 1 || pad > 16 || pad > plain.length) None
+      else Some(java.util.Arrays.copyOfRange(plain, 0, plain.length - pad))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Derived file key; per-object keys via §7.6.2 Algorithm 1 — AES
+    * object keys append the spec's `sAlT` bytes to the MD5 input, and
+    * AES payloads carry an IV prefix + PKCS#5 padding.
+    */
+  final case class PdfCrypt(fileKey: Array[Byte], aes: Boolean = false) {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Option[Array[Byte]] = {
+      val ext =
+        Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
+          (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte) ++
+          (if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.empty[Byte]) // "sAlT"
+      val objKey = md5(fileKey, ext).take(math.min(fileKey.length + 5, 16))
+      if (aes) aesCbcDecrypt(objKey, data) else Some(rc4(objKey, data))
     }
   }
 
@@ -707,11 +731,14 @@ object Pdf {
     * the 50-fold MD5 refinement at the key length.
     */
   def deriveFileKey(o: Array[Byte], p: Int, id0: Array[Byte],
-      r: Int, lengthBits: Int): Array[Byte] = {
+      r: Int, lengthBits: Int, encryptMetadata: Boolean = true): Array[Byte] = {
     val pLe = Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
       ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
     val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
-    var key = md5(PadBytes, o, pLe, id0)
+    // R4 + /EncryptMetadata false appends 0xFFFFFFFF (§7.6.3.3 2.f)
+    val metaExt: Array[Byte] =
+      if (r >= 4 && !encryptMetadata) Array(-1, -1, -1, -1) else Array.empty
+    var key = md5(PadBytes, o, pLe, id0, metaExt)
     if (r >= 3) { var i = 0; while (i < 50) { key = md5(key.take(n)); i += 1 } }
     key.take(n)
   }
@@ -800,23 +827,31 @@ object Pdf {
     Some(for {
       _ <- Option.when(d.contains("/Standard"))(())
       v = paramOr("""/V\s+(\d+)""".r, d, 0).getOrElse(0)
-      if v == 1 || v == 2
+      // V1/V2 = document-wide RC4; V4 = crypt filters — support the
+      // standard /StdCF with /CFM /V2 (RC4) or /CFM /AESV2 (AES-128)
+      aes <- v match {
+        case 1 | 2 => Some(false)
+        case 4 if d.contains("/AESV2") => Some(true)
+        case 4 if """(?s)/CFM\s*/V2""".r.findFirstIn(d).isDefined => Some(false)
+        case _ => None
+      }
       r <- paramOr("""/R\s+(\d+)""".r, d, 2)
-      if r == 2 || r == 3
+      if r >= 2 && r <= 4
       o <- dictStringValue(d, "/O")
       u <- dictStringValue(d, "/U")
       p <- PValRe.findFirstMatchIn(d).flatMap(_.group(1).toIntOption)
-      lengthBits <- paramOr("""/Length\s+(\d+)""".r, d, 40)
+      lengthBits <- paramOr("""/Length\s+(\d+)""".r, d, if (v == 4) 128 else 40)
       id0 <- IdHexRe.findFirstMatchIn(s).map(m =>
         m.group(1).filterNot(_.isWhitespace)).flatMap { hex =>
           if (hex.isEmpty || hex.length % 2 == 1 ||
               !hex.forall(c => Character.digit(c, 16) >= 0)) None
           else Some(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
         }
-      fileKey = deriveFileKey(o, p, id0, r, lengthBits)
+      encMeta = !"""(?s)/EncryptMetadata\s+false""".r.findFirstIn(d).isDefined
+      fileKey = deriveFileKey(o, p, id0, r, lengthBits, encMeta)
       // wrong /U = a real user password is set: suppress, never garbage
       if expectedU(fileKey, id0, r).take(16).sameElements(u.take(16))
-    } yield PdfCrypt(fileKey))
+    } yield PdfCrypt(fileKey, aes))
   }
 
   /** Expand `/Type /ObjStm` object streams (PDF ≥1.5, §7.5.7): modern
@@ -873,7 +908,9 @@ object Pdf {
         scanned.map(o => o.num -> o).toMap) match {
       case None => scanned
       case Some(Some(c)) =>
-        scanned.map(o => o.copy(stream = o.stream.map(d => c.decrypt(o.num, 0, d))))
+        // a single stream failing AES padding degrades alone (None →
+        // that object decodes to nothing), not the document
+        scanned.map(o => o.copy(stream = o.stream.flatMap(d => c.decrypt(o.num, 0, d))))
       case Some(None) =>
         // encrypted but not decryptable here: drop payloads — the page
         // split (from plaintext dicts) survives, text is empty

@@ -502,15 +502,36 @@ class PdfSpec extends AnyFunSuite {
     * happening before filter decode — the places real bugs live.
     */
   private def encryptedPdf(content: String, uOverride: Option[String] = None,
-      v: Int = 2): Array[Byte] = {
+      v: Int = 2, aes: Boolean = false): Array[Byte] = {
     val o32 = Array.tabulate(32)(i => (i * 7 + 3).toByte)
     val id0 = Array.tabulate(16)(i => (i * 13 + 1).toByte)
     val p = -44
-    val fileKey = Pdf.deriveFileKey(o32, p, id0, r = 3, lengthBits = 128)
-    val u = Pdf.expectedU(fileKey, id0, r = 3).take(16) ++ Array.fill[Byte](16)(0)
+    val r = if (aes) 4 else 3
+    val fileKey = Pdf.deriveFileKey(o32, p, id0, r = r, lengthBits = 128)
+    val u = Pdf.expectedU(fileKey, id0, r = r).take(16) ++ Array.fill[Byte](16)(0)
     def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
-    val enc = Pdf.PdfCrypt(fileKey)
-      .decrypt(4, 0, content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val raw = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val enc: Array[Byte] =
+      if (!aes) Pdf.PdfCrypt(fileKey).decrypt(4, 0, raw).get // RC4 is symmetric
+      else {
+        // §7.6.2 Algorithm 1 object key with the AES "sAlT" suffix,
+        // then IV-prefixed AES-128-CBC with PKCS#5 padding
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(fileKey)
+        md.update(Array[Byte](4, 0, 0, 0, 0, 0x73, 0x41, 0x6C, 0x54))
+        val objKey = md.digest().take(16)
+        val iv = Array.tabulate(16)(i => (i * 11 + 5).toByte)
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        iv ++ c.doFinal(raw)
+      }
+    val encDict =
+      if (aes)
+        s"/Filter /Standard /V 4 /R 4 /Length 128 /P $p " +
+          "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+      else s"/Filter /Standard /V $v /R 3 /Length 128 /P $p "
     val out = new java.io.ByteArrayOutputStream()
     def put(s: String): Unit =
       out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -520,7 +541,7 @@ class PdfSpec extends AnyFunSuite {
     put(s"4 0 obj << /Length ${enc.length} >> stream\n")
     out.write(enc)
     put("\nendstream endobj\n")
-    put(s"7 0 obj << /Filter /Standard /V $v /R 3 /Length 128 /P $p " +
+    put(s"7 0 obj << $encDict" +
       s"/O <${hex(o32)}> /U <${uOverride.getOrElse(hex(u))}> >> endobj\n")
     put(s"trailer << /Root 1 0 R /Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
     out.toByteArray
@@ -532,14 +553,25 @@ class PdfSpec extends AnyFunSuite {
     assert(pages.head.text == "rc4 secret text")
   }
 
-  test("a real user password (wrong /U) or AES suppresses text, keeps the page split") {
+  test("AESV2-encrypted PDFs (V4 crypt filter) decrypt: IV prefix, CBC, padding strip") {
+    val pages = Pdf.splitPages(
+      encryptedPdf("BT /F1 12 Tf (aes secret text) Tj ET", aes = true))
+    assert(pages.map(_.pageNo) == Seq(1))
+    assert(pages.head.text == "aes secret text")
+  }
+
+  test("a real user password (wrong /U) or an unsupported V4 variant suppresses text, keeps the page split") {
     // /U that the empty password cannot produce → password-protected
     val locked = Pdf.splitPages(encryptedPdf("BT (secret) Tj ET",
       uOverride = Some("00" * 32)))
     assert(locked.map(_.pageNo) == Seq(1) && locked.head.text == "")
-    // AES (/V 4): out of scope — same degrade, never garbage
-    val aes = Pdf.splitPages(encryptedPdf("BT (secret) Tj ET", v = 4))
-    assert(aes.map(_.pageNo) == Seq(1) && aes.head.text == "")
+    // bare V4 without a supported /CFM: same degrade, never garbage
+    val v4bare = Pdf.splitPages(encryptedPdf("BT (secret) Tj ET", v = 4))
+    assert(v4bare.map(_.pageNo) == Seq(1) && v4bare.head.text == "")
+    // AES with a wrong /U is password-protected too
+    val lockedAes = Pdf.splitPages(encryptedPdf("BT (secret) Tj ET",
+      aes = true, uOverride = Some("00" * 32)))
+    assert(lockedAes.map(_.pageNo) == Seq(1) && lockedAes.head.text == "")
   }
 
   test("two pages inside one /ObjStm get distinct, ordered objOffsets") {
