@@ -559,16 +559,44 @@ object Pdf {
     out.toMap
   }
 
-  /** Adobe Glyph List subset: ASCII letters, digits, and common
-    * punctuation — enough to resolve `/Differences` remaps of simple
-    * fonts; unknown glyph names map to "" (dropped, never garbage).
+  /** Adobe Glyph List subset: ASCII letters, digits, common
+    * punctuation, Latin-1 accents, and frequent typographic glyphs
+    * (dashes, curly quotes, ligatures, currency) — enough to resolve
+    * `/Differences` remaps of simple fonts; unknown glyph names map
+    * to "" (dropped, never garbage).
     */
   private val GlyphChar: Map[String, String] = {
     val letters = (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toString -> c.toString)
     val digits = Seq("zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
       "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
       "eight" -> "8", "nine" -> "9")
-    val punct = Seq("space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+    val accents = Seq(
+      "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â", "atilde" -> "ã",
+      "adieresis" -> "ä", "aring" -> "å", "ae" -> "æ", "ccedilla" -> "ç",
+      "egrave" -> "è", "eacute" -> "é", "ecircumflex" -> "ê", "edieresis" -> "ë",
+      "igrave" -> "ì", "iacute" -> "í", "icircumflex" -> "î", "idieresis" -> "ï",
+      "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó", "ocircumflex" -> "ô",
+      "otilde" -> "õ", "odieresis" -> "ö", "oslash" -> "ø", "ugrave" -> "ù",
+      "uacute" -> "ú", "ucircumflex" -> "û", "udieresis" -> "ü", "yacute" -> "ý",
+      "ydieresis" -> "ÿ", "germandbls" -> "ß", "thorn" -> "þ", "eth" -> "ð",
+      "Agrave" -> "À", "Aacute" -> "Á", "Acircumflex" -> "Â", "Atilde" -> "Ã",
+      "Adieresis" -> "Ä", "Aring" -> "Å", "AE" -> "Æ", "Ccedilla" -> "Ç",
+      "Egrave" -> "È", "Eacute" -> "É", "Ecircumflex" -> "Ê", "Edieresis" -> "Ë",
+      "Igrave" -> "Ì", "Iacute" -> "Í", "Icircumflex" -> "Î", "Idieresis" -> "Ï",
+      "Ntilde" -> "Ñ", "Ograve" -> "Ò", "Oacute" -> "Ó", "Ocircumflex" -> "Ô",
+      "Otilde" -> "Õ", "Odieresis" -> "Ö", "Oslash" -> "Ø", "Ugrave" -> "Ù",
+      "Uacute" -> "Ú", "Ucircumflex" -> "Û", "Udieresis" -> "Ü", "Yacute" -> "Ý",
+      "Thorn" -> "Þ", "Eth" -> "Ð",
+      "endash" -> "–", "emdash" -> "—", "quoteleft" -> "‘",
+      "quoteright" -> "’", "quotedblleft" -> "“",
+      "quotedblright" -> "”", "bullet" -> "•", "ellipsis" -> "…",
+      "dagger" -> "†", "daggerdbl" -> "‡", "fi" -> "ﬁ", "fl" -> "ﬂ",
+      "guillemotleft" -> "«", "guillemotright" -> "»", "degree" -> "°",
+      "copyright" -> "©", "registered" -> "®", "trademark" -> "™",
+      "Euro" -> "€", "sterling" -> "£", "yen" -> "¥", "cent" -> "¢",
+      "section" -> "§", "paragraph" -> "¶", "micro" -> "µ",
+      "plusminus" -> "±", "multiply" -> "×", "divide" -> "÷")
+    val punct = accents ++ Seq("space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
       "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
       "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
       "parenright" -> ")", "asterisk" -> "*", "plus" -> "+", "comma" -> ",",

@@ -474,6 +474,9 @@ class PdfSpec extends AnyFunSuite {
     // still consume codes
     assert(Pdf.parseDifferences("/Differences [ 99999999999 /zero 65 /one ]") ==
       Map(0 -> "0", 65 -> "1"))
+    // accented + typographic glyph names resolve through the AGL subset
+    assert(Pdf.parseDifferences("/Differences [ 65 /eacute /emdash /germandbls ]") ==
+      Map(65 -> "é", 66 -> "—", 67 -> "ß"))
   }
 
   test("inline font dicts don't leak their inner keys as sibling font entries") {
