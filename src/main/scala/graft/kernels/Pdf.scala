@@ -33,13 +33,14 @@ import scala.collection.mutable.ArrayBuffer
   * suppresses its strings (empty beats garbage), and `/Encoding
   * /Differences` glyph-name remaps resolve through an Adobe-Glyph-List
   * subset. LZWDecode (§7.4.4.2, incl. EarlyChange) and TIFF
-  * Predictor 2 decode natively; encrypted documents (§7.6.3 standard
-  * security handler — RC4 V1/V2 R2/R3 and AES-128 `/AESV2` V4 R4,
-  * empty user password: the common owner-restricted case) decrypt
-  * through a verified /U gate. Honest residual gaps: image-codec
-  * filters (DCT/JBIG2/JPX), AES-256 (V5/R6), and password-protected
-  * documents yield pages with empty text rather than garbage — the
-  * page COUNT and per-page split still work.
+  * Predictor 2 decode natively; encrypted documents (standard
+  * security handler — RC4 V1/V2 R2/R3, AES-128 `/AESV2` V4 R4, and
+  * AES-256 `/AESV3` V5 R5/R6 incl. the Algorithm 2.B KDF — with the
+  * EMPTY user password, the common owner-restricted case) decrypt
+  * through a verified password gate. Honest residual gaps: image-codec
+  * filters (DCT/JBIG2/JPX) and password-protected documents yield
+  * pages with empty text rather than garbage — the page COUNT and
+  * per-page split still work.
   */
 object Pdf {
 
@@ -741,10 +742,14 @@ object Pdf {
 
   /** Derived file key; per-object keys via §7.6.2 Algorithm 1 — AES
     * object keys append the spec's `sAlT` bytes to the MD5 input, and
-    * AES payloads carry an IV prefix + PKCS#5 padding.
+    * AES payloads carry an IV prefix + PKCS#5 padding. AES-256
+    * (`directKey`, /AESV3) uses the 32-byte file key itself — V5 has
+    * no per-object derivation.
     */
-  final case class PdfCrypt(fileKey: Array[Byte], aes: Boolean = false) {
+  final case class PdfCrypt(fileKey: Array[Byte], aes: Boolean = false,
+      directKey: Boolean = false) {
     def decrypt(num: Int, gen: Int, data: Array[Byte]): Option[Array[Byte]] = {
+      if (directKey) return aesCbcDecrypt(fileKey, data)
       val ext =
         Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
           (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte) ++
@@ -752,6 +757,69 @@ object Pdf {
       val objKey = md5(fileKey, ext).take(math.min(fileKey.length + 5, 16))
       if (aes) aesCbcDecrypt(objKey, data) else Some(rc4(objKey, data))
     }
+  }
+
+  private def sha256(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the R6 password KDF:
+    * SHA-256 seed, then rounds of AES-128-CBC over 64 repetitions of
+    * (password ‖ K ‖ udata) with the digest function chosen by the
+    * first 16 bytes' sum mod 3, until round ≥ 64 and the last byte of
+    * the round's ciphertext ≤ round − 32. The repetition block length
+    * is a multiple of 16 by construction (64 × anything), so
+    * NoPadding is exact.
+    */
+  def hash2B(password: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    def sha(bits: Int, d: Array[Byte]) =
+      java.security.MessageDigest.getInstance("SHA-" + bits).digest(d)
+    var k = sha(256, password ++ salt ++ udata)
+    var i = 0
+    var done = false
+    while (!done) {
+      val unit = password ++ k ++ udata
+      val k1 = new Array[Byte](unit.length * 64)
+      var j = 0
+      while (j < 64) { System.arraycopy(unit, 0, k1, j * unit.length, unit.length); j += 1 }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(k, 16, 16))
+      val e = c.doFinal(k1)
+      var sum = 0
+      var t = 0
+      while (t < 16) { sum += e(t) & 0xff; t += 1 }
+      k = sha(256 + (sum % 3) * 128, e)
+      i += 1
+      done = i >= 64 && (e(e.length - 1) & 0xff) <= i - 32
+    }
+    java.util.Arrays.copyOfRange(k, 0, 32)
+  }
+
+  /** §7.6.4.3.3 (R5, legacy /AESV3) and §7.6.4.3.4 (R6) file key from
+    * the EMPTY user password: /U = hash(32) ‖ validationSalt(8) ‖
+    * keySalt(8); a hash mismatch means a real password (None —
+    * suppress); else the 32-byte file key is the AES-256-CBC
+    * zero-IV decryption of /UE under the key-salt hash.
+    */
+  def deriveFileKeyV5(u: Array[Byte], ue: Array[Byte], r: Int): Option[Array[Byte]] = {
+    if (u.length < 48 || ue.length < 32) return None
+    val hash = java.util.Arrays.copyOfRange(u, 0, 32)
+    val vs = java.util.Arrays.copyOfRange(u, 32, 40)
+    val ks = java.util.Arrays.copyOfRange(u, 40, 48)
+    val calc = if (r == 5) sha256(vs) else hash2B(Array.empty, vs, Array.empty)
+    if (!java.util.Arrays.equals(calc, hash)) return None
+    val ik = if (r == 5) sha256(ks) else hash2B(Array.empty, ks, Array.empty)
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      Some(c.doFinal(ue, 0, 32))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** §7.6.3.3 Algorithm 2 with the EMPTY user password: file key from
@@ -852,6 +920,18 @@ object Pdf {
       .flatMap(_.group(1).toIntOption).flatMap(byNum.get)
     if (encObj.isEmpty) return None
     val d = encObj.get.dict
+    val vTop = paramOr("""/V\s+(\d+)""".r, d, 0).getOrElse(0)
+    if (vTop == 5) {
+      // AES-256 (/AESV3): SHA-2 password validation, direct file key
+      return Some(for {
+        _ <- Option.when(d.contains("/Standard") && d.contains("/AESV3"))(())
+        r <- paramOr("""/R\s+(\d+)""".r, d, 5)
+        if r == 5 || r == 6
+        u <- dictStringValue(d, "/U")
+        ue <- dictStringValue(d, "/UE")
+        key <- deriveFileKeyV5(u, ue, r)
+      } yield PdfCrypt(key, aes = true, directKey = true))
+    }
     Some(for {
       _ <- Option.when(d.contains("/Standard"))(())
       v = paramOr("""/V\s+(\d+)""".r, d, 0).getOrElse(0)

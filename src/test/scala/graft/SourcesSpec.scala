@@ -563,6 +563,73 @@ class PdfSpec extends AnyFunSuite {
     assert(pages.head.text == "aes secret text")
   }
 
+  /** AES-256 (/AESV3, V5) fixture, empty user password: /U carries
+    * hash(32)+validationSalt(8)+keySalt(8), /UE the zero-IV AES-wrapped
+    * file key; content is IV-prefixed AES-256-CBC. R6 exercises the
+    * Algorithm 2.B iterated KDF on both sides (self-consistent — the
+    * structural claims live in the kernel; integration is the test).
+    */
+  private def encryptedPdfV5(content: String, r: Int,
+      tamperU: Boolean = false): Array[Byte] = {
+    def sha256(bs: Array[Byte]*): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      bs.foreach(md.update); md.digest()
+    }
+    val vs = Array.tabulate(8)(i => (i * 3 + 1).toByte)
+    val ks = Array.tabulate(8)(i => (i * 5 + 2).toByte)
+    val hash =
+      if (r == 5) sha256(vs) else Pdf.hash2B(Array.empty, vs, Array.empty)
+    val ik =
+      if (r == 5) sha256(ks) else Pdf.hash2B(Array.empty, ks, Array.empty)
+    val fileKey = Array.tabulate(32)(i => (i * 17 + 9).toByte)
+    def aes(mode: Int, key: Array[Byte], iv: Array[Byte], pad: Boolean, d: Array[Byte]) = {
+      val c = javax.crypto.Cipher.getInstance(
+        if (pad) "AES/CBC/PKCS5Padding" else "AES/CBC/NoPadding")
+      c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(d)
+    }
+    val ue = aes(javax.crypto.Cipher.ENCRYPT_MODE, ik, new Array[Byte](16),
+      pad = false, fileKey)
+    val u0 = hash ++ vs ++ ks
+    val u = if (tamperU) u0.updated(0, (u0(0) ^ 0x55).toByte) else u0
+    val iv = Array.tabulate(16)(i => (i * 7 + 1).toByte)
+    val enc = iv ++ aes(javax.crypto.Cipher.ENCRYPT_MODE, fileKey, iv,
+      pad = true, content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    put("%PDF-1.7\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${enc.length} >> stream\n")
+    out.write(enc)
+    put("\nendstream endobj\n")
+    put(s"7 0 obj << /Filter /Standard /V 5 /R $r /Length 256 /P -44 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hex(Array.fill[Byte](48)(7))}> /OE <${hex(Array.fill[Byte](32)(9))}> " +
+      s"/U <${hex(u)}> /UE <${hex(ue)}> >> endobj\n")
+    put(s"trailer << /Root 1 0 R /Encrypt 7 0 R /ID [<${hex(vs ++ ks)}> <${hex(vs ++ ks)}>] >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("AES-256 (/AESV3) PDFs decrypt: R5 single-hash and R6 Algorithm-2.B KDF") {
+    for (r <- Seq(5, 6)) {
+      val pages = Pdf.splitPages(
+        encryptedPdfV5(s"BT /F1 12 Tf (aes256 r$r text) Tj ET", r))
+      assert(pages.map(_.pageNo) == Seq(1), s"r=$r")
+      assert(pages.head.text == s"aes256 r$r text", s"r=$r")
+    }
+    // the R6 KDF is genuinely iterated, not a plain SHA-256
+    val vs = Array.tabulate(8)(i => (i * 3 + 1).toByte)
+    assert(!Pdf.hash2B(Array.empty, vs, Array.empty).sameElements(
+      java.security.MessageDigest.getInstance("SHA-256").digest(vs)))
+    // a wrong validation hash = real password → suppress
+    val locked = Pdf.splitPages(encryptedPdfV5("BT (secret) Tj ET", 6, tamperU = true))
+    assert(locked.map(_.pageNo) == Seq(1) && locked.head.text == "")
+  }
+
   test("a real user password (wrong /U) or an unsupported V4 variant suppresses text, keeps the page split") {
     // /U that the empty password cannot produce → password-protected
     val locked = Pdf.splitPages(encryptedPdf("BT (secret) Tj ET",
