@@ -22,6 +22,74 @@ object SparkEntry {
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 
+  /** Deterministic n-page PDF for `q_pdf_split`, exercising one decode
+    * path per variant: 0 plain, 1 FlateDecode, 2 Type0/CID font with a
+    * ToUnicode CMap (hex show-text), 3 RC4-encrypted (V2/R3, empty
+    * user password). Pure function of (variant, texts) — safe inside
+    * a distributed map.
+    */
+  private def synthPdf(variant: Int, texts: Seq[String]): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new java.io.ByteArrayOutputStream()
+    def put(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    val n = texts.length
+    val fontObj = 3 + 2 * n
+    val cmapObj = fontObj + 1
+    val o32 = Array.tabulate(32)(i => (i * 7 + 3).toByte)
+    val id0 = Array.tabulate(16)(i => (i * 13 + 1).toByte)
+    val perms = -44
+    val fileKey = graft.kernels.Pdf.deriveFileKey(o32, perms, id0, r = 3, lengthBits = 128)
+    val crypt = graft.kernels.Pdf.PdfCrypt(fileKey)
+    def hexStr(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    put("%PDF-1.5\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    put(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    texts.zipWithIndex.foreach { case (txt, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      val res = if (variant == 2) s"/Resources << /Font << /F1 $fontObj 0 R >> >> " else ""
+      put(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R $res/Contents $contObj 0 R >> endobj\n")
+      val content =
+        if (variant == 2)
+          s"BT /F1 12 Tf <${txt.map(c => f"${c.toInt}%04X").mkString}> Tj ET"
+        else s"BT /F1 12 Tf ($txt) Tj ET"
+      val (data, filter) = variant match {
+        case 1 => (deflate(content.getBytes(ISO_8859_1)), "/Filter /FlateDecode ")
+        case 3 => (crypt.decrypt(contObj, 0, content.getBytes(ISO_8859_1)).get, "")
+        case _ => (content.getBytes(ISO_8859_1), "")
+      }
+      put(s"$contObj 0 obj << /Length ${data.length} $filter>> stream\n")
+      out.write(data)
+      put("\nendstream endobj\n")
+    }
+    if (variant == 2) {
+      val cmap = "1 begincodespacerange <0000> <FFFF> endcodespacerange " +
+        "1 beginbfrange <0000> <00FF> <0000> endbfrange"
+      val cdata = deflate(cmap.getBytes(ISO_8859_1))
+      put(s"$fontObj 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode $cmapObj 0 R >> endobj\n")
+      put(s"$cmapObj 0 obj << /Length ${cdata.length} /Filter /FlateDecode >> stream\n")
+      out.write(cdata)
+      put("\nendstream endobj\n")
+    }
+    if (variant == 3) {
+      val encObj = cmapObj + 1
+      val u = graft.kernels.Pdf.expectedU(fileKey, id0, r = 3).take(16) ++ new Array[Byte](16)
+      put(s"$encObj 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P $perms " +
+        s"/O <${hexStr(o32)}> /U <${hexStr(u)}> >> endobj\n")
+      put(s"trailer << /Root 1 0 R /Encrypt $encObj 0 R /ID [<${hexStr(id0)}> <${hexStr(id0)}>] >>\n")
+    }
+    put("%%EOF\n")
+    out.toByteArray
+  }
+
   /** The embeddings fixture contains NO true near-dup pairs (max
     * pairwise cosine ≈ 0.51), so LSH queries against it pass vacuously.
     * This plants deterministic near neighbors IN-FLIGHT: level-c copy
@@ -583,6 +651,25 @@ object SparkEntry {
         }
         .toDF("conv_id", "turn_idx", "reading_order", "text",
           "ulx", "uly", "lrx", "lry")
+    }),
+
+    // the PDF source kernel under the driver gate: per doc, a 2-page
+    // PDF is synthesized in-flight exercising a different decode path
+    // by doc_id % 4 (plain / FlateDecode / CID font + ToUnicode CMap /
+    // RC4-encrypted); extracted text must equal the closed-form
+    // strings DuckDB states from doc_id alone — a wrong filter,
+    // font-state, or decryption path hash-mismatches
+    "q_pdf_split" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val texts = Seq(s"alpha page of doc $id", s"beta page of doc $id")
+          val bytes = synthPdf((id % 4).toInt, texts)
+          graft.kernels.Pdf.splitPages(bytes).map(p => (id, p.pageNo, p.text))
+        }
+        .toDF("doc_id", "page_no", "text")
+        .orderBy("doc_id", "page_no")
     }),
 
     // deskew estimator under the driver gate: per doc, a deterministic
@@ -1428,6 +1515,16 @@ object SparkEntry {
         """SELECT concat('link-', doc_id) AS conv_id, 'cap text' AS caption_text,
                   'alpha para' AS linked_text
            FROM documents WHERE doc_id < 100""",
+
+      // the PDF kernel's extracted text stated from doc_id alone —
+      // every decode variant (plain/Flate/CID/RC4) must produce the
+      // identical strings
+      "q_pdf_split" ->
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p.p AS INT) AS page_no,
+                  concat(CASE p.p WHEN 1 THEN 'alpha page of doc ' ELSE 'beta page of doc ' END,
+                         CAST(doc_id AS BIGINT)) AS text
+           FROM documents, (VALUES (1), (2)) p(p)
+           WHERE doc_id < 200 ORDER BY doc_id, page_no""",
 
       // the estimator's recovered angle equals the planted one (the
       // generator constants), stated by DuckDB without running any
