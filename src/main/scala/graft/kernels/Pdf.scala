@@ -47,9 +47,12 @@ object Pdf {
   final case class PdfPage(pageNo: Int, objOffset: Long, text: String)
 
   /** One indirect object: number, byte offset, dict/body text (before
-    * any stream keyword), and the raw (still-encoded) stream payload.
+    * any stream keyword), the raw (still-encoded) stream payload, and
+    * the generation number (per-object decryption keys depend on it —
+    * incremental updates write gen > 0).
     */
-  final case class PdfObj(num: Int, off: Int, dict: String, stream: Option[Array[Byte]])
+  final case class PdfObj(num: Int, off: Int, dict: String,
+      stream: Option[Array[Byte]], gen: Int = 0)
 
   private val HeaderRe = """(\d+)\s+(\d+)\s+obj""".r.pattern
   private val ContentsRefRe = """/Contents\s+(\d+)\s+(\d+)\s+R""".r
@@ -92,8 +95,13 @@ object Pdf {
     * contain `endobj`/`N G obj` byte runs, so a flat regex over the
     * file (the round-2 design) could truncate or invent objects.
     */
-  def scanObjects(bytes: Array[Byte]): Vector[PdfObj] = {
-    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+  def scanObjects(bytes: Array[Byte]): Vector[PdfObj] =
+    scanObjectsStr(new String(bytes, StandardCharsets.ISO_8859_1))
+
+  /** String-level scan so [[splitPages]] materializes the (large)
+    * Latin-1 view exactly once per document.
+    */
+  private def scanObjectsStr(s: String): Vector[PdfObj] = {
     // pre-pass: integer-valued objects, so an INDIRECT `/Length N G R`
     // can still slice its stream exactly (the endstream fallback can be
     // fooled by binary payloads containing the 'endstream' bytes —
@@ -111,7 +119,10 @@ object Pdf {
     var p = 0
     var go = p < s.length && m.find(p)
     while (go) {
-      val num = m.group(1).toInt
+      // >Int.MaxValue object/generation digit runs: corrupt input —
+      // skip the match, never throw out of the task
+      val num = m.group(1).toIntOption.getOrElse(-1)
+      val gen = m.group(2).toIntOption.getOrElse(0)
       val off = m.start
       val bodyStart = m.end
       val endobj0 = s.indexOf("endobj", bodyStart)
@@ -120,9 +131,10 @@ object Pdf {
       // per spec it follows the dict close '>>' (optional whitespace
       // between) and is itself followed by CRLF or LF
       val streamKw = findStreamKeyword(s, bodyStart)
-      if (endobj0 < 0) go = false
+      if (num < 0) go = m.find(bodyStart)
+      else if (endobj0 < 0) go = false
       else if (streamKw < 0 || streamKw > endobj0) {
-        out += PdfObj(num, off, s.substring(bodyStart, endobj0), None)
+        out += PdfObj(num, off, s.substring(bodyStart, endobj0), None, gen)
         go = m.find(endobj0 + 6)
       } else {
         val dict = s.substring(bodyStart, streamKw)
@@ -153,7 +165,7 @@ object Pdf {
         }
         val data = s.substring(dataStart, dataEnd).getBytes(StandardCharsets.ISO_8859_1)
         val endobj = s.indexOf("endobj", math.max(dataEnd, dataStart))
-        out += PdfObj(num, off, dict, Some(data))
+        out += PdfObj(num, off, dict, Some(data), gen)
         if (endobj < 0) go = false else go = m.find(endobj + 6)
       }
     }
@@ -854,43 +866,49 @@ object Pdf {
       u // first 16 bytes significant
     }
 
-  /** Parse a PDF string VALUE (`(…)` with escapes or `<hex>`) right
-    * after `/Key` in a dict; byte-exact.
+  /** Hex digits → bytes (odd final digit zero-padded, §7.3.4.3);
+    * None on any non-hex char.
     */
-  private def dictStringValue(dict: String, key: String): Option[Array[Byte]] = {
-    val k = keyIndex(dict, key)
-    if (k < 0) return None
-    var i = k + key.length
-    while (i < dict.length && Character.isWhitespace(dict.charAt(i))) i += 1
-    if (i >= dict.length) None
-    else if (dict.charAt(i) == '<') {
-      val e = dict.indexOf('>', i + 1)
-      if (e < 0) None
-      else {
-        val hex = dict.substring(i + 1, e).filterNot(_.isWhitespace)
-        if (!hex.forall(c => Character.digit(c, 16) >= 0)) None
-        else {
-          val padded = if (hex.length % 2 == 1) hex + "0" else hex
-          Some(padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
-        }
-      }
-    } else if (dict.charAt(i) == '(') {
+  private def hexToBytes(hexRaw: String): Option[Array[Byte]] = {
+    val hex = hexRaw.filterNot(_.isWhitespace)
+    if (!hex.forall(c => Character.digit(c, 16) >= 0)) None
+    else {
+      val padded = if (hex.length % 2 == 1) hex + "0" else hex
+      Some(padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    }
+  }
+
+  /** Parse the PDF string starting at `i0` in `text` — `(…)` literal
+    * (escapes, octal, and `\`-EOL line CONTINUATIONS, which contribute
+    * no byte, §7.3.4.2) or `<hex>`; byte-exact.
+    */
+  private def stringValueAt(text: String, i0: Int): Option[Array[Byte]] = {
+    var i = i0
+    if (i >= text.length) None
+    else if (text.charAt(i) == '<') {
+      val e = text.indexOf('>', i + 1)
+      if (e < 0) None else hexToBytes(text.substring(i + 1, e))
+    } else if (text.charAt(i) == '(') {
       val out = new java.io.ByteArrayOutputStream()
       var depth = 1
       i += 1
-      while (i < dict.length && depth > 0) {
-        val c = dict.charAt(i)
-        if (c == '\\' && i + 1 < dict.length) {
-          val e = dict.charAt(i + 1)
+      while (i < text.length && depth > 0) {
+        val c = text.charAt(i)
+        if (c == '\\' && i + 1 < text.length) {
+          val e = text.charAt(i + 1)
           e match {
             case 'n' => out.write('\n'); i += 2
             case 't' => out.write('\t'); i += 2
             case 'r' => out.write('\r'); i += 2
             case '(' | ')' | '\\' => out.write(e); i += 2
+            case '\n' => i += 2 // line continuation: no byte
+            case '\r' =>
+              i += 2
+              if (i < text.length && text.charAt(i) == '\n') i += 1
             case d if d >= '0' && d <= '7' =>
               var j = i + 1; var v = 0
-              while (j < dict.length && j < i + 4 && dict.charAt(j) >= '0' && dict.charAt(j) <= '7') {
-                v = v * 8 + (dict.charAt(j) - '0'); j += 1
+              while (j < text.length && j < i + 4 && text.charAt(j) >= '0' && text.charAt(j) <= '7') {
+                v = v * 8 + (text.charAt(j) - '0'); j += 1
               }
               out.write(v & 0xff); i = j
             case _ => out.write(e); i += 2
@@ -903,8 +921,38 @@ object Pdf {
     } else None
   }
 
+  /** Parse a PDF string VALUE (`(…)` with escapes or `<hex>`) right
+    * after `/Key` in a dict; byte-exact.
+    */
+  private def dictStringValue(dict: String, key: String): Option[Array[Byte]] = {
+    val k = keyIndex(dict, key)
+    if (k < 0) return None
+    var i = k + key.length
+    while (i < dict.length && Character.isWhitespace(dict.charAt(i))) i += 1
+    stringValueAt(dict, i)
+  }
+
+  /** First entry of the LAST `/ID [ … ]` array in the document (an
+    * incrementally-updated file's live trailer is the last one); hex
+    * and literal string forms both accepted.
+    */
+  private def idFirstEntry(s: String): Option[Array[Byte]] = {
+    var k = s.lastIndexOf("/ID")
+    while (k >= 0) {
+      var i = k + 3
+      while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < s.length && s.charAt(i) == '[') {
+        i += 1
+        while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+        val v = stringValueAt(s, i)
+        if (v.exists(_.nonEmpty)) return v
+      }
+      k = s.lastIndexOf("/ID", k - 1)
+    }
+    None
+  }
+
   private val EncryptRefRe = """/Encrypt\s+(\d+)\s+\d+\s+R""".r
-  private val IdHexRe = """(?s)/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r
   private val PValRe = """/P\s+(-?\d+)""".r
 
   /** Detect and resolve the document's encryption state.
@@ -916,11 +964,22 @@ object Pdf {
     *         via /U.
     */
   def detectEncryption(s: String, byNum: Map[Int, PdfObj]): Option[Option[PdfCrypt]] = {
-    val encObj = EncryptRefRe.findFirstMatchIn(s)
-      .flatMap(_.group(1).toIntOption).flatMap(byNum.get)
-    if (encObj.isEmpty) return None
-    val d = encObj.get.dict
+    // candidate /Encrypt refs can appear anywhere (trailer dict or
+    // xref-stream dict); take the LAST whose target actually looks
+    // like an encryption dict — incremental updates append trailers,
+    // and a match whose target is no /Filter-bearing dict is a false
+    // positive from content bytes, not encryption
+    val dOpt = EncryptRefRe.findAllMatchIn(s).toList.reverseIterator
+      .flatMap(m => m.group(1).toIntOption.flatMap(byNum.get))
+      .map(_.dict)
+      .find(_.contains("/Filter"))
+    if (dOpt.isEmpty) return None
+    val d = dOpt.get
     val vTop = paramOr("""/V\s+(\d+)""".r, d, 0).getOrElse(0)
+    // V4/V5 crypt filters: /StmF defaults to /Identity (streams NOT
+    // encrypted) — without /StmF /StdCF the stream payloads are
+    // plaintext, so 'decrypting' them would garble a readable document
+    if (vTop >= 4 && """(?s)/StmF\s*/StdCF""".r.findFirstIn(d).isEmpty) return None
     if (vTop == 5) {
       // AES-256 (/AESV3): SHA-2 password validation, direct file key
       return Some(for {
@@ -947,14 +1006,15 @@ object Pdf {
       if r >= 2 && r <= 4
       o <- dictStringValue(d, "/O")
       u <- dictStringValue(d, "/U")
-      p <- PValRe.findFirstMatchIn(d).flatMap(_.group(1).toIntOption)
-      lengthBits <- paramOr("""/Length\s+(\d+)""".r, d, if (v == 4) 128 else 40)
-      id0 <- IdHexRe.findFirstMatchIn(s).map(m =>
-        m.group(1).filterNot(_.isWhitespace)).flatMap { hex =>
-          if (hex.isEmpty || hex.length % 2 == 1 ||
-              !hex.forall(c => Character.digit(c, 16) >= 0)) None
-          else Some(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
-        }
+      // some writers emit /P in its unsigned form (e.g. 4294967232 =
+      // -64): parse as Long, truncate to the signed 32-bit value
+      p <- PValRe.findFirstMatchIn(d).flatMap(_.group(1).toLongOption).map(_.toInt)
+      // V4: key length is the crypt filter's (AESV2 = 128-bit; a
+      // top-level /Length may be absent and a /CF sub-dict /Length is
+      // in BYTES — never read it as bits)
+      lengthBits <- if (v == 4) Some(128)
+                    else paramOr("""/Length\s+(\d+)""".r, d, 40)
+      id0 <- idFirstEntry(s)
       encMeta = !"""(?s)/EncryptMetadata\s+false""".r.findFirstIn(d).isDefined
       fileKey = deriveFileKey(o, p, id0, r, lengthBits, encMeta)
       // wrong /U = a real user password is set: suppress, never garbage
@@ -981,13 +1041,14 @@ object Pdf {
       else {
         val expanded = for {
           content <- decodeStream(o.dict, o.stream.get)
-          n <- """/N\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
-          first <- """/First\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+          n <- """/N\s+(\d+)""".r.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
+          first <- """/First\s+(\d+)""".r.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
         } yield {
           val s = new String(content, StandardCharsets.ISO_8859_1)
           val header = s.take(math.min(first, s.length))
           val pairs = IntPairHeaderRe.findAllMatchIn(header)
-            .map(m => (m.group(1).toInt, m.group(2).toInt)).take(n).toVector
+            .flatMap(m => for (a <- m.group(1).toIntOption; b <- m.group(2).toIntOption)
+              yield (a, b)).take(n).toVector
           pairs.zipWithIndex.map { case ((num, off), i) =>
             val start = math.min(first + off, s.length)
             val end =
@@ -1007,18 +1068,20 @@ object Pdf {
     * the linear writers this subset targets).
     */
   def splitPages(bytes: Array[Byte]): Seq[PdfPage] = {
-    val scanned = scanObjects(bytes)
+    // ONE Latin-1 materialization per document (the scan and the
+    // encryption detection share it — a second copy would double the
+    // transient memory per document on the extraction hot path)
+    val text = new String(bytes, StandardCharsets.ISO_8859_1)
+    val scanned = scanObjectsStr(text)
     // encryption applies to STREAM payloads (strings inside content
-    // streams ride along; dict keys are plaintext). Generation numbers
-    // are ~always 0 for linear writers; the per-object key uses 0.
-    val prepared = detectEncryption(
-        new String(bytes, StandardCharsets.ISO_8859_1),
+    // streams ride along; dict keys are plaintext)
+    val prepared = detectEncryption(text,
         scanned.map(o => o.num -> o).toMap) match {
       case None => scanned
       case Some(Some(c)) =>
         // a single stream failing AES padding degrades alone (None →
         // that object decodes to nothing), not the document
-        scanned.map(o => o.copy(stream = o.stream.flatMap(d => c.decrypt(o.num, 0, d))))
+        scanned.map(o => o.copy(stream = o.stream.flatMap(d => c.decrypt(o.num, o.gen, d))))
       case Some(None) =>
         // encrypted but not decryptable here: drop payloads — the page
         // split (from plaintext dicts) survives, text is empty
@@ -1040,8 +1103,8 @@ object Pdf {
         pageNo += 1
         val fonts = fontsOf(body, byNum, fontCache)
         val refs: Seq[Int] = ContentsArrRe.findFirstMatchIn(body) match {
-          case Some(arr) => RefRe.findAllMatchIn(arr.group(1)).map(_.group(1).toInt).toSeq
-          case None => ContentsRefRe.findFirstMatchIn(body).map(_.group(1).toInt).toSeq
+          case Some(arr) => RefRe.findAllMatchIn(arr.group(1)).flatMap(_.group(1).toIntOption).toSeq
+          case None => ContentsRefRe.findFirstMatchIn(body).flatMap(_.group(1).toIntOption).toSeq
         }
         val text =
           if (refs.nonEmpty)

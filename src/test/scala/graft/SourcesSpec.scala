@@ -505,7 +505,8 @@ class PdfSpec extends AnyFunSuite {
     * happening before filter decode — the places real bugs live.
     */
   private def encryptedPdf(content: String, uOverride: Option[String] = None,
-      v: Int = 2, aes: Boolean = false): Array[Byte] = {
+      v: Int = 2, aes: Boolean = false, pUnsigned: Boolean = false,
+      idLiteral: Boolean = false, oWrapped: Boolean = false): Array[Byte] = {
     val o32 = Array.tabulate(32)(i => (i * 7 + 3).toByte)
     val id0 = Array.tabulate(16)(i => (i * 13 + 1).toByte)
     val p = -44
@@ -544,9 +545,22 @@ class PdfSpec extends AnyFunSuite {
     put(s"4 0 obj << /Length ${enc.length} >> stream\n")
     out.write(enc)
     put("\nendstream endobj\n")
-    put(s"7 0 obj << $encDict" +
-      s"/O <${hex(o32)}> /U <${uOverride.getOrElse(hex(u))}> >> endobj\n")
-    put(s"trailer << /Root 1 0 R /Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
+    // writer-variant forms: unsigned /P, literal-string /ID entries
+    // (octal escapes), and a line-wrapped literal /O (\-EOL
+    // continuation contributes no byte)
+    val pStr = if (pUnsigned) (p.toLong & 0xFFFFFFFFL).toString else p.toString
+    val idEntry =
+      if (idLiteral) "(" + id0.map(b => f"\\${b & 0xff}%03o").mkString + ")"
+      else s"<${hex(id0)}>"
+    val oEntry =
+      if (oWrapped) {
+        val oct = o32.map(b => f"\\${b & 0xff}%03o")
+        "(" + oct.take(16).mkString + "\\\n" + oct.drop(16).mkString + ")"
+      } else s"<${hex(o32)}>"
+    val encDictP = encDict.replace(s"/P $p", s"/P $pStr")
+    put(s"7 0 obj << $encDictP" +
+      s"/O $oEntry /U <${uOverride.getOrElse(hex(u))}> >> endobj\n")
+    put(s"trailer << /Root 1 0 R /Encrypt 7 0 R /ID [$idEntry $idEntry] >>\n%%EOF\n")
     out.toByteArray
   }
 
@@ -612,6 +626,60 @@ class PdfSpec extends AnyFunSuite {
       s"/U <${hex(u)}> /UE <${hex(ue)}> >> endobj\n")
     put(s"trailer << /Root 1 0 R /Encrypt 7 0 R /ID [<${hex(vs ++ ks)}> <${hex(vs ++ ks)}>] >>\n%%EOF\n")
     out.toByteArray
+  }
+
+  test("encryption writer variants decrypt: unsigned /P, literal /ID, line-wrapped /O") {
+    val pages = Pdf.splitPages(encryptedPdf(
+      "BT /F1 12 Tf (variant forms) Tj ET",
+      pUnsigned = true, idLiteral = true, oWrapped = true))
+    assert(pages.map(_.text) == Seq("variant forms"))
+  }
+
+  test("encryption detection robustness: content false positives, plaintext-stream V4, gen>0 keys") {
+    // '/Encrypt N 0 R' bytes inside an UNencrypted doc's content
+    // stream (target object exists but is no encrypt dict) must not
+    // flip the document to encrypted-and-dropped
+    val fp = Pdf.splitPages(minimalPdf(Seq("mentions /Encrypt 2 0 R in prose")))
+    assert(fp.head.text == "mentions /Encrypt 2 0 R in prose")
+    // V4 with /StrF only (no /StmF → spec default Identity): streams
+    // are PLAINTEXT and must pass through untouched
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val content = "BT /F1 12 Tf (plaintext streams) Tj ET"
+    put("%PDF-1.6\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put("7 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 /P -44 " +
+      "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StrF /StdCF " +
+      "/O <00> /U <00> >> endobj\n")
+    put("trailer << /Root 1 0 R /Encrypt 7 0 R /ID [<0102> <0102>] >>\n%%EOF\n")
+    val v4plain = Pdf.splitPages(out.toByteArray)
+    assert(v4plain.map(_.text) == Seq("plaintext streams"))
+    // generation > 0: the per-object key must use the OBJECT's gen
+    val o32 = Array.tabulate(32)(i => (i * 7 + 3).toByte)
+    val id0 = Array.tabulate(16)(i => (i * 13 + 1).toByte)
+    val fileKey = Pdf.deriveFileKey(o32, -44, id0, r = 3, lengthBits = 128)
+    val u = Pdf.expectedU(fileKey, id0, r = 3).take(16) ++ Array.fill[Byte](16)(0)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val raw = "BT /F1 12 Tf (gen one key) Tj ET"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val enc = Pdf.PdfCrypt(fileKey).decrypt(4, 1, raw).get
+    val g = new java.io.ByteArrayOutputStream()
+    def putg(s: String): Unit =
+      g.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    putg("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    putg("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    putg("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 1 R >> endobj\n")
+    putg(s"4 1 obj << /Length ${enc.length} >> stream\n")
+    g.write(enc)
+    putg("\nendstream endobj\n")
+    putg(s"7 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+      s"/O <${hex(o32)}> /U <${hex(u)}> >> endobj\n")
+    putg(s"trailer << /Root 1 0 R /Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
+    val genPages = Pdf.splitPages(g.toByteArray)
+    assert(genPages.map(_.text) == Seq("gen one key"))
   }
 
   test("AES-256 (/AESV3) PDFs decrypt: R5 single-hash and R6 Algorithm-2.B KDF") {
