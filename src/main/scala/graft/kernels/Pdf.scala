@@ -1203,6 +1203,10 @@ object Pdf {
               case 't' => sb.append('\t'); i += 2
               case 'r' => sb.append('\r'); i += 2
               case '(' | ')' | '\\' => sb.append(e); i += 2
+              case '\n' => i += 2 // \-EOL line continuation: no char
+              case '\r' =>
+                i += 2
+                if (i < n && stream.charAt(i) == '\n') i += 1
               case d if d >= '0' && d <= '7' =>
                 var j = i + 1
                 var v = 0

@@ -267,9 +267,12 @@ class PdfSpec extends AnyFunSuite {
     assert(pages.map(_.text) == Seq("Hello page one", "Second page"))
   }
 
-  test("PDF string escapes decode: parens, backslash, octal") {
+  test("PDF string escapes decode: parens, backslash, octal, line continuation") {
     val pages = Pdf.splitPages(minimalPdf(Seq("""a \(b\) \\ \101""")))
     assert(pages.head.text == """a (b) \ A""")
+    // \-EOL wraps a long literal across lines without adding a char
+    val wrapped = Pdf.splitPages(minimalPdf(Seq("wrapped \\\nstring")))
+    assert(wrapped.head.text == "wrapped string")
   }
 
   test("hex strings inside TJ arrays decode instead of clearing pending text") {
