@@ -375,6 +375,17 @@ object Dedup {
     // time grows superlinearly (the classic iterative-DataFrame trap)
     var labels = nodes.select(col("id").cast("long").as("id"), col("id").cast("long").as("label"))
       .localCheckpoint(true)
+    // convergence via the label-sum invariant: min-propagation is
+    // MONOTONE (every node's label can only decrease), so the sum of
+    // labels strictly decreases until the fixed point — equal sums ⇔
+    // no label changed. One decimal aggregation per round replaces the
+    // join-based changed-count (decimal(38,0) is exact and overflow-
+    // safe up to ~1e38 total, far beyond 1e12 nodes × 2^63 ids).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = edges.isEmpty
     while (iter < maxIter && !converged) {
@@ -384,10 +395,10 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
