@@ -443,10 +443,31 @@ object Pdf {
   /** Per-font decode state: Type0 (CID) fonts show 2-byte codes that
     * MUST go through a ToUnicode CMap (no CMap → strings suppressed:
     * empty beats garbage); simple fonts show 1-byte codes through
-    * ToUnicode, else `/Differences`, else Latin-1 identity.
+    * ToUnicode, else `/Differences`, else the base encoding
+    * (`/WinAnsiEncoding` = windows-1252, `/MacRomanEncoding` =
+    * x-MacRoman — Annex D), else Latin-1 identity.
     */
   final case class PdfFont(isType0: Boolean,
-      toUnicode: Option[Map[Int, String]], differences: Map[Int, String])
+      toUnicode: Option[Map[Int, String]], differences: Map[Int, String],
+      baseEncoding: Map[Int, String] = Map.empty)
+
+  /** High-half (0x80–0xFF) tables for the Annex D base encodings,
+    * derived from the JDK charsets (windows-1252 / x-MacRoman) —
+    * codes the charset leaves undefined are dropped, not garbage.
+    * 0x00–0x7F is ASCII in both and needs no table.
+    */
+  private def highHalfTable(charsetName: String): Map[Int, String] =
+    scala.util.Try(java.nio.charset.Charset.forName(charsetName)).toOption match {
+      case None => Map.empty
+      case Some(cs) =>
+        (0x80 to 0xff).flatMap { b =>
+          val s = new String(Array(b.toByte), cs)
+          // undefined bytes decode to U+FFFD — drop those
+          if (s == "�") None else Some(b -> s)
+        }.toMap
+    }
+  private lazy val WinAnsiHigh = highHalfTable("windows-1252")
+  private lazy val MacRomanHigh = highHalfTable("x-MacRoman")
 
   /** Substring of `s` spanning the balanced `<< … >>` whose opening
     * `<<` starts at `open`; None if unterminated.
@@ -655,9 +676,16 @@ object Pdf {
       .flatMap(byNum.get)
       .flatMap(o => o.stream.flatMap(decodeStream(o.dict, _)))
       .map(b => parseToUnicode(new String(b, StandardCharsets.ISO_8859_1)))
-    val diffs = dictValue(fdict, "/Encoding", byNum)
-      .map(parseDifferences).getOrElse(Map.empty[Int, String])
-    PdfFont(isType0, toUni, diffs)
+    val encDict = dictValue(fdict, "/Encoding", byNum)
+    val diffs = encDict.map(parseDifferences).getOrElse(Map.empty[Int, String])
+    // base encoding: `/Encoding /WinAnsiEncoding` (name form) or
+    // `/BaseEncoding …` inside the encoding dict (Annex D)
+    val encText = fdict + encDict.getOrElse("")
+    val base =
+      if (encText.contains("/WinAnsiEncoding")) WinAnsiHigh
+      else if (encText.contains("/MacRomanEncoding")) MacRomanHigh
+      else Map.empty[Int, String]
+    PdfFont(isType0, toUni, diffs, base)
   }
 
   /** Resolve the page's `/Resources /Font` dict (inline or indirect at
@@ -1175,7 +1203,8 @@ object Pdf {
         val sb = new StringBuilder
         for (ch <- raw) {
           val code = ch.toInt & 0xff
-          f.toUnicode.flatMap(_.get(code)).orElse(f.differences.get(code)) match {
+          f.toUnicode.flatMap(_.get(code)).orElse(f.differences.get(code))
+            .orElse(f.baseEncoding.get(code)) match {
             case Some(s2) => sb.append(s2)
             case None => sb.append(ch)
           }

@@ -378,6 +378,29 @@ class PdfSpec extends AnyFunSuite {
     assert(pages.head.text == "01 unchanged: ab")
   }
 
+  test("simple-font base encodings: WinAnsi and MacRoman high-half bytes decode correctly") {
+    def doc(encName: String, octals: String) = {
+      val content = s"BT /F1 12 Tf ($octals) Tj ET"
+      val out = new java.io.ByteArrayOutputStream()
+      def put(s: String): Unit =
+        out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+      put(s"3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 << /Type /Font /Subtype /Type1 /Encoding $encName >> >> >> /Contents 4 0 R >> endobj\n")
+      put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n%%EOF\n")
+      out.toByteArray
+    }
+    // cp1252: 0x93/0x94 = curly double quotes, 0x97 = em dash
+    val win = Pdf.splitPages(doc("/WinAnsiEncoding", """\223q\224 \227"""))
+    assert(win.head.text == "“q” —")
+    // MacRoman: 0xD2/0xD3 = curly double quotes, 0xD1 = em dash
+    val mac = Pdf.splitPages(doc("/MacRomanEncoding", """\322q\323 \321"""))
+    assert(mac.head.text == "“q” —")
+    // without a base encoding the same bytes stay Latin-1 identity
+    val plain = Pdf.splitPages(doc("/SomethingElse", """\101"""))
+    assert(plain.head.text == "A")
+  }
+
   test("parseToUnicode: bfrange array form and multi-section streams") {
     val m = Pdf.parseToUnicode(
       """2 beginbfchar
