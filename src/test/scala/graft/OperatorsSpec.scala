@@ -498,4 +498,34 @@ class ComponentsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(stars == naive)
   }
+
+  test("both components algorithms agree with a reference union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Vector.fill(45)((rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))
+        .filter(p => p._1 != p._2)
+      // driver-side union-find as the independent third derivation
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (1 to n).map { i =>
+        // min id of the component = fully-compressed root (roots are
+        // always the minimum because unions point larger at smaller)
+        (i.toLong, find(i).toLong)
+      }.toList
+      val nodes = (1L to n.toLong).toDF("id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val naive = Dedup.components(nodes, pairs, maxIter = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      val stars = Dedup.componentsLargeSmallStar(nodes, pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+      assert(naive == expect, s"seed $seed: propagation != union-find")
+      assert(stars == expect, s"seed $seed: stars != union-find")
+    }
+  }
 }
