@@ -150,6 +150,35 @@ object Table {
     sb.append("</table>").toString
   }
 
+  /** Number of LEADING rows made up entirely of header cells — the
+    * markup analogue of the reference's COLUMN_HEADER sub-category
+    * (its models mark header cells individually; in markup the column
+    * headers are the `<th>`-only rows at the top, and a `<th>` further
+    * down is a ROW header, e.g. `scope="row"`).
+    */
+  def headerRowCount(cells: Seq[TableCell]): Int = {
+    val byRow = cells.groupBy(_.row)
+    var r = 1
+    while (byRow.get(r).exists(row => row.nonEmpty && row.forall(_.header))) r += 1
+    r - 1
+  }
+
+  /** `column_header_cells` (view.py:644): header cells of the leading
+    * header rows, sorted by column number.
+    */
+  def columnHeaderCells(cells: Seq[TableCell]): Seq[TableCell] = {
+    val h = headerRowCount(cells)
+    cells.filter(c => c.header && c.row <= h).sortBy(_.col)
+  }
+
+  /** `row_header_cells` (view.py:661): `<th>` cells BELOW the leading
+    * header rows (row-scope headers), sorted by column number.
+    */
+  def rowHeaderCells(cells: Seq[TableCell]): Seq[TableCell] = {
+    val h = headerRowCount(cells)
+    cells.filter(c => c.header && c.row > h).sortBy(_.col)
+  }
+
   /** `Table.kv_header_rows` (view.py:709-727): for one row number, map
     * each column header to the row's cell value under it. Row cells =
     * cells whose row span covers `rowNumber` (so a tall spanning cell
@@ -167,7 +196,7 @@ object Table {
     val rowCells = cells
       .filter(c => c.row <= rowNumber && rowNumber <= c.row + c.rowSpan - 1)
       .sortBy(_.col)
-    val headers = cells.filter(_.header).sortBy(_.col)
+    val headers = columnHeaderCells(cells)
     val kv = mutable.LinkedHashMap.empty[(Int, String), String]
     for (cell <- rowCells; h <- headers
          if h.col <= cell.col && cell.col <= h.col + h.colSpan - 1)

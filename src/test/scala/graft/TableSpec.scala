@@ -88,4 +88,23 @@ class TableSpec extends AnyFunSuite {
     // out-of-range row → empty, no error
     assert(Table.kvHeaderRows(cells, 9).isEmpty)
   }
+
+  test("row-scope th cells are row headers, not column headers (view.py:644,661 split)") {
+    // | Year | Sales |      ← header row (all th)
+    // | th:2023 | 10 |      ← row-scope th in the body
+    // | th:2024 | 20 |
+    val s = "<table><tr><th>Year</th><th>Sales</th></tr>" +
+      "<tr><th>2023</th><td>10</td></tr>" +
+      "<tr><th>2024</th><td>20</td></tr></table>"
+    val List(t) = Table.parseTables(s)
+    val cells = t.cells.toSeq
+    assert(Table.headerRowCount(cells) == 1)
+    assert(Table.columnHeaderCells(cells).map(_.text) == Seq("Year", "Sales"))
+    assert(Table.rowHeaderCells(cells).map(c => (c.row, c.text)) ==
+      Seq((2, "2023"), (3, "2024")))
+    // kvHeaderRows must key on COLUMN headers only — the body th maps
+    // as a value under 'Year', not as a header key
+    assert(Table.kvHeaderRows(cells, 2) ==
+      Seq((1, "Year", "2023"), (2, "Sales", "10")))
+  }
 }
