@@ -460,10 +460,14 @@ object Pdf {
     scala.util.Try(java.nio.charset.Charset.forName(charsetName)).toOption match {
       case None => Map.empty
       case Some(cs) =>
-        (0x80 to 0xff).flatMap { b =>
+        (0x80 to 0xff).map { b =>
           val s = new String(Array(b.toByte), cs)
-          // undefined bytes decode to U+FFFD — drop those
-          if (s == "�") None else Some(b -> s)
+          // undefined bytes decode to U+FFFD (or pass through as C1
+          // controls in the JDK cp1252 decoder) — map them to "" so
+          // the identity fallback can't re-emit them as garbage
+          val undefined = s == "�" ||
+            (s.length == 1 && s.charAt(0) >= 0x80 && s.charAt(0) <= 0x9f)
+          b -> (if (undefined) "" else s)
         }.toMap
     }
   private lazy val WinAnsiHigh = highHalfTable("windows-1252")
@@ -678,13 +682,30 @@ object Pdf {
       .map(b => parseToUnicode(new String(b, StandardCharsets.ISO_8859_1)))
     val encDict = dictValue(fdict, "/Encoding", byNum)
     val diffs = encDict.map(parseDifferences).getOrElse(Map.empty[Int, String])
-    // base encoding: `/Encoding /WinAnsiEncoding` (name form) or
-    // `/BaseEncoding …` inside the encoding dict (Annex D)
-    val encText = fdict + encDict.getOrElse("")
-    val base =
-      if (encText.contains("/WinAnsiEncoding")) WinAnsiHigh
-      else if (encText.contains("/MacRomanEncoding")) MacRomanHigh
-      else Map.empty[Int, String]
+    // base encoding: the NAME VALUE of `/Encoding` (direct form) or
+    // `/BaseEncoding` inside the encoding dict (Annex D) — matched as
+    // a key's value, not a raw substring, so an e.g. /BaseFont subset
+    // name containing the token can't select the wrong table
+    def nameValueOf(body: String, key: String): Option[String] = {
+      val k = keyIndex(body, key)
+      if (k < 0) return None
+      var i = k + key.length
+      while (i < body.length && Character.isWhitespace(body.charAt(i))) i += 1
+      if (i >= body.length || body.charAt(i) != '/') None
+      else {
+        val s0 = i
+        i += 1
+        while (i < body.length && Character.isLetterOrDigit(body.charAt(i))) i += 1
+        Some(body.substring(s0, i))
+      }
+    }
+    val encName = nameValueOf(fdict, "/Encoding")
+      .orElse(encDict.flatMap(nameValueOf(_, "/BaseEncoding")))
+    val base = encName match {
+      case Some("/WinAnsiEncoding") => WinAnsiHigh
+      case Some("/MacRomanEncoding") => MacRomanHigh
+      case _ => Map.empty[Int, String]
+    }
     PdfFont(isType0, toUni, diffs, base)
   }
 
@@ -943,7 +964,11 @@ object Pdf {
           }
         } else if (c == '(') { depth += 1; out.write(c); i += 1 }
         else if (c == ')') { depth -= 1; if (depth > 0) out.write(c); i += 1 }
-        else { out.write(c); i += 1 }
+        else if (c == '\r') {
+          // unescaped EOL reads as one LINE FEED byte (§7.3.4.2)
+          out.write('\n'); i += 1
+          if (i < text.length && text.charAt(i) == '\n') i += 1
+        } else { out.write(c); i += 1 }
       }
       Some(out.toByteArray)
     } else None
@@ -1247,7 +1272,12 @@ object Pdf {
             }
           } else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
           else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
-          else { sb.append(ch); i += 1 }
+          else if (ch == '\r') {
+            // unescaped EOL in a literal reads as ONE LINE FEED
+            // (§7.3.4.2) — CR and CRLF both normalize
+            sb.append('\n'); i += 1
+            if (i < n && stream.charAt(i) == '\n') i += 1
+          } else { sb.append(ch); i += 1 }
         }
         push(sb.toString)
       } else if (c == '<') {

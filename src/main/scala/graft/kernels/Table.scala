@@ -158,8 +158,12 @@ object Table {
     */
   def headerRowCount(cells: Seq[TableCell]): Int = {
     val byRow = cells.groupBy(_.row)
+    // a header row needs ≥1 <th> and no non-header CONTENT — a blank
+    // <td> corner (crosstab layout) doesn't stop the header band
+    def isHeaderRow(row: Seq[TableCell]) =
+      row.exists(_.header) && row.forall(c => c.header || c.text.isEmpty)
     var r = 1
-    while (byRow.get(r).exists(row => row.nonEmpty && row.forall(_.header))) r += 1
+    while (byRow.get(r).exists(isHeaderRow)) r += 1
     r - 1
   }
 

@@ -365,8 +365,17 @@ object Dedup {
     * @return (id, component) with component = min id in the cluster
     */
   def components(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // the label-sum convergence proof below needs every edge endpoint
+    // to BE a node (a pair id outside `nodes` would materialize a new
+    // label mid-round and could mask a real decrease in the sum):
+    // constrain edges to the node set once, up front — two joins one
+    // time instead of one join per round
+    val nodeIds = nodes.select(col("id").cast("long").as("id"))
     val edges = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .unionByName(pairs.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b")))
+      .join(nodeIds.select(col("id").as("a")), "a")
+      .join(nodeIds.select(col("id").as("b")), "b")
+      .select("a", "b")
       .distinct()
       .persist()
     edges.count()
@@ -385,9 +394,10 @@ object Dedup {
       val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v
     }
-    var prevSum = labelSum(labels)
     var iter = 0
     var converged = edges.isEmpty
+    // skip the seed aggregation entirely on the singleton-only path
+    var prevSum = if (converged) java.math.BigDecimal.ZERO else labelSum(labels)
     while (iter < maxIter && !converged) {
       val prop = edges
         .join(labels.select(col("id").as("a"), col("label").as("la")), "a")

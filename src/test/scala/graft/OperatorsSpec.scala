@@ -499,6 +499,19 @@ class ComponentsSpec extends AnyFunSuite {
     assert(stars == naive)
   }
 
+  test("pair ids outside the node set cannot mask convergence (label-sum soundness)") {
+    import spark.implicits._
+    // adversarial case for the sum check: edge (8,100) with 100 ∉
+    // nodes would materialize label 8 for the phantom node, exactly
+    // offsetting 3→2's decrease in round 1 — the node-set constraint
+    // must keep iterating until 10 reaches the true component min 2
+    val nodes = Seq(2L, 3L, 8L, 10L).toDF("id")
+    val pairs = Seq((2L, 3L), (3L, 10L), (8L, 100L)).toDF("id_a", "id_b")
+    val got = Dedup.components(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(2L -> 2L, 3L -> 2L, 10L -> 2L, 8L -> 8L), s"got $got")
+  }
+
   test("both components algorithms agree with a reference union-find on random graphs") {
     import spark.implicits._
     for (seed <- Seq(7, 42, 1234)) {

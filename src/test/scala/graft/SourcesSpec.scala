@@ -399,6 +399,31 @@ class PdfSpec extends AnyFunSuite {
     // without a base encoding the same bytes stay Latin-1 identity
     val plain = Pdf.splitPages(doc("/SomethingElse", """\101"""))
     assert(plain.head.text == "A")
+    // a /BaseFont subset name containing the token must NOT outrank an
+    // explicit /BaseEncoding — matched as key values, not substrings
+    val content2 = "BT /F1 12 Tf (\\322q\\323) Tj ET"
+    val out2 = new java.io.ByteArrayOutputStream()
+    def put2(s: String): Unit =
+      out2.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    put2("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put2("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put2("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 << /Type /Font /BaseFont /ABCDE+WinAnsiEncoding /Encoding << /BaseEncoding /MacRomanEncoding >> >> >> >> /Contents 4 0 R >> endobj\n")
+    put2(s"4 0 obj << /Length ${content2.length} >> stream\n$content2\nendstream endobj\n%%EOF\n")
+    assert(Pdf.splitPages(out2.toByteArray).head.text == "“q”")
+    // undefined WinAnsi bytes (0x81) drop — not re-emitted as C1
+    // control chars by the identity fallback
+    val undef = Pdf.splitPages(doc("/WinAnsiEncoding", """a\201b"""))
+    assert(undef.head.text == "ab")
+  }
+
+  test("unescaped EOLs inside literal strings normalize to a line feed") {
+    // (line1<CRLF>line2) reads as 'line1\nline2' (§7.3.4.2)
+    val pages = Pdf.splitPages(minimalPdf(Seq("dummy"),
+      rawContent = Some("BT (line1\r\nline2) Tj ET")))
+    assert(pages.head.text == "line1\nline2")
+    val cr = Pdf.splitPages(minimalPdf(Seq("dummy"),
+      rawContent = Some("BT (a\rb) Tj ET")))
+    assert(cr.head.text == "a\nb")
   }
 
   test("parseToUnicode: bfrange array form and multi-section streams") {

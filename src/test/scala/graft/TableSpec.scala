@@ -107,4 +107,16 @@ class TableSpec extends AnyFunSuite {
     assert(Table.kvHeaderRows(cells, 2) ==
       Seq((1, "Year", "2023"), (2, "Sales", "10")))
   }
+
+  test("crosstab with a blank td corner still yields its column headers") {
+    val s = "<table><tr><td></td><th>2023</th><th>2024</th></tr>" +
+      "<tr><th>Sales</th><td>1</td><td>2</td></tr></table>"
+    val List(t) = Table.parseTables(s)
+    val cells = t.cells.toSeq
+    assert(Table.headerRowCount(cells) == 1)
+    assert(Table.columnHeaderCells(cells).map(c => (c.col, c.text)) ==
+      Seq((2, "2023"), (3, "2024")))
+    assert(Table.kvHeaderRows(cells, 2) ==
+      Seq((2, "2023", "1"), (3, "2024", "2")))
+  }
 }
