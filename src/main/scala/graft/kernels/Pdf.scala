@@ -35,12 +35,14 @@ import scala.collection.mutable.ArrayBuffer
   * subset. LZWDecode (§7.4.4.2, incl. EarlyChange) and TIFF
   * Predictor 2 decode natively; encrypted documents (standard
   * security handler — RC4 V1/V2 R2/R3, AES-128 `/AESV2` V4 R4, and
-  * AES-256 `/AESV3` V5 R5/R6 incl. the Algorithm 2.B KDF — with the
-  * EMPTY user password, the common owner-restricted case) decrypt
-  * through a verified password gate. Honest residual gaps: image-codec
-  * filters (DCT/JBIG2/JPX) and password-protected documents yield
-  * pages with empty text rather than garbage — the page COUNT and
-  * per-page split still work.
+  * AES-256 `/AESV3` V5 R5/R6 incl. the Algorithm 2.B KDF) decrypt
+  * through a verified password gate whenever EITHER password is empty:
+  * the empty user password directly, or a SET user password recovered
+  * from `/O` via the empty owner password (Algorithm 3 inverted).
+  * Honest residual gaps: image-codec filters (DCT/JBIG2/JPX) and
+  * documents with BOTH passwords set yield pages with empty text
+  * rather than garbage — the page COUNT and per-page split still
+  * work.
   */
 object Pdf {
 
@@ -888,16 +890,44 @@ object Pdf {
     * the 50-fold MD5 refinement at the key length.
     */
   def deriveFileKey(o: Array[Byte], p: Int, id0: Array[Byte],
-      r: Int, lengthBits: Int, encryptMetadata: Boolean = true): Array[Byte] = {
+      r: Int, lengthBits: Int, encryptMetadata: Boolean = true,
+      paddedPw: Array[Byte] = PadBytes): Array[Byte] = {
     val pLe = Array((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
       ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
     val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
     // R4 + /EncryptMetadata false appends 0xFFFFFFFF (§7.6.3.3 2.f)
     val metaExt: Array[Byte] =
       if (r >= 4 && !encryptMetadata) Array(-1, -1, -1, -1) else Array.empty
-    var key = md5(PadBytes, o, pLe, id0, metaExt)
+    var key = md5(paddedPw, o, pLe, id0, metaExt)
     if (r >= 3) { var i = 0; while (i < 50) { key = md5(key.take(n)); i += 1 } }
     key.take(n)
+  }
+
+  /** §7.6.3.4 Algorithm 3 INVERTED with the empty OWNER password: /O
+    * is the RC4-chain encryption of the PADDED user password under the
+    * owner key, so an empty owner password recovers the user password
+    * and from it the file key — the configuration where the USER
+    * password is set but the owner password is empty (the other
+    * owner-restricted shape). Verified downstream via /U as usual
+    * (/U depends on the password only through the file key).
+    */
+  def fileKeyViaOwner(o: Array[Byte], p: Int, id0: Array[Byte],
+      r: Int, lengthBits: Int, encryptMetadata: Boolean): Array[Byte] = {
+    val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
+    var ok = md5(PadBytes) // empty owner password → the pad alone
+    if (r >= 3) { var i = 0; while (i < 50) { ok = md5(ok.take(n)); i += 1 } }
+    val ownerKey = ok.take(n)
+    val userPadded =
+      if (r == 2) rc4(ownerKey, o)
+      else {
+        // forward encryption ran i = 0..19 with key ⊕ i; invert in
+        // reverse order (RC4 is an involution per fixed key)
+        var u = o.clone()
+        var i = 19
+        while (i >= 0) { u = rc4(ownerKey.map(b => (b ^ i).toByte), u); i -= 1 }
+        u
+      }
+    deriveFileKey(o, p, id0, r, lengthBits, encryptMetadata, userPadded)
   }
 
   /** §7.6.3.4 Algorithms 4/5: the /U entry the empty user password
@@ -1069,9 +1099,19 @@ object Pdf {
                     else paramOr("""/Length\s+(\d+)""".r, d, 40)
       id0 <- idFirstEntry(s)
       encMeta = !"""(?s)/EncryptMetadata\s+false""".r.findFirstIn(d).isDefined
-      fileKey = deriveFileKey(o, p, id0, r, lengthBits, encMeta)
-      // wrong /U = a real user password is set: suppress, never garbage
-      if expectedU(fileKey, id0, r).take(16).sameElements(u.take(16))
+      // empty USER password first; else the empty-OWNER route (recover
+      // the user password from /O); both verified through /U — neither
+      // matching = a real password on both sides: suppress, never
+      // garbage
+      fileKey <- {
+        val direct = deriveFileKey(o, p, id0, r, lengthBits, encMeta)
+        if (expectedU(direct, id0, r).take(16).sameElements(u.take(16))) Some(direct)
+        else {
+          val viaOwner = fileKeyViaOwner(o, p, id0, r, lengthBits, encMeta)
+          if (expectedU(viaOwner, id0, r).take(16).sameElements(u.take(16))) Some(viaOwner)
+          else None
+        }
+      }
     } yield PdfCrypt(fileKey, aes))
   }
 

@@ -733,6 +733,47 @@ class PdfSpec extends AnyFunSuite {
     assert(genPages.map(_.text) == Seq("gen one key"))
   }
 
+  test("a set USER password with an empty OWNER password decrypts via the /O route") {
+    // forward Algorithm 3: /O = RC4 chain (i = 0..19, key ⊕ i) of the
+    // PADDED user password under the empty-owner key
+    def md5(parts: Array[Byte]*): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(md.update); md.digest()
+    }
+    val pad = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+      0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+    val n = 16
+    var ok = md5(pad)
+    for (_ <- 0 until 50) ok = md5(ok.take(n))
+    val ownerKey = ok.take(n)
+    val userPadded = ("secret".getBytes("ISO-8859-1") ++ pad).take(32)
+    var o32 = userPadded.clone()
+    for (i <- 0 to 19) o32 = Pdf.rc4(ownerKey.map(b => (b ^ i).toByte), o32)
+    val id0 = Array.tabulate(16)(i => (i * 13 + 1).toByte)
+    val fileKey = Pdf.deriveFileKey(o32, -44, id0, r = 3, lengthBits = 128,
+      encryptMetadata = true, paddedPw = userPadded)
+    val u = Pdf.expectedU(fileKey, id0, r = 3).take(16) ++ Array.fill[Byte](16)(0)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val content = "BT /F1 12 Tf (owner route text) Tj ET"
+    val enc = Pdf.PdfCrypt(fileKey)
+      .decrypt(4, 0, content.getBytes("ISO-8859-1")).get
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${enc.length} >> stream\n")
+    out.write(enc)
+    put("\nendstream endobj\n")
+    put(s"7 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+      s"/O <${hex(o32)}> /U <${hex(u)}> >> endobj\n")
+    put(s"trailer << /Root 1 0 R /Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
+    val pages = Pdf.splitPages(out.toByteArray)
+    assert(pages.map(_.text) == Seq("owner route text"))
+  }
+
   test("AES-256 (/AESV3) PDFs decrypt: R5 single-hash and R6 Algorithm-2.B KDF") {
     for (r <- Seq(5, 6)) {
       val pages = Pdf.splitPages(
