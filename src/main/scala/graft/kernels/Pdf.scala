@@ -868,20 +868,34 @@ object Pdf {
     * suppress); else the 32-byte file key is the AES-256-CBC
     * zero-IV decryption of /UE under the key-salt hash.
     */
-  def deriveFileKeyV5(u: Array[Byte], ue: Array[Byte], r: Int): Option[Array[Byte]] = {
-    if (u.length < 48 || ue.length < 32) return None
-    val hash = java.util.Arrays.copyOfRange(u, 0, 32)
-    val vs = java.util.Arrays.copyOfRange(u, 32, 40)
-    val ks = java.util.Arrays.copyOfRange(u, 40, 48)
-    val calc = if (r == 5) sha256(vs) else hash2B(Array.empty, vs, Array.empty)
+  def deriveFileKeyV5(u: Array[Byte], ue: Array[Byte], r: Int): Option[Array[Byte]] =
+    unwrapV5(u, ue, r, udata = Array.empty)
+
+  /** §7.6.4.3.3 owner-side twin: /O's salts hash with the full 48-byte
+    * /U as `udata`, and /OE unwraps the same file key — covers V5
+    * documents whose USER password is set but whose owner password is
+    * empty.
+    */
+  def deriveFileKeyV5Owner(o: Array[Byte], oe: Array[Byte], u: Array[Byte],
+      r: Int): Option[Array[Byte]] =
+    if (u.length < 48) None
+    else unwrapV5(o, oe, r, udata = java.util.Arrays.copyOfRange(u, 0, 48))
+
+  private def unwrapV5(entry: Array[Byte], wrapped: Array[Byte], r: Int,
+      udata: Array[Byte]): Option[Array[Byte]] = {
+    if (entry.length < 48 || wrapped.length < 32) return None
+    val hash = java.util.Arrays.copyOfRange(entry, 0, 32)
+    val vs = java.util.Arrays.copyOfRange(entry, 32, 40)
+    val ks = java.util.Arrays.copyOfRange(entry, 40, 48)
+    val calc = if (r == 5) sha256(vs, udata) else hash2B(Array.empty, vs, udata)
     if (!java.util.Arrays.equals(calc, hash)) return None
-    val ik = if (r == 5) sha256(ks) else hash2B(Array.empty, ks, Array.empty)
+    val ik = if (r == 5) sha256(ks, udata) else hash2B(Array.empty, ks, udata)
     try {
       val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
       c.init(javax.crypto.Cipher.DECRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(ik, "AES"),
         new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
-      Some(c.doFinal(ue, 0, 32))
+      Some(c.doFinal(wrapped, 0, 32))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -1071,7 +1085,11 @@ object Pdf {
         if r == 5 || r == 6
         u <- dictStringValue(d, "/U")
         ue <- dictStringValue(d, "/UE")
-        key <- deriveFileKeyV5(u, ue, r)
+        key <- deriveFileKeyV5(u, ue, r).orElse(for {
+          o5 <- dictStringValue(d, "/O")
+          oe <- dictStringValue(d, "/OE")
+          k <- deriveFileKeyV5Owner(o5, oe, u, r)
+        } yield k)
       } yield PdfCrypt(key, aes = true, directKey = true))
     }
     Some(for {

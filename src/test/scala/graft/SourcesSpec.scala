@@ -790,6 +790,49 @@ class PdfSpec extends AnyFunSuite {
     assert(locked.map(_.pageNo) == Seq(1) && locked.head.text == "")
   }
 
+  test("AES-256 with a SET user password decrypts via the empty-owner /O + /OE route") {
+    def aes(mode: Int, key: Array[Byte], d: Array[Byte]) = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(d)
+    }
+    val userPw = "userpw".getBytes("ISO-8859-1")
+    val vsU = Array.tabulate(8)(i => (i * 3 + 1).toByte)
+    val ksU = Array.tabulate(8)(i => (i * 5 + 2).toByte)
+    val u48 = Pdf.hash2B(userPw, vsU, Array.empty) ++ vsU ++ ksU
+    val fileKey = Array.tabulate(32)(i => (i * 19 + 4).toByte)
+    val ue = aes(javax.crypto.Cipher.ENCRYPT_MODE,
+      Pdf.hash2B(userPw, ksU, Array.empty), fileKey)
+    val vsO = Array.tabulate(8)(i => (i * 7 + 3).toByte)
+    val ksO = Array.tabulate(8)(i => (i * 11 + 6).toByte)
+    val o48 = Pdf.hash2B(Array.empty, vsO, u48) ++ vsO ++ ksO
+    val oe = aes(javax.crypto.Cipher.ENCRYPT_MODE,
+      Pdf.hash2B(Array.empty, ksO, u48), fileKey)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val content = "BT /F1 12 Tf (owner v5 route) Tj ET"
+    val iv = Array.tabulate(16)(i => (i * 7 + 1).toByte)
+    val c2 = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c2.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fileKey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val enc = iv ++ c2.doFinal(content.getBytes("ISO-8859-1"))
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    put("%PDF-1.7\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${enc.length} >> stream\n")
+    out.write(enc)
+    put("\nendstream endobj\n")
+    put("7 0 obj << /Filter /Standard /V 5 /R 6 /Length 256 /P -44 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hex(o48)}> /OE <${hex(oe)}> /U <${hex(u48)}> /UE <${hex(ue)}> >> endobj\n")
+    put("trailer << /Root 1 0 R /Encrypt 7 0 R /ID [<01> <01>] >>\n%%EOF\n")
+    val pages = Pdf.splitPages(out.toByteArray)
+    assert(pages.map(_.text) == Seq("owner v5 route"))
+  }
+
   test("a real user password (wrong /U) or an unsupported V4 variant suppresses text, keeps the page split") {
     // /U that the empty password cannot produce → password-protected
     val locked = Pdf.splitPages(encryptedPdf("BT (secret) Tj ET",
