@@ -1064,12 +1064,18 @@ object Pdf {
     // candidate /Encrypt refs can appear anywhere (trailer dict or
     // xref-stream dict); take the LAST whose target actually looks
     // like an encryption dict — incremental updates append trailers,
-    // and a match whose target is no /Filter-bearing dict is a false
-    // positive from content bytes, not encryption
+    // and a match whose target doesn't is a false positive from
+    // content bytes, not encryption. "Looks like" requires /Filter
+    // AND a security-handler marker (/Standard, or any /V version
+    // entry): EVERY compressed stream's dict contains /Filter, so
+    // /Filter alone would let a stray '/Encrypt N G R' byte run in
+    // prose (or an embedded PDF payload) aim at an ordinary Flate
+    // object and silently drop the whole document's text
     val dOpt = EncryptRefRe.findAllMatchIn(s).toList.reverseIterator
       .flatMap(m => m.group(1).toIntOption.flatMap(byNum.get))
       .map(_.dict)
-      .find(_.contains("/Filter"))
+      .find(d => d.contains("/Filter") &&
+        (d.contains("/Standard") || """/V\s+\d""".r.findFirstIn(d).isDefined))
     if (dOpt.isEmpty) return None
     val d = dOpt.get
     val vTop = paramOr("""/V\s+(\d+)""".r, d, 0).getOrElse(0)
@@ -1289,7 +1295,14 @@ object Pdf {
           f.toUnicode.flatMap(_.get(code)).orElse(f.differences.get(code))
             .orElse(f.baseEncoding.get(code)) match {
             case Some(s2) => sb.append(s2)
-            case None => sb.append(ch)
+            case None =>
+              // Latin-1 identity is only safe when the font carries NO
+              // ToUnicode CMap (the no-metadata legacy case). A font
+              // WITH a CMap that leaves a code unmapped is subsetted /
+              // symbolic — its raw code bytes are glyph indices, not
+              // characters, so emitting them would be garbage. Drop,
+              // matching the Type0 suppression contract.
+              if (f.toUnicode.isEmpty) sb.append(ch)
           }
         }
         Some(sb.toString)

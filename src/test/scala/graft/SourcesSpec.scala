@@ -869,6 +869,54 @@ class PdfSpec extends AnyFunSuite {
       s"ObjStm pages share an objOffset: $pages")
     assert(pages(0).objOffset < pages(1).objOffset)
   }
+
+  test("a stray /Encrypt ref aiming at an ordinary Flate stream does not flag encryption") {
+    // every compressed stream's dict contains /Filter — the detector
+    // must also require a handler marker (/Standard or /V) before
+    // treating the target as an encryption dict, else this document
+    // would drop ALL its streams and emit empty pages
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    val data = deflate("BT /F1 12 Tf (compressed page) Tj ET")
+    put(s"4 0 obj << /Length ${data.length} /Filter /FlateDecode >> stream\n")
+    out.write(data)
+    put("\nendstream endobj\n")
+    put("5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    val prose = "BT /F1 12 Tf (see /Encrypt 4 0 R for details) Tj ET"
+    put(s"6 0 obj << /Length ${prose.length} >> stream\n$prose\nendstream endobj\n%%EOF\n")
+    val pages = Pdf.splitPages(out.toByteArray)
+    assert(pages.map(_.text) ==
+      Seq("compressed page", "see /Encrypt 4 0 R for details"))
+  }
+
+  test("a simple font WITH a ToUnicode CMap drops unmapped codes instead of Latin-1 identity") {
+    // subsetted/symbolic simple fonts: raw code bytes are glyph
+    // indices, so the identity fallback would emit garbage — 'empty
+    // beats garbage' applies once the font declares a CMap
+    val cmap = "1 beginbfchar <41> <0058> endbfchar"
+    val content = "BT /F1 12 Tf (AB) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << " +
+      "/F1 << /Subtype /TrueType /ToUnicode 5 0 R >> >> >> /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put(s"5 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj\n%%EOF\n")
+    val pages = Pdf.splitPages(out.toByteArray)
+    assert(pages.map(_.text) == Seq("X"), s"got ${pages.map(_.text)}")
+    // and the CMap-less twin keeps the identity decode
+    val noCmap = out.toByteArray
+    val twin = new String(noCmap, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/ToUnicode 5 0 R ", "")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Pdf.splitPages(twin).map(_.text) == Seq("AB"))
+  }
 }
 
 class FunsdSpec extends AnyFunSuite {
