@@ -22,11 +22,34 @@ object SparkEntry {
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 
+  /** Doc-independent AES-256 (V5/R6) encryption constants for
+    * [[synthPdf]] variant 5 — (u48, ue, fileKey) with fixed salts and
+    * the EMPTY user password. Computed lazily once per executor: the
+    * Algorithm 2.B KDF runs 64+ AES rounds, too heavy per row.
+    */
+  private lazy val v5Fixture: (Array[Byte], Array[Byte], Array[Byte]) = {
+    val vs = Array.tabulate(8)(i => (i * 3 + 11).toByte)
+    val ks = Array.tabulate(8)(i => (i * 5 + 12).toByte)
+    val fileKey = Array.tabulate(32)(i => (i * 23 + 5).toByte)
+    val u = graft.kernels.Pdf.hash2B(Array.empty, vs, Array.empty) ++ vs ++ ks
+    val ik = graft.kernels.Pdf.hash2B(Array.empty, ks, Array.empty)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    (u, c.doFinal(fileKey), fileKey)
+  }
+
   /** Deterministic n-page PDF for `q_pdf_split`, exercising one decode
     * path per variant: 0 plain, 1 FlateDecode, 2 Type0/CID font with a
     * ToUnicode CMap (hex show-text), 3 RC4-encrypted (V2/R3, empty
-    * user password). Pure function of (variant, texts) — safe inside
-    * a distributed map.
+    * user password), 4 AES-128 /AESV2 (V4/R4 crypt filter), 5 AES-256
+    * /AESV3 (V5/R6, Algorithm 2.B KDF). Pure function of
+    * (variant, texts) — safe inside a distributed map. The decrypt
+    * KDFs these exercise are anchored against an independent Python
+    * implementation in PdfExternalSpec, so writer/reader bug
+    * cancellation is excluded there, and the driver gate here proves
+    * the Spark-side integration end-to-end.
     */
   private def synthPdf(variant: Int, texts: Seq[String]): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
@@ -48,6 +71,24 @@ object SparkEntry {
     val perms = -44
     val fileKey = graft.kernels.Pdf.deriveFileKey(o32, perms, id0, r = 3, lengthBits = 128)
     val crypt = graft.kernels.Pdf.PdfCrypt(fileKey)
+    // AESV2 (variant 4): V4/R4 file key + per-object AES key (§7.6.2
+    // Algorithm 1 with the sAlT suffix); deterministic IV per object
+    val fileKeyV4 = graft.kernels.Pdf.deriveFileKey(o32, perms, id0, r = 4, lengthBits = 128)
+    def aesEnc(key: Array[Byte], iv: Array[Byte], raw: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(raw)
+    }
+    def objKeyV4(num: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(fileKeyV4)
+      md.update(Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+        ((num >> 16) & 0xff).toByte, 0, 0, 0x73, 0x41, 0x6C, 0x54))
+      md.digest().take(16)
+    }
+    def ivFor(num: Int): Array[Byte] = Array.tabulate(16)(i => (i * 9 + num).toByte)
     def hexStr(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
     put("%PDF-1.5\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
     val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
@@ -64,6 +105,8 @@ object SparkEntry {
       val (data, filter) = variant match {
         case 1 => (deflate(content.getBytes(ISO_8859_1)), "/Filter /FlateDecode ")
         case 3 => (crypt.decrypt(contObj, 0, content.getBytes(ISO_8859_1)).get, "")
+        case 4 => (aesEnc(objKeyV4(contObj), ivFor(contObj), content.getBytes(ISO_8859_1)), "")
+        case 5 => (aesEnc(v5Fixture._3, ivFor(contObj), content.getBytes(ISO_8859_1)), "")
         case _ => (content.getBytes(ISO_8859_1), "")
       }
       put(s"$contObj 0 obj << /Length ${data.length} $filter>> stream\n")
@@ -85,6 +128,23 @@ object SparkEntry {
       put(s"$encObj 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P $perms " +
         s"/O <${hexStr(o32)}> /U <${hexStr(u)}> >> endobj\n")
       put(s"trailer << /Root 1 0 R /Encrypt $encObj 0 R /ID [<${hexStr(id0)}> <${hexStr(id0)}>] >>\n")
+    }
+    if (variant == 4) {
+      val encObj = cmapObj + 1
+      val u = graft.kernels.Pdf.expectedU(fileKeyV4, id0, r = 4).take(16) ++ new Array[Byte](16)
+      put(s"$encObj 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 /P $perms " +
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
+        s"/O <${hexStr(o32)}> /U <${hexStr(u)}> >> endobj\n")
+      put(s"trailer << /Root 1 0 R /Encrypt $encObj 0 R /ID [<${hexStr(id0)}> <${hexStr(id0)}>] >>\n")
+    }
+    if (variant == 5) {
+      val encObj = cmapObj + 1
+      val (u, ue, _) = v5Fixture
+      put(s"$encObj 0 obj << /Filter /Standard /V 5 /R 6 /Length 256 /P $perms " +
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+        s"/O <${hexStr(Array.fill[Byte](48)(7))}> /OE <${hexStr(Array.fill[Byte](32)(9))}> " +
+        s"/U <${hexStr(u)}> /UE <${hexStr(ue)}> >> endobj\n")
+      put(s"trailer << /Root 1 0 R /Encrypt $encObj 0 R /ID [<${hexStr(id0)}>] >>\n")
     }
     put("%%EOF\n")
     out.toByteArray
@@ -655,17 +715,18 @@ object SparkEntry {
 
     // the PDF source kernel under the driver gate: per doc, a 2-page
     // PDF is synthesized in-flight exercising a different decode path
-    // by doc_id % 4 (plain / FlateDecode / CID font + ToUnicode CMap /
-    // RC4-encrypted); extracted text must equal the closed-form
-    // strings DuckDB states from doc_id alone — a wrong filter,
-    // font-state, or decryption path hash-mismatches
+    // by doc_id % 6 (plain / FlateDecode / CID font + ToUnicode CMap /
+    // RC4-encrypted / AESV2-encrypted / AESV3-R6-encrypted); extracted
+    // text must equal the closed-form strings DuckDB states from
+    // doc_id alone — a wrong filter, font-state, or decryption path
+    // hash-mismatches
     "q_pdf_split" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).filter(col("doc_id") < 200)
         .select(col("doc_id").cast("long")).as[Long]
         .flatMap { id =>
           val texts = Seq(s"alpha page of doc $id", s"beta page of doc $id")
-          val bytes = synthPdf((id % 4).toInt, texts)
+          val bytes = synthPdf((id % 6).toInt, texts)
           graft.kernels.Pdf.splitPages(bytes).map(p => (id, p.pageNo, p.text))
         }
         .toDF("doc_id", "page_no", "text")
@@ -1517,8 +1578,8 @@ object SparkEntry {
            FROM documents WHERE doc_id < 100""",
 
       // the PDF kernel's extracted text stated from doc_id alone —
-      // every decode variant (plain/Flate/CID/RC4) must produce the
-      // identical strings
+      // every decode variant (plain/Flate/CID/RC4/AESV2/AESV3-R6)
+      // must produce the identical strings
       "q_pdf_split" ->
         """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p.p AS INT) AS page_no,
                   concat(CASE p.p WHEN 1 THEN 'alpha page of doc ' ELSE 'beta page of doc ' END,
