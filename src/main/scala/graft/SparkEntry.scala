@@ -150,6 +150,51 @@ object SparkEntry {
     out.toByteArray
   }
 
+  /** Deterministic one-page PDF with a single image XObject for
+    * `q_pdf_images`: DCT variant encodes a real JPEG via ImageIO
+    * (decode must recover the true dims), raw variant a Flate RGB
+    * raster. Pure function of (dct, w, h).
+    */
+  private def synthImagePdf(dct: Boolean, w: Int, h: Int): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val (data, filter) =
+      if (dct) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, (x * 37 + y * 101) & 0xffffff); x += 1 }
+          y += 1
+        }
+        val o = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", o)
+        (o.toByteArray, "/Filter /DCTDecode ")
+      } else {
+        val samples = Array.tabulate[Byte](w * h * 3)(i => ((i * 11 + 5) & 0xff).toByte)
+        val d = new java.util.zip.Deflater()
+        d.setInput(samples); d.finish()
+        val o = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+        d.end()
+        (o.toByteArray, "/Filter /FlateDecode ")
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    def put(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    val content = "q 100 0 0 100 0 0 cm /Im1 Do Q"
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /XObject " +
+      "<< /Im1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put(s"5 0 obj << /Type /XObject /Subtype /Image /Width $w /Height $h " +
+      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 $filter/Length ${data.length} >> stream\n")
+    out.write(data)
+    put("\nendstream endobj\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** The embeddings fixture contains NO true near-dup pairs (max
     * pairwise cosine ≈ 0.51), so LSH queries against it pass vacuously.
     * This plants deterministic near neighbors IN-FLIGHT: level-c copy
@@ -731,6 +776,24 @@ object SparkEntry {
         }
         .toDF("doc_id", "page_no", "text")
         .orderBy("doc_id", "page_no")
+    }),
+
+    // image XObject extraction under the driver gate: per doc, a
+    // one-page PDF with an image whose dims derive from doc_id —
+    // even docs a Flate RGB raster, odd docs a REAL JPEG (DCTDecode)
+    // that ImageIO must decode back to the exact declared dims
+    "q_pdf_images" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val w = 8 + (id % 5).toInt
+          val h = 6 + (id % 3).toInt
+          graft.kernels.Pdf.extractImages(synthImagePdf(id % 2 == 1, w, h))
+            .map(im => (id, im.width, im.height, im.channels, im.format))
+        }
+        .toDF("doc_id", "width", "height", "channels", "format")
+        .orderBy("doc_id")
     }),
 
     // deskew estimator under the driver gate: per doc, a deterministic
@@ -1586,6 +1649,17 @@ object SparkEntry {
                          CAST(doc_id AS BIGINT)) AS text
            FROM documents, (VALUES (1), (2)) p(p)
            WHERE doc_id < 200 ORDER BY doc_id, page_no""",
+
+      // image dims stated closed-form: the JPEG round-trip (ImageIO
+      // encode in the generator, kernel DCT decode in extraction)
+      // must preserve the exact pixel dimensions and channel count
+      "q_pdf_images" ->
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(8 + doc_id % 5 AS INT) AS width,
+                  CAST(6 + doc_id % 3 AS INT) AS height,
+                  CAST(3 AS INT) AS channels,
+                  CASE WHEN doc_id % 2 = 1 THEN 'jpeg' ELSE 'raw' END AS format
+           FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
 
       // the estimator's recovered angle equals the planted one (the
       // generator constants), stated by DuckDB without running any

@@ -1180,15 +1180,12 @@ object Pdf {
       }
     }
 
-  /** Split a PDF byte array into pages (1-based page numbers, in
-    * document object order — the order `/Kids` arrays list them for
-    * the linear writers this subset targets).
+  /** Shared document prep: object scan over ONE Latin-1
+    * materialization, stream decryption, ObjStm expansion — the
+    * pipeline both [[splitPages]] and [[extractImages]] run before
+    * walking pages.
     */
-  def splitPages(bytes: Array[Byte]): Seq[PdfPage] = {
-    // ONE Latin-1 materialization per document (the scan and the
-    // encryption detection share it — a second copy would double the
-    // transient memory per document on the extraction hot path)
-    val text = new String(bytes, StandardCharsets.ISO_8859_1)
+  private def preparedObjects(text: String): Vector[PdfObj] = {
     val scanned = scanObjectsStr(text)
     // encryption applies to STREAM payloads (strings inside content
     // streams ride along; dict keys are plaintext)
@@ -1204,7 +1201,23 @@ object Pdf {
         // split (from plaintext dicts) survives, text is empty
         scanned.map(o => o.copy(stream = None))
     }
-    val objects = expandObjectStreams(prepared)
+    expandObjectStreams(prepared)
+  }
+
+  private def isPageDict(body: String): Boolean =
+    body.contains("/Type /Page") && !body.contains("/Type /Pages") ||
+      body.contains("/Type/Page") && !body.contains("/Type/Pages")
+
+  /** Split a PDF byte array into pages (1-based page numbers, in
+    * document object order — the order `/Kids` arrays list them for
+    * the linear writers this subset targets).
+    */
+  def splitPages(bytes: Array[Byte]): Seq[PdfPage] = {
+    // ONE Latin-1 materialization per document (the scan and the
+    // encryption detection share it — a second copy would double the
+    // transient memory per document on the extraction hot path)
+    val text = new String(bytes, StandardCharsets.ISO_8859_1)
+    val objects = preparedObjects(text)
     val byNum = objects.map(o => o.num -> o).toMap
     val fontCache = scala.collection.mutable.HashMap.empty[Int, PdfFont]
     def contentText(o: PdfObj, fonts: Map[String, PdfFont]): String =
@@ -1214,9 +1227,7 @@ object Pdf {
     var pageNo = 0
     for (o <- objects) {
       val body = o.dict
-      val isPage = body.contains("/Type /Page") && !body.contains("/Type /Pages") ||
-        body.contains("/Type/Page") && !body.contains("/Type/Pages")
-      if (isPage) {
+      if (isPageDict(body)) {
         pageNo += 1
         val fonts = fontsOf(body, byNum, fontCache)
         val refs: Seq[Int] = ContentsArrRe.findFirstMatchIn(body) match {
@@ -1235,6 +1246,100 @@ object Pdf {
       }
     }
     pages.toSeq
+  }
+
+  // ---------------------------------------------------------------
+  // Image XObjects (round 6): /Resources /XObject /Subtype /Image
+  // extraction incl. DCTDecode via javax.imageio — the reference
+  // renders page images through pdfium (extern/pdf_utils.py); here
+  // the IMAGE PAYLOADS themselves are surfaced so they can feed the
+  // multimodal/ANN pipeline (Multimodal.decode consumes exactly the
+  // JPEG bytes a DCT stream carries).
+  // ---------------------------------------------------------------
+
+  /** One image XObject of a page: true pixel dimensions and channel
+    * count, `format` = "jpeg" (DCTDecode — `data` is the verbatim
+    * JPEG, ready for any image decoder) or "raw" (fully-decoded
+    * sample bytes, `/Width`×`/Height`×channels at `/BitsPerComponent`).
+    */
+  final case class PdfImage(pageNo: Int, name: String, width: Int,
+      height: Int, channels: Int, format: String, data: Array[Byte])
+
+  // heap-only ImageIO (same rationale as Multimodal: thousands of
+  // in-memory decodes per executor must not hit a temp-file cache)
+  private lazy val imageIoReady: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  private val WidthRe = """/Width\s+(\d+)""".r
+  private val HeightRe = """/Height\s+(\d+)""".r
+
+  /** Channel count from the `/ColorSpace` name; 1 when absent
+    * (ImageMask / indexed fall outside this subset's decode paths).
+    */
+  private def channelsOf(dict: String): Int =
+    if (dict.contains("/DeviceRGB")) 3
+    else if (dict.contains("/DeviceCMYK")) 4
+    else 1
+
+  private def decodeImage(pageNo: Int, name: String, o: PdfObj): Option[PdfImage] = {
+    val filters = filtersOf(o.dict)
+    val isDct = filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")
+    if (isDct) {
+      // transport filters (ASCII85/Hex/Flate) may wrap the JPEG; the
+      // JPEG itself decodes with the JDK — dims/channels are the TRUE
+      // decoded values, and `data` stays the compressed JPEG so
+      // downstream consumers re-decode with any codec they like
+      val jpeg = filters.dropRight(1).foldLeft(o.stream) { (acc, f) =>
+        acc.flatMap(d => f match {
+          case "FlateDecode" | "Fl" => inflate(d)
+          case "ASCII85Decode" | "A85" => ascii85(d)
+          case "ASCIIHexDecode" | "AHx" => asciiHex(d)
+          case _ => None
+        })
+      }
+      jpeg.flatMap { j =>
+        imageIoReady
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+          catch { case scala.util.control.NonFatal(_) => null }
+        // corrupt JPEG → skip the image, never garbage dims
+        Option(img).map(im => PdfImage(pageNo, name, im.getWidth,
+          im.getHeight, im.getRaster.getNumBands, "jpeg", j))
+      }
+    } else
+      // raster path: whatever decodeStream can fully decode (Flate/
+      // LZW/ASCII incl. predictors); JBIG2/JPX remain documented
+      // skips (None from decodeStream)
+      for {
+        data <- o.stream.flatMap(decodeStream(o.dict, _))
+        w <- WidthRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
+        h <- HeightRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
+      } yield PdfImage(pageNo, name, w, h, channelsOf(o.dict), "raw", data)
+  }
+
+  /** All image XObjects of the document, in page order — decrypted
+    * and ObjStm-expanded like [[splitPages]]. Skipped entries
+    * (unsupported codec, corrupt payload) drop silently: the page
+    * split and the other images survive.
+    */
+  def extractImages(bytes: Array[Byte]): Seq[PdfImage] = {
+    val text = new String(bytes, StandardCharsets.ISO_8859_1)
+    val objects = preparedObjects(text)
+    val byNum = objects.map(o => o.num -> o).toMap
+    val out = ArrayBuffer.empty[PdfImage]
+    var pageNo = 0
+    for (o <- objects if isPageDict(o.dict)) {
+      pageNo += 1
+      for {
+        res <- dictValue(o.dict, "/Resources", byNum).toSeq
+        xo <- dictValue(res, "/XObject", byNum).toSeq
+        m <- FontEntryRefRe.findAllMatchIn(xo)
+        n <- m.group(2).toIntOption
+        io <- byNum.get(n)
+        if io.dict.contains("/Image") && io.stream.isDefined
+        img <- decodeImage(pageNo, m.group(1), io)
+      } out += img
+    }
+    out.toSeq
   }
 
   /** Text of the `(…) Tj` / `[(…) -10 (…)] TJ` / `'` / `"` show-text

@@ -917,6 +917,107 @@ class PdfSpec extends AnyFunSuite {
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(Pdf.splitPages(twin).map(_.text) == Seq("AB"))
   }
+
+  /** One-page PDF with a single image XObject (/Im1). */
+  private def imagePdf(imgDict: String, imgData: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val content = "q 100 0 0 100 0 0 cm /Im1 Do Q"
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /XObject " +
+      "<< /Im1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put(s"5 0 obj << /Type /XObject /Subtype /Image $imgDict /Length ${imgData.length} >> stream\n")
+    out.write(imgData)
+    put("\nendstream endobj\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def encodeJpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 37 + y * 101) * 2654435761L.toInt & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("DCTDecode image XObjects decode to true dims/channels and feed the multimodal path") {
+    val jpeg = encodeJpeg(7, 5)
+    val doc = imagePdf("/Width 7 /Height 5 /ColorSpace /DeviceRGB " +
+      "/BitsPerComponent 8 /Filter /DCTDecode ", jpeg)
+    val imgs = Pdf.extractImages(doc)
+    assert(imgs.map(i => (i.pageNo, i.name, i.width, i.height, i.channels, i.format)) ==
+      Seq((1, "Im1", 7, 5, 3, "jpeg")))
+    // the payload is the verbatim JPEG — exactly what the multimodal
+    // decode kernel (q_multimodal_decode's shape) consumes
+    val meta = graft.operators.Multimodal.decode(42L, imgs.head.data)
+    assert((meta.width, meta.height, meta.channels) == (7, 5, 3))
+    // page text extraction is unaffected
+    assert(Pdf.splitPages(doc).map(_.pageNo) == Seq(1))
+  }
+
+  test("Flate raster images decode to raw samples; unsupported codecs skip silently") {
+    val samples = Array.tabulate[Byte](4 * 3 * 3)(i => (i * 7 + 1).toByte)
+    val flate = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(samples); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    val raw = Pdf.extractImages(imagePdf(
+      "/Width 4 /Height 3 /ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+        "/Filter /FlateDecode ", flate))
+    assert(raw.map(i => (i.width, i.height, i.channels, i.format)) ==
+      Seq((4, 3, 3, "raw")))
+    assert(raw.head.data.toSeq == samples.toSeq)
+    val skipped = Pdf.extractImages(imagePdf(
+      "/Width 4 /Height 3 /Filter /JBIG2Decode ", Array[Byte](1, 2, 3)))
+    assert(skipped.isEmpty)
+  }
+
+  test("images inside an RC4-encrypted document decrypt before DCT decode") {
+    val o32 = Array.tabulate(32)(i => (i * 7 + 3).toByte)
+    val id0 = Array.tabulate(16)(i => (i * 13 + 1).toByte)
+    val fileKey = Pdf.deriveFileKey(o32, -44, id0, r = 3, lengthBits = 128)
+    val u = Pdf.expectedU(fileKey, id0, r = 3).take(16) ++ Array.fill[Byte](16)(0)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val jpeg = encodeJpeg(6, 4)
+    val encJpeg = Pdf.PdfCrypt(fileKey).decrypt(5, 0, jpeg).get // RC4 symmetric
+    val base = imagePdf("/Width 6 /Height 4 /ColorSpace /DeviceRGB " +
+      "/BitsPerComponent 8 /Filter /DCTDecode ", encJpeg)
+    // splice the encrypt dict + trailer before %%EOF (content stream
+    // obj 4 must be encrypted too for the document to be consistent)
+    val s = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val content = "q 100 0 0 100 0 0 cm /Im1 Do Q"
+    val encContent = Pdf.PdfCrypt(fileKey).decrypt(4, 0,
+      content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).get
+    val out = new java.io.ByteArrayOutputStream()
+    val head = s.substring(0, s.indexOf("4 0 obj"))
+    out.write(head.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    def put(x: String): Unit =
+      out.write(x.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    put(s"4 0 obj << /Length ${encContent.length} >> stream\n")
+    out.write(encContent)
+    put("\nendstream endobj\n")
+    put(s"5 0 obj << /Type /XObject /Subtype /Image /Width 6 /Height 4 " +
+      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode " +
+      s"/Length ${encJpeg.length} >> stream\n")
+    out.write(encJpeg)
+    put("\nendstream endobj\n")
+    put(s"7 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+      s"/O <${hex(o32)}> /U <${hex(u)}> >> endobj\n")
+    put(s"trailer << /Root 1 0 R /Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
+    val imgs = Pdf.extractImages(out.toByteArray)
+    assert(imgs.map(i => (i.width, i.height, i.channels, i.format)) ==
+      Seq((6, 4, 3, "jpeg")))
+    assert(imgs.head.data.toSeq == jpeg.toSeq)
+  }
 }
 
 class FunsdSpec extends AnyFunSuite {
