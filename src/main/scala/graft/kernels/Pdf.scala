@@ -1249,6 +1249,133 @@ object Pdf {
   }
 
   // ---------------------------------------------------------------
+  // Per-page re-emission (round 6): the reference's
+  // `SerializerPdfDoc.load/split` yields a STANDALONE one-page PDF
+  // per page (custom_serialize.py:646 pdf_bytes; :713 writes them as
+  // files). Re-built here on the object scanner: page + transitive
+  // reference closure, renumbered behind a fresh catalog/pages pair.
+  // ---------------------------------------------------------------
+
+  private val ParentEntryRe = """/Parent\s+(\d+)\s+\d+\s+R""".r
+  private val LengthEntryRe = """/Length\s+\d+(\s+\d+\s+R)?""".r
+
+  /** The `/Resources` ENTRY text of a dict (`/Resources << … >>` or
+    * `/Resources N G R`) for inheritance copying; None when absent.
+    */
+  private def resourcesEntry(dict: String): Option[String] = {
+    val k = keyIndex(dict, "/Resources")
+    if (k < 0) return None
+    var i = k + "/Resources".length
+    while (i < dict.length && Character.isWhitespace(dict.charAt(i))) i += 1
+    if (i + 1 < dict.length && dict.charAt(i) == '<' && dict.charAt(i + 1) == '<')
+      balancedDict(dict, i).map(d => s"/Resources $d")
+    else
+      AnchoredRefRe.findFirstIn(dict.substring(i, math.min(dict.length, i + 24)))
+        .map(r => s"/Resources $r")
+  }
+
+  private def insertBeforeClose(dict: String, entry: String): String = {
+    val close = dict.lastIndexOf(">>")
+    if (close < 0) dict else dict.substring(0, close) + entry + " " + dict.substring(close)
+  }
+
+  /** Each page as a STANDALONE one-page PDF (1-based page numbers):
+    * the page object plus the transitive closure of its references
+    * (fonts, CMaps, XObjects, content streams — but not the /Parent
+    * chain), renumbered behind a fresh /Catalog + single-kid /Pages,
+    * with /Resources inherited from the nearest ancestor when the
+    * page dict lacks its own (§7.7.3.4 inheritable attributes).
+    * Streams are the PREPARED payloads (decrypted if the source was),
+    * so /Length is rewritten to the actual byte count and the output
+    * is unencrypted. Re-parsing an emitted page yields the same text
+    * as that page of the source.
+    */
+  def emitPages(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    val text = new String(bytes, StandardCharsets.ISO_8859_1)
+    val objects = preparedObjects(text)
+    val byNum = objects.map(o => o.num -> o).toMap
+    objects.filter(o => isPageDict(o.dict)).zipWithIndex
+      .map { case (p, i) => (i + 1, emitSinglePage(p, byNum)) }
+  }
+
+  private def emitSinglePage(page: PdfObj, byNum: Map[Int, PdfObj]): Array[Byte] = {
+    // inherit /Resources from the nearest ancestor if absent locally
+    // (an inline content stream on the page object gets its /Length
+    // rewritten like any other stream — strip the declared one)
+    var pageDict = ParentEntryRe.replaceAllIn(
+      if (page.stream.isDefined) LengthEntryRe.replaceAllIn(page.dict, " ")
+      else page.dict, "")
+    if (keyIndex(pageDict, "/Resources") < 0) {
+      var cur = ParentEntryRe.findFirstMatchIn(page.dict).flatMap(_.group(1).toIntOption)
+      var res: Option[String] = None
+      var guard = 0
+      while (res.isEmpty && cur.isDefined && guard < 32) {
+        val pd = byNum.get(cur.get).map(_.dict)
+        res = pd.flatMap(resourcesEntry)
+        cur = pd.flatMap(d => ParentEntryRe.findFirstMatchIn(d).flatMap(_.group(1).toIntOption))
+        guard += 1
+      }
+      res.foreach(r => pageDict = insertBeforeClose(pageDict, r))
+    }
+    // reference closure over DICT bodies (streams carry no refs); the
+    // stripped /Parent keeps the sibling-page subtree out. /Length is
+    // always rewritten (decryption may have changed payload sizes),
+    // so drop it from stream dicts before the scan — an indirect
+    // /Length target then never enters the closure
+    def scanDict(o: PdfObj): String =
+      if (o.stream.isDefined) LengthEntryRe.replaceAllIn(o.dict, " ") else o.dict
+    val ordered = ArrayBuffer.empty[Int]
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    def visitRefs(dict: String): Unit =
+      for (m <- RefRe.findAllMatchIn(dict); n <- m.group(1).toIntOption
+           if !seen.contains(n)) {
+        byNum.get(n).foreach { o =>
+          seen += n
+          ordered += n
+          visitRefs(scanDict(o))
+        }
+      }
+    visitRefs(pageDict)
+    // renumber: 1 catalog, 2 pages, 3 the page, 4+ closure in order
+    val renum: Map[Int, Int] =
+      (ordered.zipWithIndex.map { case (n, i) => n -> (4 + i) } :+ (page.num -> 3)).toMap
+    def rewrite(d: String): String =
+      RefRe.replaceAllIn(d, m =>
+        m.group(1).toIntOption.flatMap(renum.get) match {
+          case Some(nn) => s"$nn 0 R"
+          case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+        })
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    def writeObj(newNum: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+      offsets(newNum) = out.size()
+      stream match {
+        case None => put(s"$newNum 0 obj $dict endobj\n")
+        case Some(data) =>
+          val d = insertBeforeClose(dict, s"/Length ${data.length}")
+          put(s"$newNum 0 obj $d stream\n")
+          out.write(data)
+          put("\nendstream endobj\n")
+      }
+    }
+    put("%PDF-1.6\n")
+    writeObj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+    writeObj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", None)
+    writeObj(3, insertBeforeClose(rewrite(pageDict.trim), "/Parent 2 0 R"), page.stream)
+    for (n <- ordered) {
+      val o = byNum(n)
+      writeObj(renum(n), rewrite(scanDict(o)).trim, o.stream)
+    }
+    val xrefOff = out.size()
+    val size = 4 + ordered.length
+    put(s"xref\n0 $size\n0000000000 65535 f \n")
+    for (n <- 1 until size) put(f"${offsets(n)}%010d 00000 n \n")
+    put(s"trailer << /Size $size /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
   // Image XObjects (round 6): /Resources /XObject /Subtype /Image
   // extraction incl. DCTDecode via javax.imageio — the reference
   // renders page images through pdfium (extern/pdf_utils.py); here

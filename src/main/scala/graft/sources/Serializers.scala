@@ -93,6 +93,37 @@ object Serializers {
       .toDF("path", "page_no", "text")
   }
 
+  /** Full `SerializerPdfDoc.load` datapoint parity
+    * (custom_serialize.py:646 `make_pdf_page_mapper`): one row per
+    * page with `pdf_bytes` a STANDALONE one-page PDF (what the
+    * reference's `split` writes to `{prefix}_{page}{suffix}` files),
+    * `file_name` that same naming, and `document_id` the
+    * deterministic uuid3 of the filename stem. Page re-emission runs
+    * inside the scan stage — no shuffle, same 100 TB shape as
+    * [[readPdfPages]].
+    */
+  def readPdfPageDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val fileName = path.substring(path.lastIndexOf('/') + 1)
+        val dot = fileName.lastIndexOf('.')
+        val (prefix, suffix) =
+          if (dot >= 0) (fileName.substring(0, dot), fileName.substring(dot))
+          else (fileName, "")
+        val docId = graft.model.Ids.uuid3(prefix)
+        graft.kernels.Pdf.emitPages(bytes).map { case (n, pageBytes) =>
+          (path, s"${prefix}_$n$suffix", n, pageBytes, docId)
+        }
+      }
+      .toDF("path", "file_name", "page_number", "pdf_bytes", "document_id")
+  }
+
   /** publaynet's category-id → label mapping
     * (dd_datasets/instances/publaynet.py `_CATEGORIES`).
     */
@@ -472,6 +503,7 @@ object Serializers {
       .withColumn("anns", transform(col("anns"), a => a.withField("publaynet_cat",
         coalesce(element_at(typedLit(DoclaynetToPublaynet), a.getField("category")), lit("text")))))),
     "pdf_pages" -> ((s, path) => readPdfPages(s, path)),
+    "pdf_page_docs" -> ((s, path) => readPdfPageDocs(s, path)),
     "pubtabnet" -> ((s, path) => pubTabNetDataset(s, path)),
     // token-classification datasets (funsd.py / xfund.py) — same
     // loader/schema; funsd = one json per file, xfund = jsonl

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernels.Pdf
+import graft.sources.Serializers
+
+/** Per-page re-emission (`SerializerPdfDoc.split` parity,
+  * custom_serialize.py:713-717): each page of a multi-page document
+  * re-emitted as a standalone one-page PDF, verified by RE-PARSING
+  * the emitted bytes and comparing text with the source page.
+  */
+class PdfEmitSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val o = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+    d.end(); o.toByteArray
+  }
+
+  private def flateDoc(texts: Seq[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val kids = texts.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    put(s"2 0 obj << /Type /Pages /Kids [$kids] /Count ${texts.length} >> endobj\n")
+    texts.zipWithIndex.foreach { case (txt, i) =>
+      val pageObj = 3 + 2 * i
+      put(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /Contents ${pageObj + 1} 0 R >> endobj\n")
+      val data = deflate(s"BT /F1 12 Tf ($txt) Tj ET".getBytes(ISO_8859_1))
+      put(s"${pageObj + 1} 0 obj << /Length ${data.length} /Filter /FlateDecode >> stream\n")
+      out.write(data)
+      put("\nendstream endobj\n")
+    }
+    put("%%EOF\n")
+    out.toByteArray
+  }
+
+  test("a 3-page document splits into standalone one-page PDFs with identical text") {
+    val texts = Seq("first page text", "second page text", "third page text")
+    val doc = flateDoc(texts)
+    val emitted = Pdf.emitPages(doc)
+    assert(emitted.map(_._1) == Seq(1, 2, 3))
+    for (((n, bytes), txt) <- emitted.zip(texts)) {
+      val s = new String(bytes, ISO_8859_1)
+      assert(s.startsWith("%PDF-") && s.contains("xref") && s.endsWith("%%EOF\n"), s"page $n shape")
+      val pages = Pdf.splitPages(bytes)
+      assert(pages.map(_.pageNo) == Seq(1), s"page $n re-parse count")
+      assert(pages.head.text == txt, s"page $n text")
+    }
+    // and the emitted page is standalone: parsing page 2's bytes
+    // never sees page 1/3 content
+    val s2 = new String(emitted(1)._2, ISO_8859_1)
+    assert(!s2.contains("first page") && !s2.contains("third page"))
+  }
+
+  test("the reference closure carries fonts and CMaps: a CID page round-trips") {
+    // Type0 font + Flate-compressed ToUnicode CMap referenced from
+    // /Resources — the closure must drag font object AND cmap stream
+    val cmap = "1 begincodespacerange <0000> <FFFF> endcodespacerange " +
+      "1 beginbfrange <0000> <00FF> <0000> endbfrange"
+    val cdata = deflate(cmap.getBytes(ISO_8859_1))
+    val txt = "cid page"
+    val content = s"BT /F1 12 Tf <${txt.map(c => f"${c.toInt}%04X").mkString}> Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.5\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> " +
+      "/Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put("5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n")
+    put(s"6 0 obj << /Length ${cdata.length} /Filter /FlateDecode >> stream\n")
+    out.write(cdata)
+    put("\nendstream endobj\n%%EOF\n")
+    val emitted = Pdf.emitPages(out.toByteArray)
+    assert(emitted.map(_._1) == Seq(1))
+    assert(Pdf.splitPages(emitted.head._2).map(_.text) == Seq(txt))
+  }
+
+  test("inherited /Resources (on the /Pages ancestor) are copied into the emitted page") {
+    val cmap = "1 beginbfchar <41> <0058> endbfchar"
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val content = "BT /F1 12 Tf (AB) Tj ET"
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /Resources << /Font << " +
+      "/F1 << /Subtype /TrueType /ToUnicode 5 0 R >> >> >> >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put(s"5 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj\n%%EOF\n")
+    val emitted = Pdf.emitPages(out.toByteArray)
+    // the SOURCE parse reads no inherited resources (documented
+    // subset), but the EMITTED page carries them inline, so the CMap
+    // applies on re-parse: A→X, unmapped B dropped
+    assert(Pdf.splitPages(emitted.head._2).map(_.text) == Seq("X"))
+  }
+
+  test("emitted pages from an encrypted source are decrypted and re-parse cleanly") {
+    val o32 = Array.tabulate(32)(i => (i * 7 + 3).toByte)
+    val id0 = Array.tabulate(16)(i => (i * 13 + 1).toByte)
+    val fileKey = Pdf.deriveFileKey(o32, -44, id0, r = 3, lengthBits = 128)
+    val u = Pdf.expectedU(fileKey, id0, r = 3).take(16) ++ Array.fill[Byte](16)(0)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val texts = Seq("enc page one", "enc page two")
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n")
+    texts.zipWithIndex.foreach { case (txt, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      put(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /Contents $contObj 0 R >> endobj\n")
+      val enc = Pdf.PdfCrypt(fileKey).decrypt(contObj, 0,
+        s"BT /F1 12 Tf ($txt) Tj ET".getBytes(ISO_8859_1)).get
+      put(s"$contObj 0 obj << /Length ${enc.length} >> stream\n")
+      out.write(enc)
+      put("\nendstream endobj\n")
+    }
+    put(s"7 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+      s"/O <${hex(o32)}> /U <${hex(u)}> >> endobj\n")
+    put(s"trailer << /Root 1 0 R /Encrypt 7 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF\n")
+    val emitted = Pdf.emitPages(out.toByteArray)
+    assert(emitted.map(_._1) == Seq(1, 2))
+    for (((_, bytes), txt) <- emitted.zip(texts)) {
+      // no /Encrypt survives; the page re-parses as plaintext
+      assert(!new String(bytes, ISO_8859_1).contains("/Encrypt"))
+      assert(Pdf.splitPages(bytes).map(_.text) == Seq(txt))
+    }
+  }
+
+  test("image XObjects survive re-emission") {
+    val samples = Array.tabulate[Byte](4 * 3 * 3)(i => (i * 7 + 1).toByte)
+    val flate = deflate(samples)
+    val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /XObject << /Im1 5 0 R >> >> " +
+      "/Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put("5 0 obj << /Type /XObject /Subtype /Image /Width 4 /Height 3 " +
+      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode /Length ${flate.length} >> stream\n")
+    out.write(flate)
+    put("\nendstream endobj\n%%EOF\n")
+    val emitted = Pdf.emitPages(out.toByteArray)
+    val imgs = Pdf.extractImages(emitted.head._2)
+    assert(imgs.map(i => (i.width, i.height, i.channels, i.format)) == Seq((4, 3, 3, "raw")))
+    assert(imgs.head.data.toSeq == samples.toSeq)
+  }
+
+  test("readPdfPageDocs yields the reference datapoint shape with re-parseable pdf_bytes") {
+    val dir = Files.createTempDirectory("graft_pdfdocs")
+    Files.write(dir.resolve("reportA.pdf"),
+      flateDoc(Seq("alpha one", "alpha two")))
+    Files.write(dir.resolve("reportB.pdf"), flateDoc(Seq("beta only")))
+    val rows = Serializers.readPdfPageDocs(spark, dir.toString)
+      .orderBy("file_name").collect()
+    assert(rows.map(r => (r.getAs[String]("file_name"),
+      r.getAs[Int]("page_number"))).toSeq ==
+      Seq(("reportA_1.pdf", 1), ("reportA_2.pdf", 2), ("reportB_1.pdf", 1)))
+    val texts = rows.map(r =>
+      Pdf.splitPages(r.getAs[Array[Byte]]("pdf_bytes")).map(_.text).mkString)
+    assert(texts.toSeq == Seq("alpha one", "alpha two", "beta only"))
+    // document_id: deterministic per SOURCE doc, distinct across docs
+    val ids = rows.map(r => r.getAs[String]("document_id"))
+    assert(ids(0) == ids(1) && ids(0) != ids(2))
+    assert(ids(0) == graft.model.Ids.uuid3("reportA"))
+  }
+}
