@@ -125,18 +125,24 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L } // warm
         name -> timeQuery(name)
       }
-    // the 5 slowest queries get a median of 3 timed runs: a single VM
-    // burst or GC window on one run can no longer fake a 2× regression
-    // in the headline per-query table (BENCH_r04's q_eval_run read
-    // 2.4× on exactly that failure mode)
-    val slowest = results0.toSeq.sortBy(-_._2).take(5).map(_._1).toSet
-    val slowSamples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // the 5 slowest queries get a MEDIAN OF 5 samples, the extra four
+    // taken round-robin ACROSS the group (ADVICE r5 #4: r5 took the
+    // extra samples back-to-back after the sweep, so a late-session VM
+    // degradation window landed on every sample of one query and the
+    // reported 'median' tracked the burst — q_dedup_components read
+    // 21 s against a true ~9 s warm cost. Interleaving spreads any
+    // burst across all five queries, and a median of 5 absorbs two
+    // burst-hit samples where a median of 3 could not). Samples are
+    // reported in CAPTURE order so a reviewer can see temporal bursts.
+    val slowest = results0.toSeq.sortBy(-_._2).take(5).map(_._1)
+    val slowSamples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    for (name <- slowest) slowSamples(name) = Vector(results0(name))
+    for (_ <- 1 to 4; name <- slowest)
+      slowSamples(name) = slowSamples(name) :+ timeQuery(name)
     val results = results0.map { case (name, t1) =>
-      if (!slowest.contains(name)) name -> t1
-      else {
-        val all = (t1 +: Seq.fill(2)(timeQuery(name))).sorted
-        slowSamples(name) = all
-        name -> all(1)
+      slowSamples.get(name) match {
+        case None => name -> t1
+        case Some(all) => name -> all.sorted.apply(all.length / 2)
       }
     }
     val slowJson =
@@ -218,7 +224,42 @@ object Bench {
         s""""embed_cand_small":$e1,"embed_cand_big":$e2,""" +
         s""""embed_growth":${f"${ratio(e1, e2)}%.2f"},"vecs_growth":4.00},"""
     }.getOrElse("")
-    val growth = dense + sparse
+    // ---- components adversarial-chain evidence (VERDICT r5 #7) ----
+    // a PATH graph is min-label propagation's worst case (round count
+    // = chain diameter) and the motivation for large-star/small-star:
+    // measure BOTH on planted chains at two sizes so the round-growth
+    // contrast (linear vs ~logarithmic) is a measurement, not a
+    // citation. Tiny data: drop shuffle width for the block so the
+    // ~n-round min-label loop isn't dominated by empty-partition
+    // scheduling, restore after.
+    val chains = if (skipQueries) "" else scala.util.Try {
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        def measure(n: Int): (Int, Double, Int, Double) = {
+          val nodes = spark.range(n).select(col("id"))
+          val pairs = spark.range(n - 1)
+            .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+          val t0 = System.nanoTime()
+          val (ml, r1) = graft.operators.Dedup.componentsWithRounds(nodes, pairs, maxIter = n + 2)
+          require(ml.agg(max("label")).head().getLong(0) == 0L) // one component
+          val s1 = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val (lss, r2) = graft.operators.Dedup.componentsLargeSmallStarWithRounds(nodes, pairs)
+          require(lss.agg(max("label")).head().getLong(0) == 0L)
+          val s2 = (System.nanoTime() - t1) / 1e9
+          (r1, s1, r2, s2)
+        }
+        val (rm1, sm1, rl1, sl1) = measure(32)
+        val (rm2, sm2, rl2, sl2) = measure(128)
+        s""""components_chain":{"n_small":32,"n_big":128,""" +
+          s""""minlabel_rounds_small":$rm1,"minlabel_rounds_big":$rm2,""" +
+          s""""minlabel_sec_small":${f"$sm1%.2f"},"minlabel_sec_big":${f"$sm2%.2f"},""" +
+          s""""lss_rounds_small":$rl1,"lss_rounds_big":$rl2,""" +
+          s""""lss_sec_small":${f"$sl1%.2f"},"lss_sec_big":${f"$sl2%.2f"}},"""
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }.getOrElse("")
+    val growth = dense + sparse + chains
 
     // ---- extraction throughput + scaling evidence ----
     val turnsDir = materializeTurns(spark, sfDir, mult)
@@ -338,9 +379,16 @@ object Bench {
         val (n2, s2) = median(runs2u.toList)
         val (n8u, s8u) = median(runs8u.toList)
         val effU = ((n8u / s8u) / (n2 / s2)) / 4.0
+        // plausibility for THIS pairing: when it runs, it is the
+        // rule-relevant criterion (VERDICT r5 "What's wrong" #2 — the
+        // r5 artifact carried efficiency_plausible:false from the
+        // saturated pairing next to a passing 0.914 here, misreading
+        // as "the criterion is implausible")
+        val plausU = effU >= 0.55 && effU <= 1.05
         s""""sec_2_unsat":${f"$s2%.3f"},"sec_8_unsat":${f"$s8u%.3f"},""" +
           s""""sec_2_unsat_all":${arr(runs2u.toList)},"sec_8_unsat_all":${arr(runs8u.toList)},""" +
-          s""""scaling_efficiency_unsaturated":${f"$effU%.3f"},"""
+          s""""scaling_efficiency_unsaturated":${f"$effU%.3f"},""" +
+          s""""unsaturated_plausible":$plausU,"rule_pairing":"2,8 unsaturated","""
       } catch {
         case e: Throwable =>
           // a missing field must read as "measurement failed", loudly
@@ -363,6 +411,20 @@ object Bench {
       s""""scaling_partitions":$ScalingPartitions,"cycles":$cycles,""" +
       s""""sec_8_all":${arr(runs8.toList)},"sec_32_all":${arr(runs32.toList)},""" +
       unsaturated +
+      // rule_pairing names the pairing that carries the north-rule
+      // criterion: the unsaturated block emits its own when it runs;
+      // otherwise the primary pairing IS the evidence — and when that
+      // primary pairing is itself unsaturated (wide ≤ a quarter of
+      // the host's threads, e.g. the sf1 protocol's 2→8 on this
+      // 32-thread box), emit the criterion under its canonical field
+      // name too so the artifact is machine-checkable either way
+      (if (unsaturated.isEmpty)
+        s""""rule_pairing":"$narrow,$wide primary",""" +
+          (if (wide * 4 <= procs)
+            s""""scaling_efficiency_unsaturated":${f"$eff%.3f"},""" +
+              s""""unsaturated_plausible":$effPlausible,"""
+          else "")
+      else "") +
       s""""efficiency_plausible":$effPlausible}""")
   }
 }

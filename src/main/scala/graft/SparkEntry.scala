@@ -410,15 +410,21 @@ object SparkEntry {
         .orderBy("conv_id", "reading_order")
     }),
 
-    // kv_header_rows under the driver gate: pinned spanning-header
-    // table → header→value mapping per data row is a closed-form
-    // constant (incl. the overwrite under the colspan=2 header)
+    // kv_header_rows + row_header_cells under the driver gate: pinned
+    // spanning-header table → header→value mapping per data row is a
+    // closed-form constant (incl. the overwrite under the colspan=2
+    // header), and the data rows carry row-scope <th> labels so the
+    // header band split (leading <th>-rows = column headers, <th>
+    // below the band = row headers, Table.scala headerRowCount) is
+    // oracled too: a wrong band count would either swallow the data
+    // rows into the column-header band (emptying the output) or
+    // misattribute the row labels
     "q_table_kv" -> ((s, dir) => {
       import s.implicits._
       val payload =
         "<table><tr><th>Region</th><th colspan=2>Sales</th></tr>" +
-          "<tr><td>EMEA</td><td>10</td><td>20</td></tr>" +
-          "<tr><td>APAC</td><td>30</td><td>40</td></tr></table>"
+          "<tr><th>EMEA</th><td>10</td><td>20</td></tr>" +
+          "<tr><th>APAC</th><td>30</td><td>40</td></tr></table>"
       val turns = docs(s, dir).filter(col("doc_id") < 100)
         .select(concat(lit("kv-"), col("doc_id")).as("conv_id"),
           lit(0).as("turn_idx"), lit("user").as("role"),
@@ -430,13 +436,17 @@ object SparkEntry {
           et.tables.flatMap { tb =>
             val cells = tb.cells.map(c => graft.kernels.Table.TableCell(
               c.row, c.col, c.rowSpan, c.colSpan, c.text, c.begin, c.end, c.header)).toSeq
-            (2 to tb.nRows).flatMap(r =>
+            val rowHdrs = graft.kernels.Table.rowHeaderCells(cells)
+            (2 to tb.nRows).flatMap { r =>
+              val rh = rowHdrs.find(c => c.row <= r && r <= c.row + c.rowSpan - 1)
+                .map(_.text).getOrElse("")
               graft.kernels.Table.kvHeaderRows(cells, r).map {
-                case (hc, ht, v) => (et.conv_id, r, hc, ht, v)
-              })
+                case (hc, ht, v) => (et.conv_id, r, hc, ht, v, rh)
+              }
+            }
           }
         }
-        .toDF("conv_id", "row_number", "header_col", "header_text", "value")
+        .toDF("conv_id", "row_number", "header_col", "header_text", "value", "row_header")
         .orderBy("conv_id", "row_number", "header_col")
     }),
 
@@ -1153,12 +1163,14 @@ object SparkEntry {
 
       // the header→value map per data row, as constants: the colspan=2
       // Sales header takes the LAST covered cell (reference overwrite
-      // semantics, view.py:720-726)
+      // semantics, view.py:720-726); row_header is the row-scope <th>
+      // below the leading header band (view.py:661 row_header_cells)
       "q_table_kv" ->
         """SELECT concat('kv-', doc_id) AS conv_id, CAST(r AS INT) AS row_number,
-                  CAST(hc AS INT) AS header_col, ht AS header_text, v AS value
-           FROM documents, (VALUES (2, 1, 'Region', 'EMEA'), (2, 2, 'Sales', '20'),
-                                   (3, 1, 'Region', 'APAC'), (3, 2, 'Sales', '40')) kv(r, hc, ht, v)
+                  CAST(hc AS INT) AS header_col, ht AS header_text, v AS value,
+                  rh AS row_header
+           FROM documents, (VALUES (2, 1, 'Region', 'EMEA', 'EMEA'), (2, 2, 'Sales', '20', 'EMEA'),
+                                   (3, 1, 'Region', 'APAC', 'APAC'), (3, 2, 'Sales', '40', 'APAC')) kv(r, hc, ht, v, rh)
            WHERE doc_id < 100
            ORDER BY conv_id, row_number, header_col""",
 

@@ -364,7 +364,14 @@ object Dedup {
     * @param pairs (id_a, id_b) near-dup pairs
     * @return (id, component) with component = min id in the cluster
     */
-  def components(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    componentsWithRounds(nodes, pairs, maxIter)._1
+
+  /** [[components]] plus the number of propagation rounds taken —
+    * Bench measures round growth on adversarial chain graphs.
+    */
+  def componentsWithRounds(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
     // the label-sum convergence proof below needs every edge endpoint
     // to BE a node (a pair id outside `nodes` would materialize a new
     // label mid-round and could mask a real decrease in the sum):
@@ -420,7 +427,7 @@ object Dedup {
       s"components() did not converge within maxIter=$maxIter rounds; " +
         "the pair graph has a longer chain diameter than near-dup " +
         "clusters should — raise maxIter or use componentsLargeSmallStar")
-    labels.orderBy("id")
+    (labels.orderBy("id"), iter)
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,
@@ -450,7 +457,14 @@ object Dedup {
     * the sum over rounds.
     */
   def componentsLargeSmallStar(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30): DataFrame =
+    componentsLargeSmallStarWithRounds(nodes, pairs, maxIter)._1
+
+  /** [[componentsLargeSmallStar]] plus rounds taken (see
+    * [[componentsWithRounds]]).
+    */
+  def componentsLargeSmallStarWithRounds(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 30): (DataFrame, Int) = {
     var edges = pairs.select(
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("a"),
         least(col("id_a").cast("long"), col("id_b").cast("long")).as("b"))
@@ -490,10 +504,10 @@ object Dedup {
     require(converged,
       s"componentsLargeSmallStar did not converge within maxIter=$maxIter " +
         "rounds — not expected for any graph at O(log² n); raise maxIter")
-    nodes.select(col("id").cast("long").as("id"))
+    (nodes.select(col("id").cast("long").as("id"))
       .join(edges.select(col("a").as("id"), col("b").as("label")), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-      .orderBy("id")
+      .orderBy("id"), iter)
   }
 
   /** Embedding near-dup: BANDED sign-bit LSH, cosine-verified pairs.
