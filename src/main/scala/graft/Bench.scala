@@ -391,10 +391,14 @@ object Bench {
           s""""unsaturated_plausible":$plausU,"rule_pairing":"2,8 unsaturated","""
       } catch {
         case e: Throwable =>
-          // a missing field must read as "measurement failed", loudly
+          // a missing field must read as "measurement failed", loudly —
+          // including in the artifact itself: the marker below keeps
+          // the fallback "N,M primary" rule_pairing label from
+          // claiming the SATURATED pairing as the rule evidence when
+          // the unsaturated measurement merely crashed
           System.err.println(s"[bench] unsaturated pairing FAILED: $e")
           try spark.stop() catch { case _: Throwable => () }
-          ""
+          s""""rule_pairing":"2,8 unsaturated FAILED","""
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

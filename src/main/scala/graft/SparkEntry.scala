@@ -55,14 +55,7 @@ object SparkEntry {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val out = new java.io.ByteArrayOutputStream()
     def put(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
-    def deflate(b: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater()
-      d.setInput(b); d.finish()
-      val o = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
-      d.end(); o.toByteArray
-    }
+    def deflate(b: Array[Byte]): Array[Byte] = graft.kernels.Pdf.deflate(b)
     val n = texts.length
     val fontObj = 3 + 2 * n
     val cmapObj = fontObj + 1
@@ -172,13 +165,7 @@ object SparkEntry {
         (o.toByteArray, "/Filter /DCTDecode ")
       } else {
         val samples = Array.tabulate[Byte](w * h * 3)(i => ((i * 11 + 5) & 0xff).toByte)
-        val d = new java.util.zip.Deflater()
-        d.setInput(samples); d.finish()
-        val o = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) o.write(buf, 0, d.deflate(buf))
-        d.end()
-        (o.toByteArray, "/Filter /FlateDecode ")
+        (graft.kernels.Pdf.deflate(samples), "/Filter /FlateDecode ")
       }
     val out = new java.io.ByteArrayOutputStream()
     def put(str: String): Unit = out.write(str.getBytes(ISO_8859_1))

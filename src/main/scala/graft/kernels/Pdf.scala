@@ -196,6 +196,20 @@ object Pdf {
     } finally inf.end()
   }
 
+  /** Deflate (zlib) — [[inflate]]'s inverse; shared by the in-flight
+    * fixture generators (SparkEntry synth PDFs, specs).
+    */
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
   /** ASCII85 decode (ISO 32000-1 §7.4.3): groups of 5 chars '!'..'u'
     * → 4 bytes base 85, 'z' = four zero bytes, whitespace ignored,
     * `~>` terminates, partial final group keeps n−1 bytes. None on any
@@ -711,13 +725,33 @@ object Pdf {
     PdfFont(isType0, toUni, diffs, base)
   }
 
+  /** The page's `/Resources` dict TEXT, inheriting from the nearest
+    * `/Parent` ancestor when the page lacks its own (§7.7.3.4
+    * inheritable attributes — scanner-produced PDFs routinely hoist
+    * shared resources to the /Pages root).
+    */
+  private def resolvedResources(pageDict: String, byNum: Map[Int, PdfObj]): Option[String] = {
+    var body: Option[String] = Some(pageDict)
+    var guard = 0
+    while (body.isDefined && guard < 32) {
+      val d = body.get
+      val res = dictValue(d, "/Resources", byNum)
+      if (res.isDefined) return res
+      body = ParentEntryRe.findFirstMatchIn(d).flatMap(_.group(1).toIntOption)
+        .flatMap(byNum.get).map(_.dict)
+      guard += 1
+    }
+    None
+  }
+
   /** Resolve the page's `/Resources /Font` dict (inline or indirect at
-    * either level) to name→[[PdfFont]]; indirect font objects memoize
-    * through `cache` so a shared font's CMap parses once per document.
+    * either level, inherited from the page tree when absent locally)
+    * to name→[[PdfFont]]; indirect font objects memoize through
+    * `cache` so a shared font's CMap parses once per document.
     */
   def fontsOf(pageDict: String, byNum: Map[Int, PdfObj],
       cache: scala.collection.mutable.HashMap[Int, PdfFont]): Map[String, PdfFont] =
-    dictValue(pageDict, "/Resources", byNum)
+    resolvedResources(pageDict, byNum)
       .flatMap(res => dictValue(res, "/Font", byNum)) match {
       case None => Map.empty
       case Some(fd) =>
@@ -1258,6 +1292,10 @@ object Pdf {
 
   private val ParentEntryRe = """/Parent\s+(\d+)\s+\d+\s+R""".r
   private val LengthEntryRe = """/Length\s+\d+(\s+\d+\s+R)?""".r
+  // ref token for closure/rewrite: the R needs a non-word boundary so
+  // an 'N G R…' letter run inside a literal string value (e.g.
+  // '(see 12 0 Row)') isn't treated as a reference
+  private val RefTokenRe = """(\d+)\s+(\d+)\s+R(?![A-Za-z0-9])""".r
 
   /** The `/Resources` ENTRY text of a dict (`/Resources << … >>` or
     * `/Resources N G R`) for inheritance copying; None when absent.
@@ -1321,13 +1359,18 @@ object Pdf {
     // stripped /Parent keeps the sibling-page subtree out. /Length is
     // always rewritten (decryption may have changed payload sizes),
     // so drop it from stream dicts before the scan — an indirect
-    // /Length target then never enters the closure
+    // /Length target then never enters the closure. The page itself
+    // is pre-seeded as visited: a BACK-reference to it (an /Annots
+    // annotation's /P, standard for widget/link annotations) must
+    // resolve to the page's new number, not drag it into the closure
+    // a second time (which double-assigned its number and left an
+    // xref slot unwritten — a job-aborting crash on real-world PDFs).
     def scanDict(o: PdfObj): String =
       if (o.stream.isDefined) LengthEntryRe.replaceAllIn(o.dict, " ") else o.dict
     val ordered = ArrayBuffer.empty[Int]
-    val seen = scala.collection.mutable.HashSet.empty[Int]
+    val seen = scala.collection.mutable.HashSet[Int](page.num)
     def visitRefs(dict: String): Unit =
-      for (m <- RefRe.findAllMatchIn(dict); n <- m.group(1).toIntOption
+      for (m <- RefTokenRe.findAllMatchIn(dict); n <- m.group(1).toIntOption
            if !seen.contains(n)) {
         byNum.get(n).foreach { o =>
           seen += n
@@ -1336,14 +1379,19 @@ object Pdf {
         }
       }
     visitRefs(pageDict)
-    // renumber: 1 catalog, 2 pages, 3 the page, 4+ closure in order
+    // renumber: 1 catalog, 2 pages, 3 the page, 4+ closure in order;
+    // DANGLING refs (target object absent — freed by an incremental
+    // update) rewrite to a dedicated null object instead of keeping
+    // their original number, which could alias a renumbered object
+    val nullObjNum = 4 + ordered.length
     val renum: Map[Int, Int] =
       (ordered.zipWithIndex.map { case (n, i) => n -> (4 + i) } :+ (page.num -> 3)).toMap
+    var danglingSeen = false
     def rewrite(d: String): String =
-      RefRe.replaceAllIn(d, m =>
+      RefTokenRe.replaceAllIn(d, m =>
         m.group(1).toIntOption.flatMap(renum.get) match {
           case Some(nn) => s"$nn 0 R"
-          case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+          case None => danglingSeen = true; s"$nullObjNum 0 R"
         })
     val out = new java.io.ByteArrayOutputStream(4096)
     def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -1367,8 +1415,9 @@ object Pdf {
       val o = byNum(n)
       writeObj(renum(n), rewrite(scanDict(o)).trim, o.stream)
     }
+    if (danglingSeen) writeObj(nullObjNum, "null", None)
     val xrefOff = out.size()
-    val size = 4 + ordered.length
+    val size = 4 + ordered.length + (if (danglingSeen) 1 else 0)
     put(s"xref\n0 $size\n0000000000 65535 f \n")
     for (n <- 1 until size) put(f"${offsets(n)}%010d 00000 n \n")
     put(s"trailer << /Size $size /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
@@ -1398,16 +1447,44 @@ object Pdf {
 
   private val WidthRe = """/Width\s+(\d+)""".r
   private val HeightRe = """/Height\s+(\d+)""".r
+  private val ColorSpaceRefRe = """/ColorSpace\s+(\d+)\s+\d+\s+R""".r
+  private val IccRefRe = """/ICCBased\s+(\d+)\s+\d+\s+R""".r
+  private val NCompRe = """/N\s+(\d+)""".r
 
-  /** Channel count from the `/ColorSpace` name; 1 when absent
-    * (ImageMask / indexed fall outside this subset's decode paths).
+  /** Channel count of a raster image: device color-space names
+    * (direct or behind an indirect `/ColorSpace N G R`), `/ICCBased`
+    * via the ICC stream's `/N` component count (the common real-world
+    * case — scanners emit ICC profiles, not device names), else
+    * inferred from the decoded payload size when it divides evenly
+    * into a 1/3/4-channel 8-bit raster. None = indeterminate → the
+    * image is SKIPPED rather than labeled with wrong metadata
+    * (empty beats garbage applies to dims too).
     */
-  private def channelsOf(dict: String): Int =
-    if (dict.contains("/DeviceRGB")) 3
-    else if (dict.contains("/DeviceCMYK")) 4
-    else 1
+  private def channelsOf(dict: String, byNum: Map[Int, PdfObj],
+      dataLen: Int, w: Int, h: Int, bpc: Int): Option[Int] = {
+    def byName(d: String): Option[Int] =
+      if (d.contains("/DeviceRGB")) Some(3)
+      else if (d.contains("/DeviceCMYK")) Some(4)
+      else if (d.contains("/DeviceGray")) Some(1)
+      else None
+    def viaIcc(d: String): Option[Int] =
+      IccRefRe.findFirstMatchIn(d).flatMap(_.group(1).toIntOption).flatMap(byNum.get)
+        .flatMap(o => NCompRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption))
+        .filter(n => n == 1 || n == 3 || n == 4)
+    byName(dict)
+      .orElse(viaIcc(dict))
+      .orElse(ColorSpaceRefRe.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
+        .flatMap(byNum.get).map(_.dict).flatMap(d => byName(d).orElse(viaIcc(d))))
+      .orElse {
+        if (bpc == 8 && w > 0 && h > 0 && dataLen % (w.toLong * h) == 0) {
+          val c = (dataLen / (w.toLong * h)).toInt
+          if (c == 1 || c == 3 || c == 4) Some(c) else None
+        } else None
+      }
+  }
 
-  private def decodeImage(pageNo: Int, name: String, o: PdfObj): Option[PdfImage] = {
+  private def decodeImage(pageNo: Int, name: String, o: PdfObj,
+      byNum: Map[Int, PdfObj]): Option[PdfImage] = {
     val filters = filtersOf(o.dict)
     val isDct = filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")
     if (isDct) {
@@ -1440,7 +1517,9 @@ object Pdf {
         data <- o.stream.flatMap(decodeStream(o.dict, _))
         w <- WidthRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
         h <- HeightRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
-      } yield PdfImage(pageNo, name, w, h, channelsOf(o.dict), "raw", data)
+        bpc <- paramOr(BpcRe, o.dict, 8)
+        ch <- channelsOf(o.dict, byNum, data.length, w, h, bpc)
+      } yield PdfImage(pageNo, name, w, h, ch, "raw", data)
   }
 
   /** All image XObjects of the document, in page order — decrypted
@@ -1457,13 +1536,13 @@ object Pdf {
     for (o <- objects if isPageDict(o.dict)) {
       pageNo += 1
       for {
-        res <- dictValue(o.dict, "/Resources", byNum).toSeq
+        res <- resolvedResources(o.dict, byNum).toSeq
         xo <- dictValue(res, "/XObject", byNum).toSeq
         m <- FontEntryRefRe.findAllMatchIn(xo)
         n <- m.group(2).toIntOption
         io <- byNum.get(n)
         if io.dict.contains("/Image") && io.stream.isDefined
-        img <- decodeImage(pageNo, m.group(1), io)
+        img <- decodeImage(pageNo, m.group(1), io, byNum)
       } out += img
     }
     out.toSeq

@@ -155,6 +155,35 @@ class PdfEmitSpec extends AnyFunSuite {
     assert(imgs.head.data.toSeq == samples.toSeq)
   }
 
+  test("a page back-reference (/Annots /P) and a dangling ref don't break re-emission") {
+    // widget/link annotations standardly carry /P <page> — the page
+    // must NOT re-enter the closure (it double-assigned its number
+    // and crashed the xref writer); a ref whose target is absent
+    // (freed by an incremental update) rewrites to a null object
+    // instead of aliasing a renumbered one. The annotation also
+    // carries a '(… 12 0 Rows …)' string: the ref-token boundary must
+    // not rewrite it.
+    val content = "BT /F1 12 Tf (annotated page) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Annots [5 0 R] /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put("5 0 obj << /Type /Annot /Subtype /Link /P 3 0 R /A 99 0 R " +
+      "/T (see 12 0 Rows below) /Rect [0 0 10 10] >> endobj\n%%EOF\n")
+    val emitted = Pdf.emitPages(out.toByteArray)
+    assert(emitted.map(_._1) == Seq(1))
+    val s = new String(emitted.head._2, ISO_8859_1)
+    assert(Pdf.splitPages(emitted.head._2).map(_.text) == Seq("annotated page"))
+    // /P points at the page's NEW number (3); the dangling /A ref
+    // points at the emitted null object; the string is untouched
+    assert(s.contains("/P 3 0 R"), s)
+    assert(s.contains(" null endobj") || s.contains(" null\nendobj"), s)
+    assert(s.contains("(see 12 0 Rows below)"), s)
+    assert(!s.contains("/A 99 0 R"), s)
+  }
+
   test("readPdfPageDocs yields the reference datapoint shape with re-parseable pdf_bytes") {
     val dir = Files.createTempDirectory("graft_pdfdocs")
     Files.write(dir.resolve("reportA.pdf"),

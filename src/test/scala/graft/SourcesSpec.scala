@@ -981,6 +981,58 @@ class PdfSpec extends AnyFunSuite {
     assert(skipped.isEmpty)
   }
 
+  test("ICCBased color spaces resolve channel counts via the ICC stream's /N") {
+    // the real-world common case: scanners emit /ColorSpace 8 0 R →
+    // [/ICCBased 9 0 R] with /N 3 — reporting 1 channel for RGB data
+    // would be wrong metadata, worse than a skip
+    val samples = Array.tabulate[Byte](4 * 3 * 3)(i => (i * 5 + 2).toByte)
+    val base = imagePdf("/Width 4 /Height 3 /ColorSpace 8 0 R " +
+      "/BitsPerComponent 8 ", samples)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, base.length - "%%EOF\n".length)
+    def put(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    put("8 0 obj [/ICCBased 9 0 R] endobj\n")
+    put("9 0 obj << /N 3 /Length 0 >> stream\n\nendstream endobj\n%%EOF\n")
+    val imgs = Pdf.extractImages(out.toByteArray)
+    assert(imgs.map(i => (i.width, i.height, i.channels, i.format)) ==
+      Seq((4, 3, 3, "raw")))
+    // indeterminate color space + indivisible payload → skipped, not
+    // mislabeled (37 bytes is no whole 1/3/4-channel 4×3 raster)
+    val odd = Pdf.extractImages(imagePdf(
+      "/Width 4 /Height 3 /BitsPerComponent 8 ",
+      Array.tabulate[Byte](37)(_.toByte)))
+    assert(odd.isEmpty)
+  }
+
+  test("images and fonts inherit /Resources from the /Pages ancestor") {
+    // scanner-produced PDFs hoist shared resources to the page-tree
+    // root (§7.7.3.4) — both the image walk and the font walk must
+    // inherit, or whole documents silently lose images/text
+    val samples = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 3 + 1).toByte)
+    val cmap = "1 beginbfchar <41> <0058> endbfchar"
+    val content = "BT /F1 12 Tf (A) Tj ET q 10 0 0 10 0 0 cm /Im1 Do Q"
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /Resources << " +
+      "/XObject << /Im1 5 0 R >> /Font << /F1 << /Subtype /TrueType " +
+      "/ToUnicode 6 0 R >> >> >> >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put("5 0 obj << /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length ${samples.length} >> stream\n")
+    out.write(samples)
+    put("\nendstream endobj\n")
+    put(s"6 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj\n%%EOF\n")
+    val doc = out.toByteArray
+    assert(Pdf.extractImages(doc).map(i => (i.width, i.height, i.channels)) ==
+      Seq((2, 2, 3)))
+    // the inherited font's CMap applies: A→X
+    assert(Pdf.splitPages(doc).map(_.text) == Seq("X"))
+  }
+
   test("images inside an RC4-encrypted document decrypt before DCT decode") {
     val o32 = Array.tabulate(32)(i => (i * 7 + 3).toByte)
     val id0 = Array.tabulate(16)(i => (i * 13 + 1).toByte)
