@@ -775,6 +775,28 @@ object SparkEntry {
         .orderBy("doc_id", "page_no")
     }),
 
+    // per-page re-emission under the driver gate: the same 6-variant
+    // synthetic docs as q_pdf_split, but each page is re-emitted as a
+    // STANDALONE one-page PDF (decrypt → closure → renumber → xref)
+    // and then RE-PARSED — the emitted bytes must round-trip to the
+    // identical closed-form text, so a wrong closure (missing font/
+    // CMap), bad renumbering, or broken /Length rewrite all
+    // hash-mismatch
+    "q_pdf_emit" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val texts = Seq(s"alpha page of doc $id", s"beta page of doc $id")
+          val bytes = synthPdf((id % 6).toInt, texts)
+          graft.kernels.Pdf.emitPages(bytes).flatMap { case (n, pageBytes) =>
+            graft.kernels.Pdf.splitPages(pageBytes).map(p => (id, n, p.text))
+          }
+        }
+        .toDF("doc_id", "page_no", "text")
+        .orderBy("doc_id", "page_no")
+    }),
+
     // image XObject extraction under the driver gate: per doc, a
     // one-page PDF with an image whose dims derive from doc_id —
     // even docs a Flate RGB raster, odd docs a REAL JPEG (DCTDecode)
@@ -1643,6 +1665,15 @@ object SparkEntry {
       // every decode variant (plain/Flate/CID/RC4/AESV2/AESV3-R6)
       // must produce the identical strings
       "q_pdf_split" ->
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p.p AS INT) AS page_no,
+                  concat(CASE p.p WHEN 1 THEN 'alpha page of doc ' ELSE 'beta page of doc ' END,
+                         CAST(doc_id AS BIGINT)) AS text
+           FROM documents, (VALUES (1), (2)) p(p)
+           WHERE doc_id < 200 ORDER BY doc_id, page_no""",
+
+      // emitted standalone pages re-parse to the SAME closed-form
+      // text as the source document's pages (q_pdf_split's oracle)
+      "q_pdf_emit" ->
         """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p.p AS INT) AS page_no,
                   concat(CASE p.p WHEN 1 THEN 'alpha page of doc ' ELSE 'beta page of doc ' END,
                          CAST(doc_id AS BIGINT)) AS text

@@ -388,25 +388,85 @@ object Pdf {
 
   /** TIFF Predictor 2 (§7.4.4.3): horizontal differencing — each
     * sample is a delta from the previous sample of the same component
-    * in its row; rows carry no filter-type byte. 8-bit samples only
-    * (sub-byte packing → None, documented skip).
+    * in its row; rows carry no filter-type byte. All legal PDF sample
+    * depths decode: 8-bit in place, 16-bit as big-endian shorts,
+    * sub-byte (1/2/4-bit) by unpacking each row's samples MSB-first,
+    * cumulative-summing per component modulo the sample range, and
+    * repacking (round 6 — previously a documented 8-bit-only skip).
     */
   def unpredictTiff(data: Array[Byte], columns: Int, colors: Int, bpc: Int): Option[Array[Byte]] = {
-    if (bpc != 8) return None
-    val rowLen = columns.toLong * colors
-    if (rowLen <= 0 || rowLen > Int.MaxValue || data.length % rowLen != 0) return None
-    val rl = rowLen.toInt
-    val out = data.clone()
-    var r = 0
-    while (r < out.length) {
-      var i = colors
-      while (i < rl) {
-        out(r + i) = ((out(r + i) + out(r + i - colors)) & 0xff).toByte
-        i += 1
-      }
-      r += rl
+    val samplesPerRow = columns.toLong * colors
+    if (samplesPerRow <= 0 || samplesPerRow > Int.MaxValue) return None
+    bpc match {
+      case 8 =>
+        val rl = samplesPerRow.toInt
+        if (data.length % rl != 0) return None
+        val out = data.clone()
+        var r = 0
+        while (r < out.length) {
+          var i = colors
+          while (i < rl) {
+            out(r + i) = ((out(r + i) + out(r + i - colors)) & 0xff).toByte
+            i += 1
+          }
+          r += rl
+        }
+        Some(out)
+      case 16 =>
+        val rl = samplesPerRow.toInt * 2
+        if (rl <= 0 || data.length % rl != 0) return None
+        val out = data.clone()
+        var r = 0
+        while (r < out.length) {
+          var i = colors * 2
+          while (i < rl) {
+            val prev = ((out(r + i - colors * 2) & 0xff) << 8) | (out(r + i - colors * 2 + 1) & 0xff)
+            val cur = ((out(r + i) & 0xff) << 8) | (out(r + i + 1) & 0xff)
+            val v = (cur + prev) & 0xffff
+            out(r + i) = ((v >> 8) & 0xff).toByte
+            out(r + i + 1) = (v & 0xff).toByte
+            i += 2
+          }
+          r += rl
+        }
+        Some(out)
+      case 1 | 2 | 4 =>
+        val rowBytes = ((samplesPerRow * bpc + 7) / 8).toInt
+        if (rowBytes <= 0 || data.length % rowBytes != 0) return None
+        val rows = data.length / rowBytes
+        val out = new Array[Byte](data.length)
+        val mask = (1 << bpc) - 1
+        val spr = samplesPerRow.toInt
+        val samples = new Array[Int](spr)
+        var r = 0
+        while (r < rows) {
+          val base = r * rowBytes
+          // unpack MSB-first
+          var s = 0
+          while (s < spr) {
+            val bit = s * bpc
+            samples(s) = (data(base + (bit >> 3)) >> (8 - bpc - (bit & 7))) & mask
+            s += 1
+          }
+          // cumulative sum per component, modulo the sample range
+          s = colors
+          while (s < spr) {
+            samples(s) = (samples(s) + samples(s - colors)) & mask
+            s += 1
+          }
+          // repack
+          s = 0
+          while (s < spr) {
+            val bit = s * bpc
+            val idx = base + (bit >> 3)
+            out(idx) = (out(idx) | (samples(s) << (8 - bpc - (bit & 7)))).toByte
+            s += 1
+          }
+          r += 1
+        }
+        Some(out)
+      case _ => None
     }
-    Some(out)
   }
 
   /** Post-inflate predictor stage: 1 = identity, 2 = TIFF horizontal

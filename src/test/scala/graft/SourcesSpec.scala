@@ -491,7 +491,10 @@ class PdfSpec extends AnyFunSuite {
     val encC = Array[Byte](10, 50, 20, 10, 40, -20)
     assert(Pdf.unpredictTiff(encC, 3, 2, 8).map(_.toSeq).contains(rawC.toSeq))
     assert(Pdf.unpredictTiff(Array[Byte](1, 2, 3), 2, 1, 8).isEmpty) // ragged
-    assert(Pdf.unpredictTiff(Array[Byte](1, 2), 2, 1, 4).isEmpty) // sub-byte skip
+    // sub-byte depths decode since round 6 (cumsum modulo the range)
+    assert(Pdf.unpredictTiff(Array[Byte](1, 2), 2, 1, 4).map(_.toSeq)
+      .contains(Seq[Byte](1, 2)))
+    assert(Pdf.unpredictTiff(Array[Byte](1, 2), 2, 1, 3).isEmpty) // illegal bpc
   }
 
   test("'stream' inside a dict string is not the stream keyword (dict-only object keeps its /Type /Page)") {
@@ -979,6 +982,60 @@ class PdfSpec extends AnyFunSuite {
     val skipped = Pdf.extractImages(imagePdf(
       "/Width 4 /Height 3 /Filter /JBIG2Decode ", Array[Byte](1, 2, 3)))
     assert(skipped.isEmpty)
+  }
+
+  test("TIFF predictor 2 decodes sub-byte (1/2/4-bit) and 16-bit sample depths") {
+    // reference forward encoder: per-component horizontal differencing
+    // then MSB-first packing — the decoder must invert it exactly
+    def encode(samples: Array[Int], columns: Int, colors: Int, bpc: Int): Array[Byte] = {
+      val spr = columns * colors
+      val rows = samples.length / spr
+      if (bpc == 16) {
+        val out = new Array[Byte](samples.length * 2)
+        for (r <- 0 until rows; s <- (spr - 1) to 0 by -1) {
+          val i = r * spr + s
+          val v = if (s >= colors) (samples(i) - samples(i - colors)) & 0xffff else samples(i)
+          out(2 * i) = ((v >> 8) & 0xff).toByte
+          out(2 * i + 1) = (v & 0xff).toByte
+        }
+        out
+      } else {
+        val mask = (1 << bpc) - 1
+        val rowBytes = (spr * bpc + 7) / 8
+        val out = new Array[Byte](rows * rowBytes)
+        for (r <- 0 until rows; s <- (spr - 1) to 0 by -1) {
+          val v = if (s >= colors) (samples(r * spr + s) - samples(r * spr + s - colors)) & mask
+                  else samples(r * spr + s)
+          val bit = s * bpc
+          val idx = r * rowBytes + (bit >> 3)
+          out(idx) = (out(idx) | (v << (8 - bpc - (bit & 7)))).toByte
+        }
+        out
+      }
+    }
+    for ((bpc, colors) <- Seq((1, 1), (2, 1), (4, 3), (16, 3))) {
+      val columns = 10
+      val range = if (bpc == 16) 65536 else 1 << bpc
+      val spr = columns * colors
+      val samples = Array.tabulate(spr * 4)(i => (i * 37 + 11) % range)
+      val dec = Pdf.unpredictTiff(encode(samples, columns, colors, bpc),
+        columns, colors, bpc).get
+      val got =
+        if (bpc == 16)
+          Array.tabulate(samples.length)(i =>
+            ((dec(2 * i) & 0xff) << 8) | (dec(2 * i + 1) & 0xff))
+        else {
+          val mask = (1 << bpc) - 1
+          val rowBytes = (spr * bpc + 7) / 8
+          Array.tabulate(samples.length) { i =>
+            val r = i / spr; val s = i % spr; val bit = s * bpc
+            (dec(r * rowBytes + (bit >> 3)) >> (8 - bpc - (bit & 7))) & mask
+          }
+        }
+      assert(got.toSeq == samples.toSeq, s"bpc=$bpc colors=$colors")
+    }
+    // a payload that is not whole rows still degrades to None
+    assert(Pdf.unpredictTiff(Array[Byte](1, 2, 3), 7, 3, 4).isEmpty)
   }
 
   test("ICCBased color spaces resolve channel counts via the ICC stream's /N") {
