@@ -409,11 +409,16 @@ object Bench {
       slowJson +
       s""""bench_mult":$mult,""" +
       growth +
+      // key names carry the ACTUAL widths (sec_8/sec_32 under the
+      // default pairing, sec_2/sec_8 under the sf1 protocol's 2,8) —
+      // hardcoded suffixes stored 2-wide data under "_8" when the
+      // pair was overridden, so a by-key reader attributed times to
+      // the wrong widths
       s""""turns":$n32,"widths":"$narrow,$wide",""" +
-      s""""turns_per_sec_8":${f"$tput8%.1f"},"turns_per_sec_32":${f"$tput32%.1f"},""" +
-      s""""sec_8":${f"$sec8%.3f"},"sec_32":${f"$sec32%.3f"},"scaling_efficiency":${f"$eff%.3f"},""" +
+      s""""turns_per_sec_$narrow":${f"$tput8%.1f"},"turns_per_sec_$wide":${f"$tput32%.1f"},""" +
+      s""""sec_$narrow":${f"$sec8%.3f"},"sec_$wide":${f"$sec32%.3f"},"scaling_efficiency":${f"$eff%.3f"},""" +
       s""""scaling_partitions":$ScalingPartitions,"cycles":$cycles,""" +
-      s""""sec_8_all":${arr(runs8.toList)},"sec_32_all":${arr(runs32.toList)},""" +
+      s""""sec_${narrow}_all":${arr(runs8.toList)},"sec_${wide}_all":${arr(runs32.toList)},""" +
       unsaturated +
       // rule_pairing names the pairing that carries the north-rule
       // criterion: the unsaturated block emits its own when it runs;

@@ -434,32 +434,30 @@ object Pdf {
         val rowBytes = ((samplesPerRow * bpc + 7) / 8).toInt
         if (rowBytes <= 0 || data.length % rowBytes != 0) return None
         val rows = data.length / rowBytes
+        // allocation is bounded by the STREAM size: a dict-declared
+        // /Columns must never amplify memory (a crafted 32-bit column
+        // count would make a samples-per-row Int buffer up to 32× the
+        // payload — an OutOfMemoryError escapes the per-PDF quarantine
+        // and kills the task). Prior samples are read back from the
+        // already-written output bits instead.
         val out = new Array[Byte](data.length)
         val mask = (1 << bpc) - 1
         val spr = samplesPerRow.toInt
-        val samples = new Array[Int](spr)
+        def getS(arr: Array[Byte], base: Int, s: Int): Int = {
+          val bit = s * bpc
+          (arr(base + (bit >> 3)) >> (8 - bpc - (bit & 7))) & mask
+        }
         var r = 0
         while (r < rows) {
           val base = r * rowBytes
-          // unpack MSB-first
           var s = 0
           while (s < spr) {
-            val bit = s * bpc
-            samples(s) = (data(base + (bit >> 3)) >> (8 - bpc - (bit & 7))) & mask
-            s += 1
-          }
-          // cumulative sum per component, modulo the sample range
-          s = colors
-          while (s < spr) {
-            samples(s) = (samples(s) + samples(s - colors)) & mask
-            s += 1
-          }
-          // repack
-          s = 0
-          while (s < spr) {
+            val raw = getS(data, base, s)
+            // cumulative sum per component, modulo the sample range
+            val v = if (s < colors) raw else (raw + getS(out, base, s - colors)) & mask
             val bit = s * bpc
             val idx = base + (bit >> 3)
-            out(idx) = (out(idx) | (samples(s) << (8 - bpc - (bit & 7)))).toByte
+            out(idx) = (out(idx) | (v << (8 - bpc - (bit & 7)))).toByte
             s += 1
           }
           r += 1
@@ -785,24 +783,34 @@ object Pdf {
     PdfFont(isType0, toUni, diffs, base)
   }
 
-  /** The page's `/Resources` dict TEXT, inheriting from the nearest
-    * `/Parent` ancestor when the page lacks its own (§7.7.3.4
-    * inheritable attributes — scanner-produced PDFs routinely hoist
-    * shared resources to the /Pages root).
+  /** Walk a page's `/Parent` ancestor chain (§7.7.3.4 inheritable
+    * attributes), applying `extract` to the page dict itself first and
+    * then each ancestor; first hit wins. Bounded against /Parent
+    * cycles in corrupt files. The ONE chain walker — both the
+    * resource resolver and the page emitter inherit through it, so the
+    * guard and termination semantics cannot drift apart.
     */
-  private def resolvedResources(pageDict: String, byNum: Map[Int, PdfObj]): Option[String] = {
+  private def inheritFromAncestors[A](pageDict: String, byNum: Map[Int, PdfObj])(
+      extract: String => Option[A]): Option[A] = {
     var body: Option[String] = Some(pageDict)
     var guard = 0
     while (body.isDefined && guard < 32) {
       val d = body.get
-      val res = dictValue(d, "/Resources", byNum)
-      if (res.isDefined) return res
+      val hit = extract(d)
+      if (hit.isDefined) return hit
       body = ParentEntryRe.findFirstMatchIn(d).flatMap(_.group(1).toIntOption)
         .flatMap(byNum.get).map(_.dict)
       guard += 1
     }
     None
   }
+
+  /** The page's `/Resources` dict TEXT, inheriting from the nearest
+    * `/Parent` ancestor when the page lacks its own (scanner-produced
+    * PDFs routinely hoist shared resources to the /Pages root).
+    */
+  private def resolvedResources(pageDict: String, byNum: Map[Int, PdfObj]): Option[String] =
+    inheritFromAncestors(pageDict, byNum)(dictValue(_, "/Resources", byNum))
 
   /** Resolve the page's `/Resources /Font` dict (inline or indirect at
     * either level, inherited from the page tree when absent locally)
@@ -1377,6 +1385,44 @@ object Pdf {
     if (close < 0) dict else dict.substring(0, close) + entry + " " + dict.substring(close)
   }
 
+  /** Rebuild `d` with `f` applied only to the spans OUTSIDE literal
+    * strings; the strings themselves pass through verbatim (or blank
+    * when `keepStrings` is false — the closure scanner's view). PDF
+    * literal strings nest with balanced parens and escape with
+    * backslash (§7.3.4.2); ref-shaped text inside them is DATA — an
+    * annotation's `/Contents (Exhibit 99 0 R)` must keep its visible
+    * text even when object 99 doesn't exist, so neither the dangling
+    * rewrite nor the reference closure may see into them.
+    */
+  private def mapOutsideStrings(d: String, keepStrings: Boolean = true)(
+      f: String => String): String = {
+    val sb = new StringBuilder(d.length + 16)
+    var start = 0
+    var i = 0
+    while (i < d.length) {
+      if (d.charAt(i) == '(') {
+        sb.append(f(d.substring(start, i)))
+        var depth = 1
+        var j = i + 1
+        while (j < d.length && depth > 0) {
+          d.charAt(j) match {
+            case '\\' => j += 1 // escaped char — skip it unexamined
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        val end = math.min(j, d.length)
+        sb.append(if (keepStrings) d.substring(i, end) else " ")
+        start = end
+        i = end
+      } else i += 1
+    }
+    sb.append(f(d.substring(start)))
+    sb.toString
+  }
+
   /** Each page as a STANDALONE one-page PDF (1-based page numbers):
     * the page object plus the transitive closure of its references
     * (fonts, CMaps, XObjects, content streams — but not the /Parent
@@ -1403,18 +1449,11 @@ object Pdf {
     var pageDict = ParentEntryRe.replaceAllIn(
       if (page.stream.isDefined) LengthEntryRe.replaceAllIn(page.dict, " ")
       else page.dict, "")
-    if (keyIndex(pageDict, "/Resources") < 0) {
-      var cur = ParentEntryRe.findFirstMatchIn(page.dict).flatMap(_.group(1).toIntOption)
-      var res: Option[String] = None
-      var guard = 0
-      while (res.isEmpty && cur.isDefined && guard < 32) {
-        val pd = byNum.get(cur.get).map(_.dict)
-        res = pd.flatMap(resourcesEntry)
-        cur = pd.flatMap(d => ParentEntryRe.findFirstMatchIn(d).flatMap(_.group(1).toIntOption))
-        guard += 1
-      }
-      res.foreach(r => pageDict = insertBeforeClose(pageDict, r))
-    }
+    if (keyIndex(pageDict, "/Resources") < 0)
+      // the shared ancestor walk (resourcesEntry is None on the page
+      // itself — the keyIndex guard above already established that)
+      inheritFromAncestors(page.dict, byNum)(resourcesEntry)
+        .foreach(r => pageDict = insertBeforeClose(pageDict, r))
     // reference closure over DICT bodies (streams carry no refs); the
     // stripped /Parent keeps the sibling-page subtree out. /Length is
     // always rewritten (decryption may have changed payload sizes),
@@ -1430,8 +1469,11 @@ object Pdf {
     val ordered = ArrayBuffer.empty[Int]
     val seen = scala.collection.mutable.HashSet[Int](page.num)
     def visitRefs(dict: String): Unit =
-      for (m <- RefTokenRe.findAllMatchIn(dict); n <- m.group(1).toIntOption
-           if !seen.contains(n)) {
+      // literal-string contents are data, not references — blank them
+      // before the scan so '(… 12 0 R …)' text can't drag object 12
+      // (or anything behind it) into the closure
+      for (m <- RefTokenRe.findAllMatchIn(mapOutsideStrings(dict, keepStrings = false)(identity));
+           n <- m.group(1).toIntOption if !seen.contains(n)) {
         byNum.get(n).foreach { o =>
           seen += n
           ordered += n
@@ -1448,11 +1490,15 @@ object Pdf {
       (ordered.zipWithIndex.map { case (n, i) => n -> (4 + i) } :+ (page.num -> 3)).toMap
     var danglingSeen = false
     def rewrite(d: String): String =
-      RefTokenRe.replaceAllIn(d, m =>
-        m.group(1).toIntOption.flatMap(renum.get) match {
-          case Some(nn) => s"$nn 0 R"
-          case None => danglingSeen = true; s"$nullObjNum 0 R"
-        })
+      // masked like visitRefs: ref-shaped text inside a literal string
+      // stays verbatim — rewriting it would corrupt visible content
+      // (and a dangling-shaped token there would mint a spurious null)
+      mapOutsideStrings(d)(seg =>
+        RefTokenRe.replaceAllIn(seg, m =>
+          m.group(1).toIntOption.flatMap(renum.get) match {
+            case Some(nn) => s"$nn 0 R"
+            case None => danglingSeen = true; s"$nullObjNum 0 R"
+          }))
     val out = new java.io.ByteArrayOutputStream(4096)
     def put(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     val offsets = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
@@ -1493,13 +1539,17 @@ object Pdf {
   // JPEG bytes a DCT stream carries).
   // ---------------------------------------------------------------
 
-  /** One image XObject of a page: true pixel dimensions and channel
-    * count, `format` = "jpeg" (DCTDecode — `data` is the verbatim
-    * JPEG, ready for any image decoder) or "raw" (fully-decoded
-    * sample bytes, `/Width`×`/Height`×channels at `/BitsPerComponent`).
+  /** One image XObject of a page: true pixel dimensions, channel
+    * count and sample depth. `format` = "jpeg" (DCTDecode — `data` is
+    * the verbatim JPEG, ready for any image decoder; `bpc` = 8) or
+    * "raw" (fully-decoded sample bytes: `height` rows of
+    * ceil(`width`×`channels`×`bpc`/8) bytes each — sub-byte depths
+    * stay MSB-first bit-packed per row, so `bpc` is part of the
+    * payload contract, not advisory).
     */
   final case class PdfImage(pageNo: Int, name: String, width: Int,
-      height: Int, channels: Int, format: String, data: Array[Byte])
+      height: Int, channels: Int, format: String, data: Array[Byte],
+      bpc: Int = 8)
 
   // heap-only ImageIO (same rationale as Multimodal: thousands of
   // in-memory decodes per executor must not hit a temp-file cache)
@@ -1519,28 +1569,48 @@ object Pdf {
     * into a 1/3/4-channel 8-bit raster. None = indeterminate → the
     * image is SKIPPED rather than labeled with wrong metadata
     * (empty beats garbage applies to dims too).
+    *
+    * Classification short-circuits on the color-space FAMILY before
+    * any base-space name: an `/Indexed [/DeviceRGB …]` payload is
+    * w×h palette INDICES (one component per sample) — reporting the
+    * base's 3 channels would make a stride-computing consumer read 3×
+    * past the buffer. `/Separation` is likewise single-tint.
+    * `/DeviceN` needs the colorant-array length, which this scanner
+    * doesn't parse → skip. A declared channel count must also AGREE
+    * with the decoded payload size (`height` rows of
+    * ceil(width×channels×bpc/8) bytes); disagreement means the
+    * metadata doesn't describe these bytes → skip, never emit.
     */
   private def channelsOf(dict: String, byNum: Map[Int, PdfObj],
       dataLen: Int, w: Int, h: Int, bpc: Int): Option[Int] = {
-    def byName(d: String): Option[Int] =
-      if (d.contains("/DeviceRGB")) Some(3)
-      else if (d.contains("/DeviceCMYK")) Some(4)
-      else if (d.contains("/DeviceGray")) Some(1)
+    // Some(Some(n)) = decided n channels; Some(None) = decided skip;
+    // None = this text doesn't determine the space — keep looking
+    def classify(d: String): Option[Option[Int]] =
+      if (d.contains("/Indexed") || d.contains("/Separation")) Some(Some(1))
+      else if (d.contains("/DeviceN")) Some(None)
+      else if (d.contains("/DeviceRGB")) Some(Some(3))
+      else if (d.contains("/DeviceCMYK")) Some(Some(4))
+      else if (d.contains("/DeviceGray")) Some(Some(1))
       else None
     def viaIcc(d: String): Option[Int] =
       IccRefRe.findFirstMatchIn(d).flatMap(_.group(1).toIntOption).flatMap(byNum.get)
         .flatMap(o => NCompRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption))
         .filter(n => n == 1 || n == 3 || n == 4)
-    byName(dict)
-      .orElse(viaIcc(dict))
+    def resolve(d: String): Option[Option[Int]] =
+      classify(d).orElse(viaIcc(d).map(n => Some(n): Option[Int]))
+    def payloadMatches(ch: Int): Boolean =
+      w > 0 && h > 0 && dataLen == (w.toLong * ch * bpc + 7) / 8 * h
+    resolve(dict)
       .orElse(ColorSpaceRefRe.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
-        .flatMap(byNum.get).map(_.dict).flatMap(d => byName(d).orElse(viaIcc(d))))
-      .orElse {
+        .flatMap(byNum.get).map(_.dict).flatMap(resolve)) match {
+      case Some(decided) => decided.filter(payloadMatches)
+      case None =>
+        // size inference: only an unambiguous 8-bit raster
         if (bpc == 8 && w > 0 && h > 0 && dataLen % (w.toLong * h) == 0) {
           val c = (dataLen / (w.toLong * h)).toInt
           if (c == 1 || c == 3 || c == 4) Some(c) else None
         } else None
-      }
+    }
   }
 
   private def decodeImage(pageNo: Int, name: String, o: PdfObj,
@@ -1577,9 +1647,9 @@ object Pdf {
         data <- o.stream.flatMap(decodeStream(o.dict, _))
         w <- WidthRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
         h <- HeightRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
-        bpc <- paramOr(BpcRe, o.dict, 8)
+        bpc <- paramOr(BpcRe, o.dict, 8).filter(b => Set(1, 2, 4, 8, 16)(b))
         ch <- channelsOf(o.dict, byNum, data.length, w, h, bpc)
-      } yield PdfImage(pageNo, name, w, h, ch, "raw", data)
+      } yield PdfImage(pageNo, name, w, h, ch, "raw", data, bpc)
   }
 
   /** All image XObjects of the document, in page order — decrypted

@@ -14,14 +14,7 @@ import graft.sources.Serializers
 class PdfEmitSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def deflate(b: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater()
-    d.setInput(b); d.finish()
-    val o = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) o.write(buf, 0, d.deflate(buf))
-    d.end(); o.toByteArray
-  }
+  private def deflate(b: Array[Byte]): Array[Byte] = Pdf.deflate(b)
 
   private def flateDoc(texts: Seq[String]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -182,6 +175,162 @@ class PdfEmitSpec extends AnyFunSuite {
     assert(s.contains(" null endobj") || s.contains(" null\nendobj"), s)
     assert(s.contains("(see 12 0 Rows below)"), s)
     assert(!s.contains("/A 99 0 R"), s)
+  }
+
+  test("ref-shaped text inside literal strings is neither rewritten nor pulled into the closure") {
+    // two traps in one document: a DANGLING ref-shape '(Exhibit 99 0 R)'
+    // (object 99 absent — rewriting it would corrupt the visible text
+    // AND mint a spurious null object) and an EXISTING object's
+    // ref-shape '(see 6 0 R)' (object 6 is an unrelated orphan — the
+    // closure scanner must not drag it in)
+    val content = "BT /F1 12 Tf (stringy page) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Annots [5 0 R] /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put("5 0 obj << /Type /Annot /Subtype /Text /Contents (Exhibit 99 0 R) " +
+      "/T (see 6 0 R) /Rect [0 0 10 10] >> endobj\n")
+    put("6 0 obj << /Type /Metadata /Orphan true >> endobj\n%%EOF\n")
+    val emitted = Pdf.emitPages(out.toByteArray)
+    val s = new String(emitted.head._2, ISO_8859_1)
+    assert(Pdf.splitPages(emitted.head._2).map(_.text) == Seq("stringy page"))
+    assert(s.contains("(Exhibit 99 0 R)"), s)
+    assert(s.contains("(see 6 0 R)"), s)
+    // no spurious null object, no orphan adoption
+    assert(!s.contains(" null"), s)
+    assert(!s.contains("/Orphan"), s)
+  }
+
+  test("Indexed color space reports 1 channel (palette indices), never the base space's") {
+    // /Indexed [/DeviceRGB …] payload is w×h palette INDICES; labeling
+    // it 3-channel would make a stride-computing consumer read 3× past
+    // the buffer
+    val w = 6; val h = 4
+    val idx = Array.tabulate[Byte](w * h)(i => (i % 5).toByte)
+    val flate = deflate(idx)
+    val palette = (0 until 15).map(i => f"$i%02X").mkString
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /XObject << /Im1 4 0 R >> >> >> endobj\n")
+    put(s"4 0 obj << /Type /XObject /Subtype /Image /Width $w /Height $h " +
+      s"/ColorSpace [/Indexed /DeviceRGB 4 <$palette>] /BitsPerComponent 8 " +
+      s"/Filter /FlateDecode /Length ${flate.length} >> stream\n")
+    out.write(flate)
+    put("\nendstream endobj\n%%EOF\n")
+    val imgs = Pdf.extractImages(out.toByteArray)
+    assert(imgs.map(i => (i.width, i.height, i.channels, i.bpc, i.format)) ==
+      Seq((w, h, 1, 8, "raw")))
+    assert(imgs.head.data.toSeq == idx.toSeq)
+  }
+
+  test("declared channels disagreeing with the payload size skip the image (never mislabel)") {
+    val w = 6; val h = 4
+    val gray = Array.tabulate[Byte](w * h)(i => i.toByte) // 1-channel bytes
+    val flate = deflate(gray)
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /XObject << /Im1 4 0 R >> >> >> endobj\n")
+    // lies: claims RGB over a w*h payload
+    put(s"4 0 obj << /Type /XObject /Subtype /Image /Width $w /Height $h " +
+      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode /Length ${flate.length} >> stream\n")
+    out.write(flate)
+    put("\nendstream endobj\n%%EOF\n")
+    assert(Pdf.extractImages(out.toByteArray).isEmpty)
+  }
+
+  test("1-bit bitonal raster carries bpc=1 with row-packed payload intact") {
+    // the most common scanned-page raster: /DeviceGray /BitsPerComponent
+    // 1 — data is ceil(w/8)*h packed bytes and bpc is part of the
+    // payload contract
+    val w = 10; val h = 3 // rowBytes = 2
+    val packed = Array[Byte](0x5a, 0x40.toByte, 0x3c, 0x80.toByte, 0xff.toByte, 0xc0.toByte)
+    val flate = deflate(packed)
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /XObject << /Im1 4 0 R >> >> >> endobj\n")
+    put(s"4 0 obj << /Type /XObject /Subtype /Image /Width $w /Height $h " +
+      s"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /FlateDecode /Length ${flate.length} >> stream\n")
+    out.write(flate)
+    put("\nendstream endobj\n%%EOF\n")
+    val imgs = Pdf.extractImages(out.toByteArray)
+    assert(imgs.map(i => (i.width, i.height, i.channels, i.bpc, i.format)) ==
+      Seq((w, h, 1, 1, "raw")))
+    assert(imgs.head.data.toSeq == packed.toSeq)
+  }
+
+  test("property: emit→re-parse text equals source split text across generated documents") {
+    // deterministic pseudo-random documents: varying page counts,
+    // filters (plain/Flate/chained A85+Flate), fonts (none/CID),
+    // content-stream arrays — the invariant is per-page text equality
+    // between the SOURCE document's split and each emitted standalone
+    // page's re-parse
+    val rnd = new scala.util.Random(0x9e3779b9L)
+    for (doc <- 0 until 25) {
+      val nPages = 1 + rnd.nextInt(4)
+      val texts = (1 to nPages).map(p => s"doc $doc page $p word${rnd.nextInt(1000)}")
+      val variant = rnd.nextInt(3) // 0 plain, 1 flate, 2 a85+flate
+      val cid = rnd.nextBoolean()
+      val out = new java.io.ByteArrayOutputStream()
+      def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+      put("%PDF-1.5\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      val kids = texts.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+      put(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> endobj\n")
+      val fontObj = 3 + 2 * nPages
+      texts.zipWithIndex.foreach { case (txt, i) =>
+        val pageObj = 3 + 2 * i
+        val res = if (cid) s"/Resources << /Font << /F1 $fontObj 0 R >> >> " else ""
+        put(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R $res/Contents ${pageObj + 1} 0 R >> endobj\n")
+        val content =
+          if (cid) s"BT /F1 12 Tf <${txt.map(c => f"${c.toInt}%04X").mkString}> Tj ET"
+          else s"BT /F1 12 Tf ($txt) Tj ET"
+        val (data, filter) = variant match {
+          case 1 => (deflate(content.getBytes(ISO_8859_1)), "/Filter /FlateDecode ")
+          case 2 =>
+            val z = deflate(content.getBytes(ISO_8859_1))
+            // ASCII85 encode (test-local reference encoder)
+            val sb = new StringBuilder
+            z.grouped(4).foreach { g =>
+              val n = g.length
+              var v = 0L
+              for (k <- 0 until 4) v = (v << 8) | (if (k < n) g(k) & 0xffL else 0L)
+              val digits = (0 until 5).map(k => ('!' + (v / math.pow(85, 4 - k).toLong % 85)).toChar)
+              sb.appendAll(digits.take(n + 1))
+            }
+            sb.append("~>")
+            (sb.toString.getBytes(ISO_8859_1), "/Filter [/ASCII85Decode /FlateDecode] ")
+          case _ => (content.getBytes(ISO_8859_1), "")
+        }
+        put(s"${pageObj + 1} 0 obj << /Length ${data.length} $filter>> stream\n")
+        out.write(data)
+        put("\nendstream endobj\n")
+      }
+      if (cid) {
+        val cmap = "1 beginbfrange <0000> <00FF> <0000> endbfrange"
+        put(s"$fontObj 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+          s"/ToUnicode ${fontObj + 1} 0 R >> endobj\n")
+        put(s"${fontObj + 1} 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj\n")
+      }
+      put("%%EOF\n")
+      val bytes = out.toByteArray
+      val srcTexts = Pdf.splitPages(bytes).map(_.text)
+      assert(srcTexts == texts, s"doc $doc source split (variant=$variant cid=$cid)")
+      val emitted = Pdf.emitPages(bytes)
+      assert(emitted.map(_._1) == (1 to nPages), s"doc $doc page numbers")
+      val roundTrip = emitted.map { case (_, b) =>
+        val pages = Pdf.splitPages(b)
+        assert(pages.length == 1, s"doc $doc emitted page not standalone")
+        pages.head.text
+      }
+      assert(roundTrip == srcTexts, s"doc $doc round-trip (variant=$variant cid=$cid)")
+    }
   }
 
   test("readPdfPageDocs yields the reference datapoint shape with re-parseable pdf_bytes") {
