@@ -143,15 +143,62 @@ object SparkEntry {
     out.toByteArray
   }
 
-  /** Deterministic one-page PDF with a single image XObject for
-    * `q_pdf_images`: DCT variant encodes a real JPEG via ImageIO
-    * (decode must recover the true dims), raw variant a Flate RGB
-    * raster. Pure function of (dct, w, h).
+  /** CCITT G4 (T.6) payload for a deterministic bitonal pattern,
+    * encoded by the JDK's TIFF WRITER — an encoder independent of the
+    * kernel's decode path (which wraps the payload back into a TIFF
+    * for the JDK READER; encode and decode are separate codec
+    * implementations in the imageio plugin). Returns the single
+    * strip's raw T.6 bytes, extracted by walking the writer's IFD.
     */
-  private def synthImagePdf(dct: Boolean, w: Int, h: Int): Array[Byte] = {
+  private def synthG4(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (((x / 3) + (y / 2)) % 2 == 0) 0xFFFFFF else 0x000000)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("CCITT T.6")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.flush()
+    writer.dispose()
+    val tiff = bos.toByteArray
+    val bb = java.nio.ByteBuffer.wrap(tiff)
+    if (tiff(0) == 'I') bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getInt(4)
+    val n = bb.getShort(ifd) & 0xffff
+    var off = -1
+    var len = -1
+    for (i <- 0 until n) {
+      val e = ifd + 2 + i * 12
+      val tag = bb.getShort(e) & 0xffff
+      val typ = bb.getShort(e + 2) & 0xffff
+      val cnt = bb.getInt(e + 4)
+      def value: Int = if (typ == 3) bb.getShort(e + 8) & 0xffff else bb.getInt(e + 8)
+      if (tag == 273 || tag == 279) {
+        // the test dims are far below any strip split, but a
+        // multi-strip surprise must fail loudly, not corrupt fixtures
+        require(cnt == 1, s"multi-strip TIFF from writer (tag $tag cnt $cnt)")
+        if (tag == 273) off = value else len = value
+      }
+    }
+    require(off >= 0 && len > 0, "strip tags missing from writer TIFF")
+    java.util.Arrays.copyOfRange(tiff, off, off + len)
+  }
+
+  /** Deterministic one-page PDF with a single image XObject for
+    * `q_pdf_images`. Variants: 0 = Flate RGB raster, 1 = real JPEG
+    * via ImageIO (decode must recover the true dims), 2 = CCITT G4
+    * bitonal (JDK-writer-encoded T.6, kernel must decode through the
+    * TIFF-wrap path). Pure function of (variant, w, h).
+    */
+  private def synthImagePdf(variant: Int, w: Int, h: Int): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
-    val (data, filter) =
-      if (dct) {
+    val (data, entries) = variant match {
+      case 1 =>
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
         var y = 0
@@ -162,11 +209,15 @@ object SparkEntry {
         }
         val o = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "jpg", o)
-        (o.toByteArray, "/Filter /DCTDecode ")
-      } else {
+        (o.toByteArray, "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode ")
+      case 2 =>
+        (synthG4(w, h), "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+          s"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns $w /Rows $h >> ")
+      case _ =>
         val samples = Array.tabulate[Byte](w * h * 3)(i => ((i * 11 + 5) & 0xff).toByte)
-        (graft.kernels.Pdf.deflate(samples), "/Filter /FlateDecode ")
-      }
+        (graft.kernels.Pdf.deflate(samples),
+          "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode ")
+    }
     val out = new java.io.ByteArrayOutputStream()
     def put(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
     val content = "q 100 0 0 100 0 0 cm /Im1 Do Q"
@@ -176,7 +227,7 @@ object SparkEntry {
       "<< /Im1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
     put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
     put(s"5 0 obj << /Type /XObject /Subtype /Image /Width $w /Height $h " +
-      s"/ColorSpace /DeviceRGB /BitsPerComponent 8 $filter/Length ${data.length} >> stream\n")
+      s"$entries/Length ${data.length} >> stream\n")
     out.write(data)
     put("\nendstream endobj\n%%EOF\n")
     out.toByteArray
@@ -799,8 +850,9 @@ object SparkEntry {
 
     // image XObject extraction under the driver gate: per doc, a
     // one-page PDF with an image whose dims derive from doc_id —
-    // even docs a Flate RGB raster, odd docs a REAL JPEG (DCTDecode)
-    // that ImageIO must decode back to the exact declared dims
+    // doc_id%3 picks a Flate RGB raster, a REAL JPEG (DCTDecode), or
+    // a CCITT G4 bitonal (encoded by the JDK TIFF writer in-flight);
+    // the kernel must decode each back to the exact declared shape
     "q_pdf_images" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).filter(col("doc_id") < 200)
@@ -808,10 +860,10 @@ object SparkEntry {
         .flatMap { id =>
           val w = 8 + (id % 5).toInt
           val h = 6 + (id % 3).toInt
-          graft.kernels.Pdf.extractImages(synthImagePdf(id % 2 == 1, w, h))
-            .map(im => (id, im.width, im.height, im.channels, im.format))
+          graft.kernels.Pdf.extractImages(synthImagePdf((id % 3).toInt, w, h))
+            .map(im => (id, im.width, im.height, im.channels, im.bpc, im.format))
         }
-        .toDF("doc_id", "width", "height", "channels", "format")
+        .toDF("doc_id", "width", "height", "channels", "bpc", "format")
         .orderBy("doc_id")
     }),
 
@@ -1687,8 +1739,9 @@ object SparkEntry {
         """SELECT CAST(doc_id AS BIGINT) AS doc_id,
                   CAST(8 + doc_id % 5 AS INT) AS width,
                   CAST(6 + doc_id % 3 AS INT) AS height,
-                  CAST(3 AS INT) AS channels,
-                  CASE WHEN doc_id % 2 = 1 THEN 'jpeg' ELSE 'raw' END AS format
+                  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS INT) AS channels,
+                  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 8 END AS INT) AS bpc,
+                  CASE WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'raw' END AS format
            FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
 
       // the estimator's recovered angle equals the planted one (the

@@ -1560,6 +1560,7 @@ object Pdf {
   private val ColorSpaceRefRe = """/ColorSpace\s+(\d+)\s+\d+\s+R""".r
   private val IccRefRe = """/ICCBased\s+(\d+)\s+\d+\s+R""".r
   private val NCompRe = """/N\s+(\d+)""".r
+  private val DeviceNNamesRe = """/DeviceN\s*\[([^\]]*)\]""".r
 
   /** Channel count of a raster image: device color-space names
     * (direct or behind an indirect `/ColorSpace N G R`), `/ICCBased`
@@ -1587,7 +1588,12 @@ object Pdf {
     // None = this text doesn't determine the space — keep looking
     def classify(d: String): Option[Option[Int]] =
       if (d.contains("/Indexed") || d.contains("/Separation")) Some(Some(1))
-      else if (d.contains("/DeviceN")) Some(None)
+      else if (d.contains("/DeviceN"))
+        // one channel per colorant in the names array (§8.6.6.5);
+        // an indirect names array → indeterminate → skip
+        Some(DeviceNNamesRe.findFirstMatchIn(d)
+          .map(m => NameRe.findAllMatchIn(m.group(1)).length)
+          .filter(n => n >= 1 && n <= 32))
       else if (d.contains("/DeviceRGB")) Some(Some(3))
       else if (d.contains("/DeviceCMYK")) Some(Some(4))
       else if (d.contains("/DeviceGray")) Some(Some(1))
@@ -1613,16 +1619,125 @@ object Pdf {
     }
   }
 
+  // ---- CCITTFaxDecode via the JDK TIFF reader ----
+
+  private val KParmRe = """/K\s+(-?\d+)""".r
+  private val RowsParmRe = """/Rows\s+(\d+)""".r
+  private def boolParam(dict: String, key: String): Boolean =
+    (java.util.regex.Pattern.quote(key) + """\s+true""").r.findFirstIn(dict).isDefined
+
+  /** Wrap a raw CCITT G3/G4 payload in a minimal single-strip
+    * big-endian TIFF so the JDK's TIFF reader (in `javax.imageio`
+    * since Java 9, JEP 262) decodes it — the same JDK-codec leverage
+    * as the DCTDecode path, instead of hand-porting the T.4/T.6 code
+    * tables. TIFF 6.0 bilevel: ImageWidth/Length, BitsPerSample 1,
+    * WhiteIsZero, single full-height strip. `compression` 2 = MH
+    * (1-D, byte-aligned rows, no options tag — ResolutionUnit pads
+    * the entry count), 3 = T.4 with `options` as T4Options, 4 = T.6.
+    */
+  private def ccittToTiff(data: Array[Byte], width: Int, rows: Int,
+      compression: Int, options: Int): Array[Byte] = {
+    val nEntries = 10
+    val dataOff = 8 + 2 + nEntries * 12 + 4
+    val out = java.nio.ByteBuffer.allocate(dataOff + data.length) // big-endian
+    out.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    out.putShort(nEntries.toShort)
+    // entries must be ascending by tag; type 3 = SHORT (left-justified
+    // value), 4 = LONG
+    def entry(tag: Int, typ: Int, value: Int): Unit = {
+      out.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+      if (typ == 3) { out.putShort(value.toShort); out.putShort(0) } else out.putInt(value)
+    }
+    entry(256, 4, width) // ImageWidth
+    entry(257, 4, rows) // ImageLength
+    entry(258, 3, 1) // BitsPerSample
+    entry(259, 3, compression)
+    entry(262, 3, 0) // PhotometricInterpretation: WhiteIsZero
+    entry(273, 4, dataOff) // StripOffsets
+    entry(277, 3, 1) // SamplesPerPixel
+    entry(278, 4, rows) // RowsPerStrip
+    entry(279, 4, data.length) // StripByteCounts
+    compression match {
+      case 3 => entry(292, 4, options) // T4Options
+      case 4 => entry(293, 4, 0) // T6Options
+      case _ => entry(296, 3, 1) // ResolutionUnit (inert pad)
+    }
+    out.putInt(0) // next IFD
+    out.put(data)
+    out.array()
+  }
+
+  /** Decode a (transport-unwrapped) CCITT payload to the row-packed
+    * 1-bit samples CCITTFaxDecode emits: `/BlackIs1 false` (the
+    * default) → black pixels are 0 bits. Parameters are read flat
+    * from the image dict text, which includes any inline
+    * `/DecodeParms` sub-dict.
+    *
+    * K→TIFF mapping (probed against the JDK reader, not assumed):
+    * K<0 → Compression 4 (T.6); K>0 → Compression 3 with T4Options
+    * bit 0 (2-D; such streams carry EOL+tag bits); K=0 with a
+    * leading EOL (first 12 bits 0x001) → Compression 3 1-D; K=0
+    * without EOLs and `/EncodedByteAlign` → Compression 2 (TIFF MH,
+    * whose byte-aligned-rows rule IS EncodedByteAlign). None on
+    * decode failure, a missing row count (no `/Rows` and no
+    * `/Height`), `/EncodedByteAlign` with G4, or EOL-less unaligned
+    * K=0 (neither has a TIFF expression; a wrong declaration decodes
+    * to silent garbage, proven by probe) — skip beats garbage.
+    */
+  private def ccittDecode(data: Array[Byte], dict: String,
+      heightHint: Option[Int]): Option[(Int, Int, Array[Byte])] = {
+    val k = KParmRe.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption).getOrElse(0)
+    val byteAlign = boolParam(dict, "/EncodedByteAlign")
+    val blackIs1 = boolParam(dict, "/BlackIs1")
+    val leadingEol = data.length >= 2 && data(0) == 0 && (data(1) & 0xf0) == 0x10
+    val compOpts: Option[(Int, Int)] =
+      if (k < 0) { if (byteAlign) None else Some((4, 0)) }
+      else if (k > 0) Some((3, 1 | (if (byteAlign) 4 else 0)))
+      else if (leadingEol) Some((3, if (byteAlign) 4 else 0))
+      else if (byteAlign) Some((2, 0))
+      else None
+    for {
+      co <- compOpts
+      cols <- paramOr(ColumnsRe, dict, 1728).filter(_ > 0)
+      rows <- RowsParmRe.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
+        .orElse(heightHint).filter(_ > 0)
+      img <- {
+        imageIoReady
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          ccittToTiff(data, cols, rows, co._1, co._2))))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    } yield {
+      val w = img.getWidth
+      val h = img.getHeight
+      val rowBytes = (w + 7) / 8
+      val packed = new Array[Byte](rowBytes * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // getRGB goes through the color model, so the reader's
+          // photometric handling is honored; bit = 1 exactly when the
+          // pixel's blackness matches the BlackIs1 polarity
+          val black = (img.getRGB(x, y) & 0xff) < 128
+          if (black == blackIs1)
+            packed(y * rowBytes + (x >> 3)) =
+              (packed(y * rowBytes + (x >> 3)) | (0x80 >> (x & 7))).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, packed)
+    }
+  }
+
   private def decodeImage(pageNo: Int, name: String, o: PdfObj,
       byNum: Map[Int, PdfObj]): Option[PdfImage] = {
     val filters = filtersOf(o.dict)
-    val isDct = filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")
-    if (isDct) {
-      // transport filters (ASCII85/Hex/Flate) may wrap the JPEG; the
-      // JPEG itself decodes with the JDK — dims/channels are the TRUE
-      // decoded values, and `data` stays the compressed JPEG so
-      // downstream consumers re-decode with any codec they like
-      val jpeg = filters.dropRight(1).foldLeft(o.stream) { (acc, f) =>
+    // transport filters (ASCII85/Hex/Flate) may wrap an image codec's
+    // payload; unwrap them and hand the codec bytes to the JDK
+    def transportUnwrap(fs: Seq[String]): Option[Array[Byte]] =
+      fs.foldLeft(o.stream) { (acc, f) =>
         acc.flatMap(d => f match {
           case "FlateDecode" | "Fl" => inflate(d)
           case "ASCII85Decode" | "A85" => ascii85(d)
@@ -1630,30 +1745,137 @@ object Pdf {
           case _ => None
         })
       }
-      jpeg.flatMap { j =>
-        imageIoReady
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
-          catch { case scala.util.control.NonFatal(_) => null }
-        // corrupt JPEG → skip the image, never garbage dims
-        Option(img).map(im => PdfImage(pageNo, name, im.getWidth,
-          im.getHeight, im.getRaster.getNumBands, "jpeg", j))
-      }
-    } else
-      // raster path: whatever decodeStream can fully decode (Flate/
-      // LZW/ASCII incl. predictors); JBIG2/JPX remain documented
-      // skips (None from decodeStream)
-      for {
-        data <- o.stream.flatMap(decodeStream(o.dict, _))
-        w <- WidthRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
-        h <- HeightRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
-        bpc <- paramOr(BpcRe, o.dict, 8).filter(b => Set(1, 2, 4, 8, 16)(b))
-        ch <- channelsOf(o.dict, byNum, data.length, w, h, bpc)
-      } yield PdfImage(pageNo, name, w, h, ch, "raw", data, bpc)
+    filters.lastOption match {
+      case Some("DCTDecode") | Some("DCT") =>
+        // the JPEG decodes with the JDK — dims/channels are the TRUE
+        // decoded values, and `data` stays the compressed JPEG so
+        // downstream consumers re-decode with any codec they like
+        transportUnwrap(filters.dropRight(1)).flatMap { j =>
+          imageIoReady
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+            catch { case scala.util.control.NonFatal(_) => null }
+          // corrupt JPEG → skip the image, never garbage dims
+          Option(img).map(im => PdfImage(pageNo, name, im.getWidth,
+            im.getHeight, im.getRaster.getNumBands, "jpeg", j))
+        }
+      case Some("CCITTFaxDecode") | Some("CCF") =>
+        // bitonal scans — the dominant raster in scanned PDFs
+        for {
+          fax <- transportUnwrap(filters.dropRight(1))
+          whh <- ccittDecode(fax, o.dict,
+            HeightRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption))
+        } yield PdfImage(pageNo, name, whh._1, whh._2, 1, "raw", whh._3, 1)
+      case _ =>
+        // raster path: whatever decodeStream can fully decode (Flate/
+        // LZW/ASCII incl. predictors); JBIG2/JPX remain documented
+        // skips (None from decodeStream)
+        for {
+          data <- o.stream.flatMap(decodeStream(o.dict, _))
+          w <- WidthRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
+          h <- HeightRe.findFirstMatchIn(o.dict).flatMap(_.group(1).toIntOption)
+          bpc <- paramOr(BpcRe, o.dict, 8).filter(b => Set(1, 2, 4, 8, 16)(b))
+          ch <- channelsOf(o.dict, byNum, data.length, w, h, bpc)
+        } yield PdfImage(pageNo, name, w, h, ch, "raw", data, bpc)
+    }
   }
 
-  /** All image XObjects of the document, in page order — decrypted
-    * and ObjStm-expanded like [[splitPages]]. Skipped entries
+  // ---- inline images (§8.9.7): BI <abbrev dict> ID <binary> EI ----
+
+  private val BiTokenRe = """(?<![A-Za-z0-9])BI(?![A-Za-z0-9])""".r
+  private val IdTokenRe = """(?<![A-Za-z0-9])ID[\s]""".r
+  private val EiTokenRe = """(?s)\s(EI)(?![A-Za-z0-9])""".r
+  private val InlineDimRe = Map(
+    "w" -> """/(?:W|Width)\s+(\d+)""".r,
+    "h" -> """/(?:H|Height)\s+(\d+)""".r,
+    "bpc" -> """/(?:BPC|BitsPerComponent)\s+(\d+)""".r)
+  private val InlineCsRe = """/(?:CS|ColorSpace)\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+  private val InlineFilterRe = """/(?:F|Filter)\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+
+  /** Inline images of a decoded content stream (§8.9.7):
+    * `BI <key-value pairs> ID<one whitespace><binary data> EI`, with
+    * the abbreviated key/name forms (`/W /H /BPC /CS /F /IM`). The
+    * unfiltered payload length is computed exactly from the declared
+    * geometry; filtered payloads (Flate/ASCII85/ASCIIHex) are
+    * delimited by trying successive ` EI` candidates until the chain
+    * decodes to exactly the declared size (binary data may contain
+    * the two letters EI, so the first occurrence is a guess, not a
+    * fact). Anything indeterminate — unknown color space, missing
+    * dims, CCITT/DCT inline payloads — skips, never mislabels.
+    */
+  private def inlineImages(content: String, pageNo: Int): Seq[PdfImage] = {
+    val out = ArrayBuffer.empty[PdfImage]
+    var idx = 0
+    for (bi <- BiTokenRe.findAllMatchIn(content)) {
+      for (id <- IdTokenRe.findFirstMatchIn(content.substring(bi.end))) {
+        val parms = content.substring(bi.end, bi.end + id.start)
+        val dataStart = bi.end + id.end // ID plus its single whitespace
+        def dim(key: String): Option[Int] =
+          InlineDimRe(key).findFirstMatchIn(parms).flatMap(_.group(1).toIntOption)
+        val isMask = boolParam(parms, "/IM") || boolParam(parms, "/ImageMask")
+        val chOpt: Option[Int] =
+          if (isMask) Some(1)
+          else InlineCsRe.findFirstMatchIn(parms).map(_.group(1)).flatMap {
+            case "/G" | "/DeviceGray" => Some(1)
+            case "/RGB" | "/DeviceRGB" => Some(3)
+            case "/CMYK" | "/DeviceCMYK" => Some(4)
+            case "/I" | "/Indexed" => Some(1) // palette indices
+            case arr if arr.startsWith("[") =>
+              // array form: decided by the FIRST name — [/I base hival
+              // lookup] is indexed (1 component per sample)
+              NameRe.findFirstMatchIn(arr).map(_.group(1)) match {
+                case Some("I") | Some("Indexed") => Some(1)
+                case _ => None
+              }
+            case _ => None // named resource color space — indeterminate
+          }
+        val filters = InlineFilterRe.findFirstMatchIn(parms)
+          .map(m => NameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+          .getOrElse(Nil)
+        for {
+          w <- dim("w"); h <- dim("h")
+          bpc <- if (isMask) Some(1) else dim("bpc").orElse(Some(8)).filter(b => Set(1, 2, 4, 8, 16)(b))
+          ch <- chOpt
+          rawLen = ((w.toLong * ch * bpc + 7) / 8) * h
+          if rawLen > 0 && rawLen <= Int.MaxValue
+          payload <- {
+            if (filters.isEmpty) {
+              if (dataStart + rawLen <= content.length)
+                Some(content.substring(dataStart, dataStart + rawLen.toInt)
+                  .getBytes(StandardCharsets.ISO_8859_1))
+              else None
+            } else {
+              def chain(enc: Array[Byte]): Option[Array[Byte]] =
+                filters.foldLeft(Option(enc)) { (acc, f) =>
+                  acc.flatMap(d => f match {
+                    case "FlateDecode" | "Fl" => inflate(d)
+                    case "ASCII85Decode" | "A85" => ascii85(d)
+                    case "ASCIIHexDecode" | "AHx" => asciiHex(d)
+                    case _ => None
+                  })
+                }
+              // bounded EI-candidate scan: 16 tries covers any real
+              // payload whose bytes happen to spell ' EI' a few times
+              EiTokenRe.findAllMatchIn(content.substring(dataStart)).take(16)
+                .flatMap { ei =>
+                  chain(content.substring(dataStart, dataStart + ei.start)
+                    .getBytes(StandardCharsets.ISO_8859_1))
+                }
+                .find(_.length == rawLen)
+            }
+          }
+        } {
+          idx += 1
+          out += PdfImage(pageNo, s"BI#$idx", w, h, ch, "raw", payload, bpc)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** All images of the document, in page order — image XObjects first,
+    * then the page's inline images (§8.9.7) — decrypted and
+    * ObjStm-expanded like [[splitPages]]. Skipped entries
     * (unsupported codec, corrupt payload) drop silently: the page
     * split and the other images survive.
     */
@@ -1673,6 +1895,22 @@ object Pdf {
         io <- byNum.get(n)
         if io.dict.contains("/Image") && io.stream.isDefined
         img <- decodeImage(pageNo, m.group(1), io, byNum)
+      } out += img
+      // inline images live in the page's content streams (same
+      // refs-or-inline resolution as the text split)
+      val contentRefs: Seq[PdfObj] = ContentsArrRe.findFirstMatchIn(o.dict) match {
+        case Some(arr) =>
+          RefRe.findAllMatchIn(arr.group(1)).flatMap(_.group(1).toIntOption)
+            .flatMap(byNum.get).toSeq
+        case None => ContentsRefRe.findFirstMatchIn(o.dict)
+          .flatMap(_.group(1).toIntOption).flatMap(byNum.get).toSeq
+      }
+      val streams = if (contentRefs.nonEmpty) contentRefs else Seq(o)
+      for {
+        c <- streams
+        data <- c.stream.toSeq
+        decoded <- decodeContent(c.dict, data).toSeq
+        img <- inlineImages(decoded, pageNo)
       } out += img
     }
     out.toSeq

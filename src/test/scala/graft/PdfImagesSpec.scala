@@ -1,0 +1,215 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernels.Pdf
+
+/** CCITTFaxDecode (G3/G4 via the JDK TIFF reader behind a minimal
+  * single-strip TIFF wrapper) and inline images (§8.9.7 BI/ID/EI).
+  * Fax payloads are produced by the JDK TIFF WRITER — an encoder
+  * independent of the kernel's wrap-and-read decode path.
+  */
+class PdfImagesSpec extends AnyFunSuite {
+
+  /** CCITT strip bytes for the deterministic checker pattern
+    * (white where (x/3 + y/2) is even) from the JDK TIFF writer.
+    * `typ`: "CCITT RLE" (MH 1-D, byte-aligned rows = PDF K=0 +
+    * EncodedByteAlign), "CCITT T.4" (2-D with EOLs = PDF K>0),
+    * "CCITT T.6" (= PDF K<0).
+    */
+  private def faxEncode(w: Int, h: Int, typ: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (((x / 3) + (y / 2)) % 2 == 0) 0xFFFFFF else 0x000000)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType(typ)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.flush()
+    writer.dispose()
+    val tiff = bos.toByteArray
+    val bb = java.nio.ByteBuffer.wrap(tiff)
+    if (tiff(0) == 'I') bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getInt(4)
+    val n = bb.getShort(ifd) & 0xffff
+    var off = -1
+    var len = -1
+    for (i <- 0 until n) {
+      val e = ifd + 2 + i * 12
+      val tag = bb.getShort(e) & 0xffff
+      val typ = bb.getShort(e + 2) & 0xffff
+      def value: Int = if (typ == 3) bb.getShort(e + 8) & 0xffff else bb.getInt(e + 8)
+      if (tag == 273) { assert(bb.getInt(e + 4) == 1); off = value }
+      if (tag == 279) { assert(bb.getInt(e + 4) == 1); len = value }
+    }
+    java.util.Arrays.copyOfRange(tiff, off, off + len)
+  }
+
+  /** Expected CCITTFaxDecode output bits for the checker pattern:
+    * BlackIs1 false (default) → white = 1; row-packed MSB-first.
+    */
+  private def expectedPacked(w: Int, h: Int, blackIs1: Boolean): Array[Byte] = {
+    val rowBytes = (w + 7) / 8
+    val out = new Array[Byte](rowBytes * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val white = ((x / 3) + (y / 2)) % 2 == 0
+      if (white != blackIs1)
+        out(y * rowBytes + (x >> 3)) =
+          (out(y * rowBytes + (x >> 3)) | (0x80 >> (x & 7))).toByte
+    }
+    out
+  }
+
+  private def imagePdf(w: Int, h: Int, data: Array[Byte], entries: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /XObject << /Im1 4 0 R >> >> >> endobj\n")
+    put(s"4 0 obj << /Type /XObject /Subtype /Image /Width $w /Height $h " +
+      s"$entries/Length ${data.length} >> stream\n")
+    out.write(data)
+    put("\nendstream endobj\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("CCITT G4 (K<0) decodes to the exact bitonal pattern, bpc=1") {
+    val w = 21; val h = 9
+    val fax = faxEncode(w, h, "CCITT T.6")
+    val pdf = imagePdf(w, h, fax, "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+      s"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns $w /Rows $h >> ")
+    val imgs = Pdf.extractImages(pdf)
+    assert(imgs.map(i => (i.width, i.height, i.channels, i.bpc, i.format)) ==
+      Seq((w, h, 1, 1, "raw")))
+    assert(imgs.head.data.toSeq == expectedPacked(w, h, blackIs1 = false).toSeq)
+  }
+
+  test("CCITT G3 2-D (K>0, EOL+tag bits) decodes; /Rows falls back to /Height") {
+    val w = 16; val h = 6
+    val fax = faxEncode(w, h, "CCITT T.4")
+    // no /Rows in the parms — the kernel must use /Height
+    val pdf = imagePdf(w, h, fax, "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+      s"/Filter /CCITTFaxDecode /DecodeParms << /K 1 /Columns $w >> ")
+    val imgs = Pdf.extractImages(pdf)
+    assert(imgs.map(i => (i.width, i.height, i.bpc)) == Seq((w, h, 1)))
+    assert(imgs.head.data.toSeq == expectedPacked(w, h, blackIs1 = false).toSeq)
+  }
+
+  test("CCITT G3 1-D (K=0) Modified-Huffman with /EncodedByteAlign decodes") {
+    val w = 16; val h = 6
+    val fax = faxEncode(w, h, "CCITT RLE") // MH: no EOLs, byte-aligned rows
+    val pdf = imagePdf(w, h, fax, "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+      s"/Filter /CCITTFaxDecode /DecodeParms << /K 0 /Columns $w /Rows $h /EncodedByteAlign true >> ")
+    val imgs = Pdf.extractImages(pdf)
+    assert(imgs.map(i => (i.width, i.height, i.bpc)) == Seq((w, h, 1)))
+    assert(imgs.head.data.toSeq == expectedPacked(w, h, blackIs1 = false).toSeq)
+  }
+
+  test("EOL-less unaligned K=0 skips (no TIFF expression) instead of garbling") {
+    val w = 16; val h = 6
+    val fax = faxEncode(w, h, "CCITT RLE")
+    // same MH payload but WITHOUT EncodedByteAlign: the kernel cannot
+    // prove row alignment, and a wrong declaration garbles silently
+    val pdf = imagePdf(w, h, fax, "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+      s"/Filter /CCITTFaxDecode /DecodeParms << /K 0 /Columns $w /Rows $h >> ")
+    assert(Pdf.extractImages(pdf).isEmpty)
+  }
+
+  test("/BlackIs1 true inverts the emitted bit polarity") {
+    val w = 12; val h = 4
+    val fax = faxEncode(w, h, "CCITT T.6")
+    val pdf = imagePdf(w, h, fax, "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+      s"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns $w /Rows $h /BlackIs1 true >> ")
+    val imgs = Pdf.extractImages(pdf)
+    assert(imgs.head.data.toSeq == expectedPacked(w, h, blackIs1 = true).toSeq)
+  }
+
+  test("EncodedByteAlign with G4 skips (no TIFF expression) instead of garbling") {
+    val w = 12; val h = 4
+    val fax = faxEncode(w, h, "CCITT T.6")
+    val pdf = imagePdf(w, h, fax, "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+      s"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns $w /Rows $h /EncodedByteAlign true >> ")
+    assert(Pdf.extractImages(pdf).isEmpty)
+  }
+
+  test("/DeviceN color space counts one channel per colorant name") {
+    val w = 5; val h = 4
+    val raw = Array.tabulate[Byte](w * h * 3)(i => (i * 3 + 1).toByte)
+    val pdf = imagePdf(w, h, Pdf.deflate(raw),
+      "/ColorSpace [ /DeviceN [ /Cyan /Magenta /Spot1 ] /DeviceRGB 9 0 R ] " +
+        "/BitsPerComponent 8 /Filter /FlateDecode ")
+    val imgs = Pdf.extractImages(pdf)
+    assert(imgs.map(i => (i.width, i.height, i.channels, i.bpc)) == Seq((w, h, 3, 8)))
+    assert(imgs.head.data.toSeq == raw.toSeq)
+  }
+
+  // ---- inline images ----
+
+  private def contentPdf(content: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n")
+    out.write(content)
+    put("\nendstream endobj\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("unfiltered inline image: exact payload length, even with ' EI ' bytes inside") {
+    // 4x3 RGB, 36 raw bytes that deliberately contain the letters
+    // ' EI ' — the computed length must win over token scanning
+    val raw = Array.tabulate[Byte](36)(i => (i * 7 + 1).toByte)
+    raw(10) = ' '.toByte; raw(11) = 'E'.toByte; raw(12) = 'I'.toByte; raw(13) = ' '.toByte
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("q BI /W 4 /H 3 /CS /RGB /BPC 8 ID ".getBytes(ISO_8859_1))
+    body.write(raw)
+    body.write(" EI Q BT /F1 12 Tf (after image) Tj ET".getBytes(ISO_8859_1))
+    val pdf = contentPdf(body.toByteArray)
+    val imgs = Pdf.extractImages(pdf)
+    assert(imgs.map(i => (i.pageNo, i.width, i.height, i.channels, i.bpc, i.format)) ==
+      Seq((1, 4, 3, 3, 8, "raw")))
+    assert(imgs.head.data.toSeq == raw.toSeq)
+    // the page text still extracts around the image
+    assert(Pdf.splitPages(pdf).map(_.text) == Seq("after image"))
+  }
+
+  test("Flate inline image: EI-candidate scan accepts only the exactly-sized decode") {
+    val raw = Array.tabulate[Byte](4 * 3 * 3)(i => (i * 13 + 2).toByte)
+    val z = Pdf.deflate(raw)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("BI /W 4 /H 3 /CS /RGB /BPC 8 /F /Fl ID ".getBytes(ISO_8859_1))
+    body.write(z)
+    body.write(" EI".getBytes(ISO_8859_1))
+    val imgs = Pdf.extractImages(contentPdf(body.toByteArray))
+    assert(imgs.map(i => (i.width, i.height, i.channels)) == Seq((4, 3, 3)))
+    assert(imgs.head.data.toSeq == raw.toSeq)
+  }
+
+  test("inline image mask (/IM true) is 1-channel 1-bit; abbreviated keys") {
+    val w = 10; val h = 3 // rowBytes 2
+    val packed = Array[Byte](0x5a, 0x40.toByte, 0x3c, 0x80.toByte, 0xff.toByte, 0xc0.toByte)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(s"BI /W $w /H $h /IM true ID ".getBytes(ISO_8859_1))
+    body.write(packed)
+    body.write(" EI".getBytes(ISO_8859_1))
+    val imgs = Pdf.extractImages(contentPdf(body.toByteArray))
+    assert(imgs.map(i => (i.width, i.height, i.channels, i.bpc)) == Seq((w, h, 1, 1)))
+    assert(imgs.head.data.toSeq == packed.toSeq)
+  }
+
+  test("inline image with an unknown color space skips; XObjects on the page survive") {
+    val raw = Array.tabulate[Byte](8)(i => i.toByte)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("BI /W 4 /H 2 /CS /MySpace /BPC 8 ID ".getBytes(ISO_8859_1))
+    body.write(raw)
+    body.write(" EI".getBytes(ISO_8859_1))
+    assert(Pdf.extractImages(contentPdf(body.toByteArray)).isEmpty)
+  }
+}
