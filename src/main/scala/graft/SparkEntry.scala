@@ -143,14 +143,19 @@ object SparkEntry {
     out.toByteArray
   }
 
-  /** CCITT G4 (T.6) payload for a deterministic bitonal pattern,
-    * encoded by the JDK's TIFF WRITER — an encoder independent of the
-    * kernel's decode path (which wraps the payload back into a TIFF
-    * for the JDK READER; encode and decode are separate codec
-    * implementations in the imageio plugin). Returns the single
-    * strip's raw T.6 bytes, extracted by walking the writer's IFD.
+  /** CCITT payload for the deterministic checker pattern (white where
+    * (x/3 + y/2) is even), encoded by the JDK's TIFF WRITER — an
+    * encoder independent of the kernel's decode path (which wraps the
+    * payload back into a TIFF for the JDK READER; encode and decode
+    * are separate codec implementations in the imageio plugin).
+    * `typ` is the writer's compression name: "CCITT RLE" (MH 1-D,
+    * byte-aligned rows = PDF K=0 + EncodedByteAlign), "CCITT T.4"
+    * (2-D with EOLs = PDF K>0), "CCITT T.6" (= PDF K<0). Returns the
+    * single strip's raw bytes, extracted by walking the writer's IFD.
+    * Shared with PdfImagesSpec so fixture and test encoders can't
+    * diverge.
     */
-  private def synthG4(w: Int, h: Int): Array[Byte] = {
+  private[graft] def faxStrip(w: Int, h: Int, typ: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
     for (y <- 0 until h; x <- 0 until w)
@@ -158,7 +163,7 @@ object SparkEntry {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionType("CCITT T.6")
+    param.setCompressionType(typ)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     writer.setOutput(ios)
@@ -211,7 +216,7 @@ object SparkEntry {
         javax.imageio.ImageIO.write(img, "jpg", o)
         (o.toByteArray, "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode ")
       case 2 =>
-        (synthG4(w, h), "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        (faxStrip(w, h, "CCITT T.6"), "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
           s"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns $w /Rows $h >> ")
       case _ =>
         val samples = Array.tabulate[Byte](w * h * 3)(i => ((i * 11 + 5) & 0xff).toByte)

@@ -1699,8 +1699,10 @@ object Pdf {
     for {
       co <- compOpts
       cols <- paramOr(ColumnsRe, dict, 1728).filter(_ > 0)
+      // an explicit `/Rows 0` means "decode until EOD" (the spec
+      // default), NOT a zero-height image — fall through to /Height
       rows <- RowsParmRe.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
-        .orElse(heightHint).filter(_ > 0)
+        .filter(_ > 0).orElse(heightHint.filter(_ > 0))
       img <- {
         imageIoReady
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
@@ -1712,39 +1714,94 @@ object Pdf {
       val h = img.getHeight
       val rowBytes = (w + 7) / 8
       val packed = new Array[Byte](rowBytes * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          // getRGB goes through the color model, so the reader's
-          // photometric handling is honored; bit = 1 exactly when the
-          // pixel's blackness matches the BlackIs1 polarity
-          val black = (img.getRGB(x, y) & 0xff) < 128
-          if (black == blackIs1)
-            packed(y * rowBytes + (x >> 3)) =
-              (packed(y * rowBytes + (x >> 3)) | (0x80 >> (x & 7))).toByte
-          x += 1
-        }
-        y += 1
+      // which RASTER SAMPLE value means black is the color model's
+      // call (WhiteIsZero TIFF → an IndexColorModel; the reader may
+      // normalize polarity, so probe the palette, don't assume)
+      val blackSample = img.getColorModel match {
+        case icm: java.awt.image.IndexColorModel if icm.getMapSize >= 2 =>
+          def lum(i: Int): Int = {
+            val rgb = icm.getRGB(i)
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          }
+          if (lum(1) < lum(0)) 1 else 0
+        case _ => 1
+      }
+      // output bit 1 ⇔ (sample == blackSample) == blackIs1; with a
+      // 1-bit source that is a row copy, inverted when polarities
+      // disagree — no per-pixel color-model round trips on the path
+      // that carries every scanned page
+      val invert = (blackSample == 1) != blackIs1
+      val raster = img.getRaster
+      (raster.getSampleModel, raster.getDataBuffer) match {
+        case (mp: java.awt.image.MultiPixelPackedSampleModel,
+              db: java.awt.image.DataBufferByte)
+            if mp.getPixelBitStride == 1 && mp.getDataBitOffset == 0 &&
+              raster.getSampleModelTranslateX == 0 &&
+              raster.getSampleModelTranslateY == 0 =>
+          val src = db.getData
+          val stride = mp.getScanlineStride
+          val base = db.getOffset
+          var y = 0
+          while (y < h) {
+            var i = 0
+            while (i < rowBytes) {
+              val b = src(base + y * stride + i)
+              packed(y * rowBytes + i) = if (invert) (~b).toByte else b
+              i += 1
+            }
+            y += 1
+          }
+          // the decoder's buffer may carry arbitrary values in the
+          // last byte's padding bits (and inversion flips them) — the
+          // packed contract keeps them 0
+          if ((w & 7) != 0) {
+            val mask = 0xff << (8 - (w & 7))
+            var r = rowBytes - 1
+            while (r < packed.length) {
+              packed(r) = (packed(r) & mask).toByte
+              r += rowBytes
+            }
+          }
+        case _ =>
+          // unexpected raster layout: per-sample fallback (still no
+          // color-model work per pixel)
+          val rowBuf = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            raster.getSamples(0, y, w, 1, 0, rowBuf)
+            var x = 0
+            while (x < w) {
+              if ((rowBuf(x) == blackSample) == blackIs1)
+                packed(y * rowBytes + (x >> 3)) =
+                  (packed(y * rowBytes + (x >> 3)) | (0x80 >> (x & 7))).toByte
+              x += 1
+            }
+            y += 1
+          }
       }
       (w, h, packed)
     }
   }
 
+  /** Apply a chain of transport filters (Flate/ASCII85/ASCIIHex —
+    * the ones that may wrap an image codec's payload, or an inline
+    * image's samples) in declaration order. Unknown name → None.
+    */
+  private def transportChain(data: Array[Byte], filters: Seq[String]): Option[Array[Byte]] =
+    filters.foldLeft(Option(data)) { (acc, f) =>
+      acc.flatMap(d => f match {
+        case "FlateDecode" | "Fl" => inflate(d)
+        case "ASCII85Decode" | "A85" => ascii85(d)
+        case "ASCIIHexDecode" | "AHx" => asciiHex(d)
+        case _ => None
+      })
+    }
+
   private def decodeImage(pageNo: Int, name: String, o: PdfObj,
       byNum: Map[Int, PdfObj]): Option[PdfImage] = {
     val filters = filtersOf(o.dict)
-    // transport filters (ASCII85/Hex/Flate) may wrap an image codec's
-    // payload; unwrap them and hand the codec bytes to the JDK
     def transportUnwrap(fs: Seq[String]): Option[Array[Byte]] =
-      fs.foldLeft(o.stream) { (acc, f) =>
-        acc.flatMap(d => f match {
-          case "FlateDecode" | "Fl" => inflate(d)
-          case "ASCII85Decode" | "A85" => ascii85(d)
-          case "ASCIIHexDecode" | "AHx" => asciiHex(d)
-          case _ => None
-        })
-      }
+      o.stream.flatMap(transportChain(_, fs))
     filters.lastOption match {
       case Some("DCTDecode") | Some("DCT") =>
         // the JPEG decodes with the JDK — dims/channels are the TRUE
@@ -1802,14 +1859,28 @@ object Pdf {
     * the two letters EI, so the first occurrence is a guess, not a
     * fact). Anything indeterminate — unknown color space, missing
     * dims, CCITT/DCT inline payloads — skips, never mislabels.
+    *
+    * The scan is a single forward cursor: once an image's payload is
+    * delimited, scanning resumes PAST it, so 'BI' byte runs inside
+    * consumed binary data cannot start phantom parses; matchers run
+    * against the one content string (no per-candidate copies).
+    * `startIdx` continues BI#n numbering across a page's multiple
+    * content streams; returns the images and the next index.
     */
-  private def inlineImages(content: String, pageNo: Int): Seq[PdfImage] = {
+  private def inlineImages(content: String, pageNo: Int,
+      startIdx: Int): (Seq[PdfImage], Int) = {
     val out = ArrayBuffer.empty[PdfImage]
-    var idx = 0
-    for (bi <- BiTokenRe.findAllMatchIn(content)) {
-      for (id <- IdTokenRe.findFirstMatchIn(content.substring(bi.end))) {
-        val parms = content.substring(bi.end, bi.end + id.start)
-        val dataStart = bi.end + id.end // ID plus its single whitespace
+    var idx = startIdx
+    val biM = BiTokenRe.pattern.matcher(content)
+    val idM = IdTokenRe.pattern.matcher(content)
+    val eiM = EiTokenRe.pattern.matcher(content)
+    var pos = 0
+    while (pos <= content.length && biM.find(pos)) {
+      // default resume point: just past this BI token (false alarm)
+      var next = biM.end
+      if (idM.find(biM.end)) {
+        val parms = content.substring(biM.end, idM.start)
+        val dataStart = idM.end // ID plus its single whitespace
         def dim(key: String): Option[Int] =
           InlineDimRe(key).findFirstMatchIn(parms).flatMap(_.group(1).toIntOption)
         val isMask = boolParam(parms, "/IM") || boolParam(parms, "/ImageMask")
@@ -1838,39 +1909,39 @@ object Pdf {
           ch <- chOpt
           rawLen = ((w.toLong * ch * bpc + 7) / 8) * h
           if rawLen > 0 && rawLen <= Int.MaxValue
-          payload <- {
+          payloadEnd <- {
             if (filters.isEmpty) {
               if (dataStart + rawLen <= content.length)
-                Some(content.substring(dataStart, dataStart + rawLen.toInt)
-                  .getBytes(StandardCharsets.ISO_8859_1))
+                Some((content.substring(dataStart, dataStart + rawLen.toInt)
+                  .getBytes(StandardCharsets.ISO_8859_1), dataStart + rawLen.toInt))
               else None
             } else {
-              def chain(enc: Array[Byte]): Option[Array[Byte]] =
-                filters.foldLeft(Option(enc)) { (acc, f) =>
-                  acc.flatMap(d => f match {
-                    case "FlateDecode" | "Fl" => inflate(d)
-                    case "ASCII85Decode" | "A85" => ascii85(d)
-                    case "ASCIIHexDecode" | "AHx" => asciiHex(d)
-                    case _ => None
-                  })
-                }
               // bounded EI-candidate scan: 16 tries covers any real
               // payload whose bytes happen to spell ' EI' a few times
-              EiTokenRe.findAllMatchIn(content.substring(dataStart)).take(16)
-                .flatMap { ei =>
-                  chain(content.substring(dataStart, dataStart + ei.start)
-                    .getBytes(StandardCharsets.ISO_8859_1))
-                }
-                .find(_.length == rawLen)
+              var tries = 0
+              var found: Option[(Array[Byte], Int)] = None
+              var from = dataStart
+              while (found.isEmpty && tries < 16 && eiM.find(from)) {
+                tries += 1
+                from = eiM.start + 1
+                found = transportChain(
+                  content.substring(dataStart, eiM.start)
+                    .getBytes(StandardCharsets.ISO_8859_1), filters)
+                  .filter(_.length == rawLen)
+                  .map(d => (d, eiM.end))
+              }
+              found
             }
           }
         } {
           idx += 1
-          out += PdfImage(pageNo, s"BI#$idx", w, h, ch, "raw", payload, bpc)
+          out += PdfImage(pageNo, s"BI#$idx", w, h, ch, "raw", payloadEnd._1, bpc)
+          next = payloadEnd._2
         }
       }
+      pos = next
     }
-    out.toSeq
+    (out.toSeq, idx)
   }
 
   /** All images of the document, in page order — image XObjects first,
@@ -1906,12 +1977,18 @@ object Pdf {
           .flatMap(_.group(1).toIntOption).flatMap(byNum.get).toSeq
       }
       val streams = if (contentRefs.nonEmpty) contentRefs else Seq(o)
+      // BI#n numbering is per page, threaded across its streams —
+      // a multi-/Contents page must not produce colliding names
+      var biIdx = 0
       for {
         c <- streams
         data <- c.stream.toSeq
         decoded <- decodeContent(c.dict, data).toSeq
-        img <- inlineImages(decoded, pageNo)
-      } out += img
+      } {
+        val (imgs, nidx) = inlineImages(decoded, pageNo, biIdx)
+        biIdx = nidx
+        out ++= imgs
+      }
     }
     out.toSeq
   }

@@ -11,44 +11,12 @@ import graft.kernels.Pdf
   */
 class PdfImagesSpec extends AnyFunSuite {
 
-  /** CCITT strip bytes for the deterministic checker pattern
-    * (white where (x/3 + y/2) is even) from the JDK TIFF writer.
-    * `typ`: "CCITT RLE" (MH 1-D, byte-aligned rows = PDF K=0 +
-    * EncodedByteAlign), "CCITT T.4" (2-D with EOLs = PDF K>0),
-    * "CCITT T.6" (= PDF K<0).
+  /** CCITT strip bytes for the deterministic checker pattern — the
+    * single shared JDK-TIFF-writer encoder (see SparkEntry.faxStrip
+    * for the K↔compression-name mapping).
     */
-  private def faxEncode(w: Int, h: Int, typ: String): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
-    for (y <- 0 until h; x <- 0 until w)
-      img.setRGB(x, y, if (((x / 3) + (y / 2)) % 2 == 0) 0xFFFFFF else 0x000000)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionType(typ)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    ios.flush()
-    writer.dispose()
-    val tiff = bos.toByteArray
-    val bb = java.nio.ByteBuffer.wrap(tiff)
-    if (tiff(0) == 'I') bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val ifd = bb.getInt(4)
-    val n = bb.getShort(ifd) & 0xffff
-    var off = -1
-    var len = -1
-    for (i <- 0 until n) {
-      val e = ifd + 2 + i * 12
-      val tag = bb.getShort(e) & 0xffff
-      val typ = bb.getShort(e + 2) & 0xffff
-      def value: Int = if (typ == 3) bb.getShort(e + 8) & 0xffff else bb.getInt(e + 8)
-      if (tag == 273) { assert(bb.getInt(e + 4) == 1); off = value }
-      if (tag == 279) { assert(bb.getInt(e + 4) == 1); len = value }
-    }
-    java.util.Arrays.copyOfRange(tiff, off, off + len)
-  }
+  private def faxEncode(w: Int, h: Int, typ: String): Array[Byte] =
+    SparkEntry.faxStrip(w, h, typ)
 
   /** Expected CCITTFaxDecode output bits for the checker pattern:
     * BlackIs1 false (default) → white = 1; row-packed MSB-first.
@@ -202,6 +170,64 @@ class PdfImagesSpec extends AnyFunSuite {
     val imgs = Pdf.extractImages(contentPdf(body.toByteArray))
     assert(imgs.map(i => (i.width, i.height, i.channels, i.bpc)) == Seq((w, h, 1, 1)))
     assert(imgs.head.data.toSeq == packed.toSeq)
+  }
+
+  test("/Rows 0 (decode-until-EOD) falls back to /Height instead of skipping") {
+    val w = 21; val h = 9
+    val fax = faxEncode(w, h, "CCITT T.6")
+    val pdf = imagePdf(w, h, fax, "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+      s"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns $w /Rows 0 >> ")
+    val imgs = Pdf.extractImages(pdf)
+    assert(imgs.map(i => (i.width, i.height, i.bpc)) == Seq((w, h, 1)))
+    assert(imgs.head.data.toSeq == expectedPacked(w, h, blackIs1 = false).toSeq)
+  }
+
+  test("a 'BI' byte pair inside a consumed payload starts no phantom parse") {
+    // image 1's raw payload contains a delimited ' BI ' run; a scanner
+    // that rescans consumed bytes would pair it with image 2's 'ID'
+    // and emit a duplicate/garbage third image
+    val raw1 = Array.tabulate[Byte](36)(i => (i * 7 + 1).toByte)
+    raw1(10) = ' '.toByte; raw1(11) = 'B'.toByte; raw1(12) = 'I'.toByte; raw1(13) = ' '.toByte
+    val raw2 = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 5 + 3).toByte)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("q BI /W 4 /H 3 /CS /RGB /BPC 8 ID ".getBytes(ISO_8859_1))
+    body.write(raw1)
+    body.write(" EI Q BI /W 2 /H 2 /CS /RGB /BPC 8 ID ".getBytes(ISO_8859_1))
+    body.write(raw2)
+    body.write(" EI Q".getBytes(ISO_8859_1))
+    val imgs = Pdf.extractImages(contentPdf(body.toByteArray))
+    assert(imgs.map(i => (i.name, i.width, i.height)) ==
+      Seq(("BI#1", 4, 3), ("BI#2", 2, 2)))
+    assert(imgs.map(_.data.toSeq) == Seq(raw1.toSeq, raw2.toSeq))
+  }
+
+  test("BI#n names stay distinct across a page's multiple /Contents streams") {
+    val raw = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 3 + 1).toByte)
+    def stream(n: Int, data: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(s"$n 0 obj << /Length ${data.length} >> stream\n".getBytes(ISO_8859_1))
+      b.write(data)
+      b.write("\nendstream endobj\n".getBytes(ISO_8859_1))
+      b.toByteArray
+    }
+    def biContent: Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("BI /W 2 /H 2 /CS /RGB /BPC 8 ID ".getBytes(ISO_8859_1))
+      b.write(raw)
+      b.write(" EI".getBytes(ISO_8859_1))
+      b.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >> endobj\n")
+    out.write(stream(4, biContent))
+    out.write(stream(5, biContent))
+    put("%%EOF\n")
+    val imgs = Pdf.extractImages(out.toByteArray)
+    assert(imgs.map(i => (i.pageNo, i.name)) == Seq((1, "BI#1"), (1, "BI#2")))
+    assert(imgs.forall(_.data.toSeq == raw.toSeq))
   }
 
   test("inline image with an unknown color space skips; XObjects on the page survive") {
