@@ -267,6 +267,33 @@ object Pdf {
     Some(out.toByteArray)
   }
 
+  /** RunLengthDecode (§7.4.5): length byte L then data — L ≤ 127 →
+    * copy the next L+1 bytes literally; L ≥ 129 → repeat the next
+    * byte 257−L times; L = 128 → EOD. A record running past the
+    * input is corrupt → None (skip beats garbage).
+    */
+  def runLength(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i).toInt & 0xff
+      if (l == 128) return Some(out.toByteArray) // EOD
+      else if (l <= 127) {
+        if (i + 1 + l + 1 > data.length) return None
+        out.write(data, i + 1, l + 1)
+        i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        var n = 257 - l
+        while (n > 0) { out.write(data(i + 1)); n -= 1 }
+        i += 2
+      }
+    }
+    // EOD marker missing: tolerated (some writers rely on /Length),
+    // the decoded prefix is complete
+    Some(out.toByteArray)
+  }
+
   // filter names in application order: `/Filter /Name` or
   // `/Filter [/A /B]` (§7.3.8: array = filters applied in sequence)
   private val FilterClauseRe = """(?s)/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
@@ -487,9 +514,9 @@ object Pdf {
     }
 
   /** Decode a stream payload through its (possibly chained) filters:
-    * Flate / LZW (both incl. PNG predictors) / ASCII85 / ASCIIHex
-    * supported; None (documented skip) for every other filter
-    * (DCT, JBIG2, JPX, Crypt, …).
+    * Flate / LZW (both incl. PNG predictors) / ASCII85 / ASCIIHex /
+    * RunLength supported; None (documented skip) for every other
+    * filter (DCT, JBIG2, JPX, Crypt, …).
     */
   def decodeStream(dict: String, data: Array[Byte]): Option[Array[Byte]] =
     filtersOf(dict).foldLeft(Option(data)) { (acc, f) =>
@@ -500,6 +527,7 @@ object Pdf {
             .flatMap(applyPredictor(dict, _))
         case "ASCII85Decode" | "A85" => ascii85(d)
         case "ASCIIHexDecode" | "AHx" => asciiHex(d)
+        case "RunLengthDecode" | "RL" => runLength(d)
         case _ => None
       })
     }
@@ -1783,9 +1811,10 @@ object Pdf {
     }
   }
 
-  /** Apply a chain of transport filters (Flate/ASCII85/ASCIIHex —
-    * the ones that may wrap an image codec's payload, or an inline
-    * image's samples) in declaration order. Unknown name → None.
+  /** Apply a chain of transport filters (Flate/ASCII85/ASCIIHex/
+    * RunLength — the ones that may wrap an image codec's payload, or
+    * an inline image's samples) in declaration order. Unknown name →
+    * None.
     */
   private def transportChain(data: Array[Byte], filters: Seq[String]): Option[Array[Byte]] =
     filters.foldLeft(Option(data)) { (acc, f) =>
@@ -1793,6 +1822,7 @@ object Pdf {
         case "FlateDecode" | "Fl" => inflate(d)
         case "ASCII85Decode" | "A85" => ascii85(d)
         case "ASCIIHexDecode" | "AHx" => asciiHex(d)
+        case "RunLengthDecode" | "RL" => runLength(d)
         case _ => None
       })
     }
@@ -1848,6 +1878,7 @@ object Pdf {
     "bpc" -> """/(?:BPC|BitsPerComponent)\s+(\d+)""".r)
   private val InlineCsRe = """/(?:CS|ColorSpace)\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
   private val InlineFilterRe = """/(?:F|Filter)\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+  private val InlineLenRe = """/(?:L|Length)\s+(\d+)""".r
 
   /** Inline images of a decoded content stream (§8.9.7):
     * `BI <key-value pairs> ID<one whitespace><binary data> EI`, with
@@ -1857,8 +1888,10 @@ object Pdf {
     * delimited by trying successive ` EI` candidates until the chain
     * decodes to exactly the declared size (binary data may contain
     * the two letters EI, so the first occurrence is a guess, not a
-    * fact). Anything indeterminate — unknown color space, missing
-    * dims, CCITT/DCT inline payloads — skips, never mislabels.
+    * fact). A PDF-2.0 `/L` entry (encoded byte length) removes the
+    * guesswork entirely and additionally enables inline DCT (JPEG)
+    * decode. Anything indeterminate — unknown color space, missing
+    * dims, inline CCITT, DCT without /L — skips, never mislabels.
     *
     * The scan is a single forward cursor: once an image's payload is
     * delimited, scanning resumes PAST it, so 'BI' byte runs inside
@@ -1903,14 +1936,48 @@ object Pdf {
         val filters = InlineFilterRe.findFirstMatchIn(parms)
           .map(m => NameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
           .getOrElse(Nil)
-        for {
+        // /L (PDF 2.0 §8.9.7: byte length of the ENCODED data between
+        // ID and EI) removes all delimiting guesswork when present
+        val lOpt = InlineLenRe.findFirstMatchIn(parms)
+          .flatMap(_.group(1).toIntOption)
+          .filter(l => l >= 0 && dataStart.toLong + l <= content.length)
+        def encodedAt(l: Int): Array[Byte] =
+          content.substring(dataStart, dataStart + l)
+            .getBytes(StandardCharsets.ISO_8859_1)
+        if (filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")) {
+          // inline JPEG: only decodable when /L declares the encoded
+          // length (without it the payload isn't delimitable — a JPEG
+          // body may contain ' EI' and decoders tolerate trailing
+          // bytes, so candidate scanning can't prove the boundary)
+          for {
+            l <- lOpt
+            jpeg <- transportChain(encodedAt(l), filters.dropRight(1))
+            img <- {
+              imageIoReady
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(jpeg)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+          } {
+            idx += 1
+            out += PdfImage(pageNo, s"BI#$idx", img.getWidth, img.getHeight,
+              img.getRaster.getNumBands, "jpeg", jpeg)
+            next = dataStart + l
+          }
+        } else for {
           w <- dim("w"); h <- dim("h")
           bpc <- if (isMask) Some(1) else dim("bpc").orElse(Some(8)).filter(b => Set(1, 2, 4, 8, 16)(b))
           ch <- chOpt
           rawLen = ((w.toLong * ch * bpc + 7) / 8) * h
           if rawLen > 0 && rawLen <= Int.MaxValue
           payloadEnd <- {
-            if (filters.isEmpty) {
+            if (lOpt.isDefined) {
+              val l = lOpt.get
+              (if (filters.isEmpty) Option(encodedAt(l))
+               else transportChain(encodedAt(l), filters))
+                .filter(_.length == rawLen)
+                .map(d => (d, dataStart + l))
+            } else if (filters.isEmpty) {
               if (dataStart + rawLen <= content.length)
                 Some((content.substring(dataStart, dataStart + rawLen.toInt)
                   .getBytes(StandardCharsets.ISO_8859_1), dataStart + rawLen.toInt))

@@ -230,6 +230,82 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(imgs.forall(_.data.toSeq == raw.toSeq))
   }
 
+  /** Reference RunLength encoder (literal-run only — a valid, if
+    * unoptimal, §7.4.5 encoding) for round-trip fixtures.
+    */
+  private def rleEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(128, data.length - i)
+      out.write(n - 1)
+      out.write(data, i, n)
+      i += n
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  test("RunLengthDecode: literal and repeat runs, EOD honored, truncation skips") {
+    // hand-built mixed-run stream: 3 literals, a 5x repeat, EOD,
+    // then trailing bytes that must NOT be decoded
+    val enc = Array[Byte](2, 10, 20, 30, (257 - 5 - 256).toByte, 7, 128.toByte, 99, 99)
+    assert(Pdf.runLength(enc).map(_.toSeq) ==
+      Some(Seq[Byte](10, 20, 30, 7, 7, 7, 7, 7)))
+    // a literal run promising more bytes than remain is corrupt
+    assert(Pdf.runLength(Array[Byte](5, 1, 2)).isEmpty)
+    // a repeat run with no byte to repeat is corrupt
+    assert(Pdf.runLength(Array[Byte](200.toByte)).isEmpty)
+  }
+
+  test("RunLengthDecode image XObject round-trips through extractImages") {
+    val w = 5; val h = 4
+    val raw = Array.tabulate[Byte](w * h * 3)(i => (i * 11 + 3).toByte)
+    val pdf = imagePdf(w, h, rleEncode(raw),
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /RunLengthDecode ")
+    val imgs = Pdf.extractImages(pdf)
+    assert(imgs.map(i => (i.width, i.height, i.channels, i.bpc)) == Seq((w, h, 3, 8)))
+    assert(imgs.head.data.toSeq == raw.toSeq)
+  }
+
+  test("inline image /L delimits exactly — even when the payload spells ' EI '") {
+    val raw = Array.tabulate[Byte](4 * 3 * 3)(i => (i * 13 + 2).toByte)
+    raw(8) = ' '.toByte; raw(9) = 'E'.toByte; raw(10) = 'I'.toByte; raw(11) = ' '.toByte
+    val z = Pdf.deflate(raw)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(s"BI /W 4 /H 3 /CS /RGB /BPC 8 /F /Fl /L ${z.length} ID ".getBytes(ISO_8859_1))
+    body.write(z)
+    body.write(" EI".getBytes(ISO_8859_1))
+    val imgs = Pdf.extractImages(contentPdf(body.toByteArray))
+    assert(imgs.map(i => (i.width, i.height, i.channels)) == Seq((4, 3, 3)))
+    assert(imgs.head.data.toSeq == raw.toSeq)
+  }
+
+  test("inline DCT (JPEG) decodes when /L is declared, skips without it") {
+    val w = 9; val h = 7
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 29 + y * 17) * 1000)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val jpeg = jb.toByteArray
+    def body(withL: Boolean): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      val l = if (withL) s"/L ${jpeg.length} " else ""
+      b.write(s"BI /W $w /H $h /CS /RGB /BPC 8 /F /DCT ${l}ID ".getBytes(ISO_8859_1))
+      b.write(jpeg)
+      b.write(" EI".getBytes(ISO_8859_1))
+      b.toByteArray
+    }
+    val withL = Pdf.extractImages(contentPdf(body(withL = true)))
+    assert(withL.map(i => (i.width, i.height, i.channels, i.format)) ==
+      Seq((w, h, 3, "jpeg")))
+    assert(withL.head.data.toSeq == jpeg.toSeq)
+    // without /L the JPEG boundary is unprovable — skip, never garble
+    assert(Pdf.extractImages(contentPdf(body(withL = false))).isEmpty)
+  }
+
   test("inline image with an unknown color space skips; XObjects on the page survive") {
     val raw = Array.tabulate[Byte](8)(i => i.toByte)
     val body = new java.io.ByteArrayOutputStream()
