@@ -194,14 +194,54 @@ object SparkEntry {
     java.util.Arrays.copyOfRange(tiff, off, off + len)
   }
 
-  /** Deterministic one-page PDF with a single image XObject for
-    * `q_pdf_images`. Variants: 0 = Flate RGB raster, 1 = real JPEG
-    * via ImageIO (decode must recover the true dims), 2 = CCITT G4
-    * bitonal (JDK-writer-encoded T.6, kernel must decode through the
-    * TIFF-wrap path). Pure function of (variant, w, h).
+  /** Literal-run-only RunLength encoder (§7.4.5; valid, unoptimal) —
+    * independent of the kernel's decoder, for the q_pdf_images RLE
+    * variant.
+    */
+  private def rleEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(128, data.length - i)
+      out.write(n - 1)
+      out.write(data, i, n)
+      i += n
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  /** Deterministic one-page PDF with one image for `q_pdf_images`.
+    * Variants: 0 = Flate RGB raster, 1 = real JPEG via ImageIO
+    * (decode must recover the true dims), 2 = CCITT G4 bitonal
+    * (JDK-writer-encoded T.6, kernel must decode through the
+    * TIFF-wrap path), 3 = RunLength RGB raster, 4 = INLINE image
+    * (§8.9.7 BI/ID/EI with abbreviated keys, payload salted with a
+    * ' EI ' byte run so exact-length delimiting is load-bearing).
+    * Pure function of (variant, w, h).
     */
   private def synthImagePdf(variant: Int, w: Int, h: Int): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new java.io.ByteArrayOutputStream()
+    def put(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    if (variant == 4) {
+      val raw = Array.tabulate[Byte](w * h * 3)(i => ((i * 11 + 5) & 0xff).toByte)
+      if (raw.length >= 8) {
+        raw(4) = ' '.toByte; raw(5) = 'E'.toByte; raw(6) = 'I'.toByte; raw(7) = ' '.toByte
+      }
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(s"q BI /W $w /H $h /CS /RGB /BPC 8 ID ".getBytes(ISO_8859_1))
+      body.write(raw)
+      body.write(" EI Q".getBytes(ISO_8859_1))
+      val content = body.toByteArray
+      put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+      put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+      put(s"4 0 obj << /Length ${content.length} >> stream\n")
+      out.write(content)
+      put("\nendstream endobj\n%%EOF\n")
+      return out.toByteArray
+    }
     val (data, entries) = variant match {
       case 1 =>
         val img = new java.awt.image.BufferedImage(
@@ -218,13 +258,15 @@ object SparkEntry {
       case 2 =>
         (faxStrip(w, h, "CCITT T.6"), "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
           s"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns $w /Rows $h >> ")
+      case 3 =>
+        val samples = Array.tabulate[Byte](w * h * 3)(i => ((i * 11 + 5) & 0xff).toByte)
+        (rleEncode(samples),
+          "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /RunLengthDecode ")
       case _ =>
         val samples = Array.tabulate[Byte](w * h * 3)(i => ((i * 11 + 5) & 0xff).toByte)
         (graft.kernels.Pdf.deflate(samples),
           "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode ")
     }
-    val out = new java.io.ByteArrayOutputStream()
-    def put(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
     val content = "q 100 0 0 100 0 0 cm /Im1 Do Q"
     put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
     put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
@@ -853,10 +895,11 @@ object SparkEntry {
         .orderBy("doc_id", "page_no")
     }),
 
-    // image XObject extraction under the driver gate: per doc, a
-    // one-page PDF with an image whose dims derive from doc_id —
-    // doc_id%3 picks a Flate RGB raster, a REAL JPEG (DCTDecode), or
-    // a CCITT G4 bitonal (encoded by the JDK TIFF writer in-flight);
+    // image extraction under the driver gate: per doc, a one-page PDF
+    // with an image whose dims derive from doc_id — doc_id%5 picks a
+    // Flate RGB raster, a REAL JPEG (DCTDecode), a CCITT G4 bitonal
+    // (encoded by the JDK TIFF writer in-flight), a RunLength raster,
+    // or an INLINE image (BI/ID/EI, payload salted with ' EI ');
     // the kernel must decode each back to the exact declared shape
     "q_pdf_images" -> ((s, dir) => {
       import s.implicits._
@@ -865,7 +908,7 @@ object SparkEntry {
         .flatMap { id =>
           val w = 8 + (id % 5).toInt
           val h = 6 + (id % 3).toInt
-          graft.kernels.Pdf.extractImages(synthImagePdf((id % 3).toInt, w, h))
+          graft.kernels.Pdf.extractImages(synthImagePdf((id % 5).toInt, w, h))
             .map(im => (id, im.width, im.height, im.channels, im.bpc, im.format))
         }
         .toDF("doc_id", "width", "height", "channels", "bpc", "format")
@@ -1739,14 +1782,16 @@ object SparkEntry {
 
       // image dims stated closed-form: the JPEG round-trip (ImageIO
       // encode in the generator, kernel DCT decode in extraction)
-      // must preserve the exact pixel dimensions and channel count
+      // must preserve the exact pixel dimensions and channel count;
+      // variant doc_id%5 = Flate / JPEG / CCITT-G4 / RunLength /
+      // inline BI — only G4 (v2) is bitonal, only JPEG (v1) 'jpeg'
       "q_pdf_images" ->
         """SELECT CAST(doc_id AS BIGINT) AS doc_id,
                   CAST(8 + doc_id % 5 AS INT) AS width,
                   CAST(6 + doc_id % 3 AS INT) AS height,
-                  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS INT) AS channels,
-                  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 8 END AS INT) AS bpc,
-                  CASE WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'raw' END AS format
+                  CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 3 END AS INT) AS channels,
+                  CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 8 END AS INT) AS bpc,
+                  CASE WHEN doc_id % 5 = 1 THEN 'jpeg' ELSE 'raw' END AS format
            FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
 
       // the estimator's recovered angle equals the planted one (the
