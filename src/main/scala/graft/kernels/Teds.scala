@@ -16,7 +16,20 @@ import scala.collection.mutable
 object Teds {
 
   final case class TNode(label: String, children: Vector[TNode]) {
-    lazy val size: Int = 1 + children.map(_.size).sum
+    // iterative: tree depth is attacker-controlled (nested <table>
+    // tags), and a StackOverflowError is fatal to the Spark task —
+    // no recursion anywhere in this kernel
+    lazy val size: Int = {
+      var c = 0
+      val st = new java.util.ArrayDeque[TNode]
+      st.push(this)
+      while (!st.isEmpty) {
+        val n = st.pop()
+        c += 1
+        n.children.foreach(st.push)
+      }
+      c
+    }
   }
 
   /** Parse (the first) table in an HTML fragment into a tree; cell
@@ -66,26 +79,30 @@ object Teds {
 
   /** Zhang–Shasha ordered tree edit distance with unit costs. */
   def editDistance(t1: TNode, t2: TNode): Int = {
-    // postorder arrays + leftmost-leaf-descendant indices
+    // postorder arrays + leftmost-leaf-descendant indices; explicit
+    // stack (tree depth is input-controlled — see TNode.size)
     def flatten(root: TNode): (Array[String], Array[Int]) = {
       val labels = mutable.ArrayBuffer.empty[String]
       val lld = mutable.ArrayBuffer.empty[Int]
-      def go(n: TNode): Int = { // returns postorder index of n
-        val firstLeaf =
-          if (n.children.isEmpty) labels.length
-          else {
-            var fl = -1
-            for ((c, i) <- n.children.zipWithIndex) {
-              val ci = go(c)
-              if (i == 0) fl = lld(ci)
-            }
-            fl
-          }
-        labels += n.label
-        lld += firstLeaf
-        labels.length - 1
+      final class Frame(val n: TNode) { var next = 0; var firstLeaf = -1 }
+      val st = new java.util.ArrayDeque[Frame]
+      st.push(new Frame(root))
+      while (!st.isEmpty) {
+        val f = st.peek()
+        if (f.next < f.n.children.length) {
+          f.next += 1
+          st.push(new Frame(f.n.children(f.next - 1)))
+        } else {
+          st.pop()
+          val firstLeaf = if (f.n.children.isEmpty) labels.length else f.firstLeaf
+          labels += f.n.label
+          lld += firstLeaf
+          // the parent's leftmost leaf is its FIRST child's (-1 =
+          // not yet set, so only the first completed child writes it)
+          if (!st.isEmpty && st.peek().firstLeaf < 0)
+            st.peek().firstLeaf = firstLeaf
+        }
       }
-      go(root)
       (labels.toArray, lld.toArray)
     }
     val (l1, lld1) = flatten(t1)
@@ -125,11 +142,20 @@ object Teds {
     td(l1.length - 1)(l2.length - 1)
   }
 
+  /** Zhang–Shasha needs an |T1|·|T2| Int matrix; above this many
+    * cells (64 MB) a hostile pair of giant tables would OOM the
+    * executor — degrade to 0.0 similarity instead (any real table
+    * pair is orders of magnitude below this).
+    */
+  private val MaxDistanceCells = 16L * 1024 * 1024
+
   /** tedsmetric.py similarity: 1 − TED / max(|T1|, |T2|). */
   def similarity(htmlA: String, htmlB: String): Double = {
     val a = fromTableHtml(htmlA)
     val b = fromTableHtml(htmlB)
     val denom = math.max(a.size, b.size)
-    if (denom == 0) 1.0 else 1.0 - editDistance(a, b).toDouble / denom
+    if (denom == 0) 1.0
+    else if (a.size.toLong * b.size > MaxDistanceCells) 0.0
+    else 1.0 - editDistance(a, b).toDouble / denom
   }
 }

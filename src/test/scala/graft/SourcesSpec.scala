@@ -378,6 +378,34 @@ class PdfSpec extends AnyFunSuite {
     assert(pages.head.text == "01 unchanged: ab")
   }
 
+  test("Type3 fonts decode through /Differences (their canonical encoding) and ToUnicode") {
+    // a Type3 font has no base font: /Encoding /Differences IS how it
+    // names glyphs (§9.6.5), and the simple-font path must serve it
+    val content = "BT /F1 12 Tf (AB plain: c) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 << " +
+      "/Type /Font /Subtype /Type3 /CharProcs << >> /FontMatrix [0.001 0 0 0.001 0 0] " +
+      "/Encoding << /Differences [ 65 /seven /eight ] >> >> >> >> /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n%%EOF\n")
+    assert(Pdf.splitPages(out.toByteArray).head.text == "78 plain: c")
+    // a Type3 with a ToUnicode CMap prefers the CMap like any simple font
+    val cmap = "begincmap\n2 beginbfchar\n<41> <0031>\n<42> <0032>\nendbfchar\nendcmap"
+    val out2 = new java.io.ByteArrayOutputStream()
+    def put2(s: String): Unit =
+      out2.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    put2("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put2("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put2("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 << " +
+      "/Type /Font /Subtype /Type3 /ToUnicode 5 0 R >> >> >> /Contents 4 0 R >> endobj\n")
+    put2(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put2(s"5 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj\n%%EOF\n")
+    assert(Pdf.splitPages(out2.toByteArray).head.text.startsWith("12"))
+  }
+
   test("simple-font base encodings: WinAnsi and MacRoman high-half bytes decode correctly") {
     def doc(encName: String, octals: String) = {
       val content = s"BT /F1 12 Tf ($octals) Tj ET"
