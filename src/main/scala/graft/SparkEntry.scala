@@ -217,13 +217,39 @@ object SparkEntry {
     * (JDK-writer-encoded T.6, kernel must decode through the
     * TIFF-wrap path), 3 = RunLength RGB raster, 4 = INLINE image
     * (§8.9.7 BI/ID/EI with abbreviated keys, payload salted with a
-    * ' EI ' byte run so exact-length delimiting is load-bearing).
-    * Pure function of (variant, w, h).
+    * ' EI ' byte run so exact-length delimiting is load-bearing),
+    * 5 = INLINE JPEG with NO /L (the kernel must walk the JPEG
+    * marker structure to find the payload end). Pure function of
+    * (variant, w, h).
     */
   private def synthImagePdf(variant: Int, w: Int, h: Int): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val out = new java.io.ByteArrayOutputStream()
     def put(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    if (variant == 5) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, (x * 53 + y * 71) & 0xffffff); x += 1 }
+        y += 1
+      }
+      val jb = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", jb)
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(s"q BI /W $w /H $h /CS /RGB /BPC 8 /F /DCT ID ".getBytes(ISO_8859_1))
+      body.write(jb.toByteArray)
+      body.write(" EI Q".getBytes(ISO_8859_1))
+      val content = body.toByteArray
+      put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+      put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+      put(s"4 0 obj << /Length ${content.length} >> stream\n")
+      out.write(content)
+      put("\nendstream endobj\n%%EOF\n")
+      return out.toByteArray
+    }
     if (variant == 4) {
       val raw = Array.tabulate[Byte](w * h * 3)(i => ((i * 11 + 5) & 0xff).toByte)
       if (raw.length >= 8) {
@@ -640,6 +666,47 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), TextStats.langId(col("text")).as("lang_id"))),
     "q_quality" -> ((s, dir) => TextStats.quality(docs(s, dir), "text")),
 
+    // PII redaction: the corpus contains no PII, so an email and a
+    // phone number are PLANTED per doc from doc_id alone; the oracle
+    // rebuilds the identical planted text and redacts with the same
+    // RE2-safe patterns — counts and the full redacted string must
+    // hash-match
+    "q_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(lit("mail user"), col("doc_id"),
+            lit("@example.com tel +1 555-01"), col("doc_id") % 90 + 10,
+            lit(" "), col("text")).as("t2"))
+      TextStats.redact(planted, "t2").orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals: the corpus itself has no
+    // duplicate lines/5-grams, so repetition is PLANTED word-aligned
+    // by doc_id%3 (1 = a duplicated 8-word chunk line, 2 = the first
+    // bigram spammed ×6) — the oracle rebuilds the identical planted
+    // text in SQL and restates every metric independently
+    "q_repetition" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val ws = text.split(" ", -1)
+          val planted =
+            if (id % 3 == 1 && ws.length >= 16)
+              ws.take(ws.length / 8 * 8).mkString(" ") + " " + ws.take(8).mkString(" ")
+            else if (id % 3 == 2 && ws.length >= 2)
+              text + (" " + ws(0) + " " + ws(1)) * 6
+            else text
+          val m = TextStats.repetitionMetrics(planted)
+          (id, m.n_words, m.n_lines, m.n_distinct_lines, m.dup_line_chars,
+            m.top2_chars, m.dup5_chars, m.total_chars, m.repetition_ok)
+        }
+        .toDF("doc_id", "n_words", "n_lines", "n_distinct_lines",
+          "dup_line_chars", "top2_chars", "dup5_chars", "total_chars",
+          "repetition_ok")
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup family ----
     // near-dup input: docs < 200 plus exact copies shifted by 10000
     "q_dedup_minhash" -> ((s, dir) => {
@@ -896,10 +963,11 @@ object SparkEntry {
     }),
 
     // image extraction under the driver gate: per doc, a one-page PDF
-    // with an image whose dims derive from doc_id — doc_id%5 picks a
+    // with an image whose dims derive from doc_id — doc_id%6 picks a
     // Flate RGB raster, a REAL JPEG (DCTDecode), a CCITT G4 bitonal
     // (encoded by the JDK TIFF writer in-flight), a RunLength raster,
-    // or an INLINE image (BI/ID/EI, payload salted with ' EI ');
+    // an INLINE image (BI/ID/EI, payload salted with ' EI '), or an
+    // INLINE JPEG with no /L (delimited by the JPEG marker structure);
     // the kernel must decode each back to the exact declared shape
     "q_pdf_images" -> ((s, dir) => {
       import s.implicits._
@@ -908,7 +976,7 @@ object SparkEntry {
         .flatMap { id =>
           val w = 8 + (id % 5).toInt
           val h = 6 + (id % 3).toInt
-          graft.kernels.Pdf.extractImages(synthImagePdf((id % 5).toInt, w, h))
+          graft.kernels.Pdf.extractImages(synthImagePdf((id % 6).toInt, w, h))
             .map(im => (id, im.width, im.height, im.channels, im.bpc, im.format))
         }
         .toDF("doc_id", "width", "height", "channels", "bpc", "format")
@@ -1285,6 +1353,73 @@ object SparkEntry {
 
       "q_lang_id" ->
         s"SELECT doc_id, ${TextStats.langIdSql("text")} AS lang_id FROM documents",
+
+      // redaction: rebuild the planted text (string concatenation of
+      // doc_id-derived email + phone before the document text), apply
+      // the same RE2-safe patterns with DuckDB's regex engine
+      "q_redact" ->
+        s"""SELECT doc_id, ${TextStats.redactSqlSelect("t2")}
+            FROM (SELECT doc_id,
+                    'mail user' || doc_id || '@example.com tel +1 555-01'
+                      || (doc_id % 90 + 10) || ' ' || text AS t2
+                  FROM documents WHERE doc_id < 300) ORDER BY doc_id""",
+
+      // repetition signals: rebuild the planted text, then an
+      // independent SQL derivation of every metric (8-word chunk
+      // "lines", word 2-/5-grams joined by ' ', cnt×len character
+      // numerators, cross-multiplied 20% verdicts)
+      "q_repetition" ->
+        """WITH planted AS (
+             SELECT doc_id,
+               CASE
+                 WHEN doc_id % 3 = 1 AND len(string_split(text,' ')) >= 16 THEN
+                   array_to_string(list_slice(string_split(text,' '), 1,
+                     (len(string_split(text,' '))//8)*8), ' ')
+                   || ' ' || array_to_string(list_slice(string_split(text,' '), 1, 8), ' ')
+                 WHEN doc_id % 3 = 2 AND len(string_split(text,' ')) >= 2 THEN
+                   text || repeat(' ' || string_split(text,' ')[1] || ' '
+                     || string_split(text,' ')[2], 6)
+                 ELSE text
+               END AS t2
+             FROM documents WHERE doc_id < 300
+           ),
+           base AS (
+             SELECT doc_id, string_split(t2, ' ') AS ws, length(t2) AS total_chars
+             FROM planted
+           ),
+           lines AS (
+             SELECT doc_id, unnest(list_transform(range(0, (len(ws)+7)//8),
+                 j -> array_to_string(ws[j*8+1:j*8+8], ' '))) AS line FROM base
+           ),
+           lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS l
+                  FROM lines GROUP BY doc_id, line),
+           la AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+                         CAST(count(*) AS BIGINT) AS n_distinct_lines,
+                         CAST(COALESCE(sum(CASE WHEN c > 1 THEN c*l END), 0) AS BIGINT) AS dup_line_chars
+                  FROM lc GROUP BY doc_id),
+           bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                 i -> array_to_string(ws[i:i+1], ' '))) AS gram FROM base),
+           bc AS (SELECT doc_id, gram, count(*) AS c, length(gram) AS l
+                  FROM bg GROUP BY doc_id, gram),
+           ba AS (SELECT doc_id, CAST(max(c*l) AS BIGINT) AS top2_chars
+                  FROM bc GROUP BY doc_id),
+           fg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-3),
+                 i -> array_to_string(ws[i:i+4], ' '))) AS gram FROM base),
+           fc AS (SELECT doc_id, gram, count(*) AS c, length(gram) AS l
+                  FROM fg GROUP BY doc_id, gram),
+           fa AS (SELECT doc_id, CAST(COALESCE(sum(CASE WHEN c > 1 THEN c*l END), 0) AS BIGINT) AS dup5_chars
+                  FROM fc GROUP BY doc_id)
+           SELECT b.doc_id, CAST(len(b.ws) AS INT) AS n_words,
+                  la.n_lines, la.n_distinct_lines, la.dup_line_chars,
+                  COALESCE(ba.top2_chars, 0) AS top2_chars,
+                  COALESCE(fa.dup5_chars, 0) AS dup5_chars,
+                  CAST(b.total_chars AS BIGINT) AS total_chars,
+                  (la.dup_line_chars * 5 <= b.total_chars
+                    AND COALESCE(ba.top2_chars, 0) * 5 <= b.total_chars
+                    AND COALESCE(fa.dup5_chars, 0) * 5 <= b.total_chars) AS repetition_ok
+           FROM base b JOIN la USING (doc_id)
+           LEFT JOIN ba USING (doc_id) LEFT JOIN fa USING (doc_id)
+           ORDER BY b.doc_id""",
 
       "x6_lang" ->
         s"""$cte SELECT conv_id, turn_idx,
@@ -1783,15 +1918,16 @@ object SparkEntry {
       // image dims stated closed-form: the JPEG round-trip (ImageIO
       // encode in the generator, kernel DCT decode in extraction)
       // must preserve the exact pixel dimensions and channel count;
-      // variant doc_id%5 = Flate / JPEG / CCITT-G4 / RunLength /
-      // inline BI — only G4 (v2) is bitonal, only JPEG (v1) 'jpeg'
+      // variant doc_id%6 = Flate / JPEG / CCITT-G4 / RunLength /
+      // inline BI / inline JPEG without /L — only G4 (v2) is bitonal,
+      // the two DCT variants (v1, v5) report 'jpeg'
       "q_pdf_images" ->
         """SELECT CAST(doc_id AS BIGINT) AS doc_id,
                   CAST(8 + doc_id % 5 AS INT) AS width,
                   CAST(6 + doc_id % 3 AS INT) AS height,
-                  CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 3 END AS INT) AS channels,
-                  CAST(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 8 END AS INT) AS bpc,
-                  CASE WHEN doc_id % 5 = 1 THEN 'jpeg' ELSE 'raw' END AS format
+                  CAST(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 3 END AS INT) AS channels,
+                  CAST(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 8 END AS INT) AS bpc,
+                  CASE WHEN doc_id % 6 IN (1, 5) THEN 'jpeg' ELSE 'raw' END AS format
            FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
 
       // the estimator's recovered angle equals the planted one (the

@@ -1811,15 +1811,24 @@ object Pdf {
     }
   }
 
-  /** Apply a chain of transport filters (Flate/ASCII85/ASCIIHex/
+  /** Apply a chain of transport filters (Flate/LZW/ASCII85/ASCIIHex/
     * RunLength — the ones that may wrap an image codec's payload, or
-    * an inline image's samples) in declaration order. Unknown name →
+    * an inline image's samples) in declaration order. `parms` is the
+    * flat dict text (an image XObject dict, or an inline image's
+    * parameter run incl. any `/DP`/`/DecodeParms` sub-dict): Flate and
+    * LZW honor a declared `/Predictor` from it — an inline TIFF-
+    * predictor-2 raster would otherwise emit DIFFERENCED bytes with
+    * plausible dims — and LZW its `/EarlyChange`. Unknown name →
     * None.
     */
-  private def transportChain(data: Array[Byte], filters: Seq[String]): Option[Array[Byte]] =
+  private def transportChain(data: Array[Byte], filters: Seq[String],
+      parms: String): Option[Array[Byte]] =
     filters.foldLeft(Option(data)) { (acc, f) =>
       acc.flatMap(d => f match {
-        case "FlateDecode" | "Fl" => inflate(d)
+        case "FlateDecode" | "Fl" => inflate(d).flatMap(applyPredictor(parms, _))
+        case "LZWDecode" | "LZW" =>
+          paramOr(EarlyChangeRe, parms, 1).flatMap(lzw(d, _))
+            .flatMap(applyPredictor(parms, _))
         case "ASCII85Decode" | "A85" => ascii85(d)
         case "ASCIIHexDecode" | "AHx" => asciiHex(d)
         case "RunLengthDecode" | "RL" => runLength(d)
@@ -1831,7 +1840,7 @@ object Pdf {
       byNum: Map[Int, PdfObj]): Option[PdfImage] = {
     val filters = filtersOf(o.dict)
     def transportUnwrap(fs: Seq[String]): Option[Array[Byte]] =
-      o.stream.flatMap(transportChain(_, fs))
+      o.stream.flatMap(transportChain(_, fs, o.dict))
     filters.lastOption match {
       case Some("DCTDecode") | Some("DCT") =>
         // the JPEG decodes with the JDK — dims/channels are the TRUE
@@ -1880,6 +1889,54 @@ object Pdf {
   private val InlineFilterRe = """/(?:F|Filter)\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
   private val InlineLenRe = """/(?:L|Length)\s+(\d+)""".r
 
+  /** Exact byte length of a JPEG stream starting at `from` in a
+    * latin-1 content string, by walking the marker structure (ISO
+    * 10918-1 §B): SOI, then marker segments with 2-byte big-endian
+    * payload lengths; after an SOS header the entropy-coded data runs
+    * until the next marker that is neither byte-stuffing (FF 00) nor
+    * a restart (FF D0–D7); EOI terminates. This makes a bare inline
+    * DCT payload (no PDF-2.0 `/L`) exactly delimitable — the scan
+    * follows declared segment lengths, so ' EI' or 'FFD9' byte runs
+    * INSIDE entropy data or segment payloads cannot end it early.
+    * None on any malformation or truncation (caller skips the image).
+    */
+  private def jpegScanLength(content: String, from: Int): Option[Int] = {
+    val n = content.length
+    def u(i: Int): Int = content.charAt(i) & 0xff
+    if (from + 2 > n || u(from) != 0xff || u(from + 1) != 0xd8) return None
+    var i = from + 2
+    while (i + 1 < n) {
+      if (u(i) != 0xff) return None // expected a marker
+      var j = i + 1
+      while (j < n && u(j) == 0xff) j += 1 // fill bytes
+      if (j >= n) return None
+      val marker = u(j)
+      if (marker == 0xd9) return Some(j + 1 - from) // EOI
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = j + 1
+      else {
+        if (j + 3 > n) return None
+        val len = (u(j + 1) << 8) | u(j + 2) // includes its own 2 bytes
+        if (len < 2 || j + 1 + len > n) return None
+        i = j + 1 + len
+        if (marker == 0xda) { // SOS: skip entropy-coded data
+          var k = i
+          var stop = -1
+          while (stop < 0 && k + 1 < n) {
+            if (u(k) == 0xff) {
+              val b = u(k + 1)
+              if (b == 0x00) k += 2 // stuffed literal FF
+              else if (b >= 0xd0 && b <= 0xd7) k += 2 // restart marker
+              else stop = k // a real marker (EOI, DNL, next SOS, …)
+            } else k += 1
+          }
+          if (stop < 0) return None
+          i = stop
+        }
+      }
+    }
+    None
+  }
+
   /** Inline images of a decoded content stream (§8.9.7):
     * `BI <key-value pairs> ID<one whitespace><binary data> EI`, with
     * the abbreviated key/name forms (`/W /H /BPC /CS /F /IM`). The
@@ -1889,9 +1946,13 @@ object Pdf {
     * decodes to exactly the declared size (binary data may contain
     * the two letters EI, so the first occurrence is a guess, not a
     * fact). A PDF-2.0 `/L` entry (encoded byte length) removes the
-    * guesswork entirely and additionally enables inline DCT (JPEG)
-    * decode. Anything indeterminate — unknown color space, missing
-    * dims, inline CCITT, DCT without /L — skips, never mislabels.
+    * guesswork entirely; inline DCT (JPEG) additionally delimits
+    * WITHOUT `/L` when bare (the JPEG marker structure proves its own
+    * end — [[jpegScanLength]]) or wrapped in a self-terminating
+    * transport (ASCII85 `~>` / ASCIIHex `>`). Anything indeterminate
+    * — unknown color space, missing dims, inline CCITT, DCT behind a
+    * non-self-terminating transport with no /L — skips, never
+    * mislabels.
     *
     * The scan is a single forward cursor: once an image's payload is
     * delimited, scanning resumes PAST it, so 'BI' byte runs inside
@@ -1945,13 +2006,29 @@ object Pdf {
           content.substring(dataStart, dataStart + l)
             .getBytes(StandardCharsets.ISO_8859_1)
         if (filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")) {
-          // inline JPEG: only decodable when /L declares the encoded
-          // length (without it the payload isn't delimitable — a JPEG
-          // body may contain ' EI' and decoders tolerate trailing
-          // bytes, so candidate scanning can't prove the boundary)
+          // inline JPEG: delimitable when (a) /L declares the encoded
+          // length, (b) the DCT payload is bare — the JPEG marker
+          // structure itself proves the boundary (jpegScanLength), or
+          // (c) the outermost transport filter is self-terminating
+          // (ASCII85 '~>', ASCIIHex '>'). EI-candidate scanning is
+          // never used here: a JPEG body may contain ' EI' and
+          // decoders tolerate trailing bytes, so a decode succeeding
+          // at some candidate wouldn't prove the boundary.
+          val structuralLen: Option[Int] =
+            if (lOpt.isDefined) None
+            else if (filters.size == 1) jpegScanLength(content, dataStart)
+            else filters.head match {
+              case "ASCII85Decode" | "A85" =>
+                val t = content.indexOf("~>", dataStart)
+                if (t >= 0) Some(t + 2 - dataStart) else None
+              case "ASCIIHexDecode" | "AHx" =>
+                val t = content.indexOf('>', dataStart)
+                if (t >= 0) Some(t + 1 - dataStart) else None
+              case _ => None
+            }
           for {
-            l <- lOpt
-            jpeg <- transportChain(encodedAt(l), filters.dropRight(1))
+            l <- lOpt.orElse(structuralLen)
+            jpeg <- transportChain(encodedAt(l), filters.dropRight(1), parms)
             img <- {
               imageIoReady
               try Option(javax.imageio.ImageIO.read(
@@ -1974,7 +2051,7 @@ object Pdf {
             if (lOpt.isDefined) {
               val l = lOpt.get
               (if (filters.isEmpty) Option(encodedAt(l))
-               else transportChain(encodedAt(l), filters))
+               else transportChain(encodedAt(l), filters, parms))
                 .filter(_.length == rawLen)
                 .map(d => (d, dataStart + l))
             } else if (filters.isEmpty) {
@@ -1993,7 +2070,7 @@ object Pdf {
                 from = eiM.start + 1
                 found = transportChain(
                   content.substring(dataStart, eiM.start)
-                    .getBytes(StandardCharsets.ISO_8859_1), filters)
+                    .getBytes(StandardCharsets.ISO_8859_1), filters, parms)
                   .filter(_.length == rawLen)
                   .map(d => (d, eiM.end))
               }

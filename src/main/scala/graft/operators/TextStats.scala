@@ -140,4 +140,99 @@ object TextStats {
     }
     h
   }
+
+  /** PII-style scrubbing (the C4/CCNet-style regex redaction pass a
+    * training-data pipeline runs before publishing): email and
+    * phone-number spans replaced by typed placeholders. Both patterns
+    * are RE2-safe (no lookarounds, no backrefs) so Spark (Java regex)
+    * and DuckDB (RE2) produce identical spans; emails are redacted
+    * FIRST and phones counted on the email-redacted text, making the
+    * order part of the contract. Pure Column expressions — codegen'd,
+    * scales as a map-only stage.
+    */
+  val EmailRe: String = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhoneRe: String = """\+?[0-9][0-9()\- ]{6,}[0-9]"""
+
+  def redactEmails(text: Column): Column =
+    regexp_replace(text, lit(EmailRe), lit("<EMAIL>"))
+
+  def redactPii(text: Column): Column =
+    regexp_replace(redactEmails(text), lit(PhoneRe), lit("<PHONE>"))
+
+  def redact(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(redactEmails(col(textCol)), lit(PhoneRe), lit(0)))
+        .as("n_phones"),
+      redactPii(col(textCol)).as("redacted"))
+
+  /** DuckDB twin of [[redact]] over a `t2` text column. */
+  def redactSqlSelect(textExpr: String): String = {
+    def q(p: String) = p.replace("'", "''")
+    s"""CAST(len(regexp_extract_all($textExpr, '${q(EmailRe)}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(regexp_replace($textExpr, '${q(EmailRe)}', '<EMAIL>', 'g'), '${q(PhoneRe)}')) AS INT) AS n_phones,
+       regexp_replace(regexp_replace($textExpr, '${q(EmailRe)}', '<EMAIL>', 'g'), '${q(PhoneRe)}', '<PHONE>', 'g') AS redacted"""
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 appendix A1.1,
+    * public): duplicate-"line" and duplicated/top word-n-gram
+    * character counts. All outputs are exact integer NUMERATORS with
+    * `total_chars` the shared denominator, so the engine comparison
+    * is hash-exact and the keep/drop verdict cross-multiplies instead
+    * of dividing. "Lines" are 8-word chunks (the transcript corpus is
+    * single-line, so literal newline splitting would be vacuous);
+    * n-grams are word n-grams joined by ' ' and their char length
+    * includes the joining spaces. Overlapping duplicated n-gram
+    * occurrences each count their full length, so `dup5_chars` can
+    * EXCEED `total_chars` — it is a repetition signal, not a true
+    * fraction (same in both engines by construction).
+    *
+    * Scale design: every metric is computed inside one row — no
+    * explode, no shuffle; a 100 TB corpus pays zero exchange. (The
+    * declarative alternative — explode n-grams + groupBy(doc, gram) —
+    * shuffles ~7× the corpus text.)
+    */
+  final case class Repetition(n_words: Int, n_lines: Long,
+      n_distinct_lines: Long, dup_line_chars: Long, top2_chars: Long,
+      dup5_chars: Long, total_chars: Long, repetition_ok: Boolean)
+
+  def repetitionMetrics(text: String): Repetition = {
+    val ws = text.split(" ", -1)
+    val n = ws.length
+    def gramStats(k: Int): (Long, Long) = {
+      // (max cnt*len, sum of cnt*len over grams with cnt > 1)
+      val counts = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i + k <= n) {
+        val g = ws.slice(i, i + k).mkString(" ")
+        counts.merge(g, 1, Integer.sum)
+        i += 1
+      }
+      var top = 0L
+      var dup = 0L
+      counts.forEach { (g, c) =>
+        val chars = c.toLong * g.length
+        if (chars > top) top = chars
+        if (c > 1) dup += chars
+      }
+      (top, dup)
+    }
+    val lineCounts = new java.util.HashMap[String, Int]()
+    val nLines = (n + 7) / 8
+    var j = 0
+    while (j < nLines) {
+      lineCounts.merge(ws.slice(j * 8, math.min(j * 8 + 8, n)).mkString(" "),
+        1, Integer.sum)
+      j += 1
+    }
+    var dupLineChars = 0L
+    lineCounts.forEach { (l, c) => if (c > 1) dupLineChars += c.toLong * l.length }
+    val (top2, _) = gramStats(2)
+    val (_, dup5) = gramStats(5)
+    val total = text.length.toLong
+    Repetition(n, nLines.toLong, lineCounts.size.toLong, dupLineChars,
+      top2, dup5, total,
+      dupLineChars * 5 <= total && top2 * 5 <= total && dup5 * 5 <= total)
+  }
 }

@@ -130,6 +130,49 @@ class TextStatsSpec extends AnyFunSuite {
     assert(a == TextStats.rollingFingerprint(Seq("alpha", "beta")))
     assert(a != TextStats.rollingFingerprint(Seq("beta", "alpha")))
   }
+
+  test("repetition metrics: hand-computed fixture") {
+    // 16 words = two 8-word lines, identical → both lines duplicate
+    val line = "a b c d e f g h"
+    val m = TextStats.repetitionMetrics(line + " " + line)
+    assert(m.n_words == 16 && m.n_lines == 2 && m.n_distinct_lines == 1)
+    assert(m.dup_line_chars == 2L * line.length)
+    // every 5-gram in the doubled text repeats except none — grams
+    // crossing the seam: "e f g h a" etc. appear once; "a b c d e"
+    // appears twice (offsets 0 and 8). Duplicated 5-grams are the 4
+    // within-line ones, each twice, len 9 → 4*2*9 = 72
+    assert(m.dup5_chars == 72)
+    // top bigram: every within-line bigram occurs twice (len 3 → 6);
+    // seam bigram "h a" occurs once
+    assert(m.top2_chars == 6)
+    assert(!m.repetition_ok) // dup_line_chars*5 = 150 > 31 total chars
+  }
+
+  test("repetition metrics: clean text passes, no false dup") {
+    val m = TextStats.repetitionMetrics(('a' to 'z').mkString(" "))
+    assert(m.n_words == 26 && m.n_lines == 4 && m.n_distinct_lines == 4)
+    assert(m.dup_line_chars == 0 && m.dup5_chars == 0)
+    assert(m.top2_chars == 3) // every bigram unique, len 3
+    assert(m.repetition_ok)
+    val e = TextStats.repetitionMetrics("")
+    assert(e.n_words == 1 && e.n_lines == 1 && e.total_chars == 0)
+  }
+
+  test("redaction: emails then phones, counts and placeholders") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "mail bob@corp.example.com or call +1 555-0142 now"),
+      (1L, "no pii in this row at all"),
+      (2L, "two a@b.co c@d.org mails (555) 010-9999 phone")).toDF("doc_id", "t")
+    val out = TextStats.redact(df, "t").orderBy("doc_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0) == ((1, 1, "mail <EMAIL> or call <PHONE> now")))
+    assert(out(1) == ((0, 0, "no pii in this row at all")))
+    assert(out(2)._1 == 2 && out(2)._2 == 1)
+    // the pattern anchors on a leading digit, so "(555)..."
+    // keeps its opening parenthesis and redacts from the 5
+    assert(out(2)._3 == "two <EMAIL> <EMAIL> mails (<PHONE> phone")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -33,6 +33,22 @@ class PdfImagesSpec extends AnyFunSuite {
     out
   }
 
+  private def deflate(b: Array[Byte]): Array[Byte] = Pdf.deflate(b)
+
+  /** Test-local reference ASCII85 encoder (same as PdfEmitSpec's). */
+  private def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    data.grouped(4).foreach { g =>
+      val n = g.length
+      var v = 0L
+      for (k <- 0 until 4) v = (v << 8) | (if (k < n) g(k) & 0xffL else 0L)
+      val digits = (0 until 5).map(k => ('!' + (v / math.pow(85, 4 - k).toLong % 85)).toChar)
+      sb.appendAll(digits.take(n + 1))
+    }
+    sb.append("~>")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
   private def imagePdf(w: Int, h: Int, data: Array[Byte], entries: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
@@ -281,7 +297,7 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(imgs.head.data.toSeq == raw.toSeq)
   }
 
-  test("inline DCT (JPEG) decodes when /L is declared, skips without it") {
+  test("inline DCT (JPEG) decodes with /L, and without /L via the marker-structure scan") {
     val w = 9; val h = 7
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -302,8 +318,113 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(withL.map(i => (i.width, i.height, i.channels, i.format)) ==
       Seq((w, h, 3, "jpeg")))
     assert(withL.head.data.toSeq == jpeg.toSeq)
-    // without /L the JPEG boundary is unprovable — skip, never garble
-    assert(Pdf.extractImages(contentPdf(body(withL = false))).isEmpty)
+    // without /L the JPEG marker structure proves its own boundary:
+    // same dims, and the payload is delimited to EXACTLY the source
+    // bytes (one byte over would swallow the ' EI' terminator)
+    val noL = Pdf.extractImages(contentPdf(body(withL = false)))
+    assert(noL.map(i => (i.width, i.height, i.channels, i.format)) ==
+      Seq((w, h, 3, "jpeg")))
+    assert(noL.head.data.toSeq == jpeg.toSeq)
+  }
+
+  test("bare inline DCT without /L: structural scan resumes the cursor past EOI") {
+    // JPEG inline image followed by a raw inline image — a wrong
+    // boundary would either miss the second BI or parse a phantom
+    val img = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 5) img.setRGB(x, y, (x + y * 5) * 40000)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("q BI /W 5 /H 4 /CS /RGB /BPC 8 /F /DCT ID ".getBytes(ISO_8859_1))
+    body.write(jb.toByteArray)
+    body.write(" EI Q BI /W 2 /H 2 /CS /G /BPC 8 ID ".getBytes(ISO_8859_1))
+    body.write(Array.tabulate[Byte](4)(_.toByte))
+    body.write(" EI".getBytes(ISO_8859_1))
+    val imgs = Pdf.extractImages(contentPdf(body.toByteArray))
+    assert(imgs.map(i => (i.name, i.format, i.width, i.height)) ==
+      Seq(("BI#1", "jpeg", 5, 4), ("BI#2", "raw", 2, 2)))
+  }
+
+  test("truncated inline JPEG without /L skips instead of garbling") {
+    val img = new java.awt.image.BufferedImage(
+      6, 6, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val jpeg = jb.toByteArray
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("BI /W 6 /H 6 /CS /RGB /BPC 8 /F /DCT ID ".getBytes(ISO_8859_1))
+    body.write(jpeg, 0, jpeg.length - 10) // drop the tail incl. EOI
+    body.write(" EI".getBytes(ISO_8859_1))
+    assert(Pdf.extractImages(contentPdf(body.toByteArray)).isEmpty)
+  }
+
+  test("ASCII85-wrapped inline DCT without /L delimits at the '~>' terminator") {
+    val w = 4; val h = 3
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 3 + y) * 90000)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val jpeg = jb.toByteArray
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("BI /W 4 /H 3 /CS /RGB /BPC 8 /F [/A85 /DCT] ID ".getBytes(ISO_8859_1))
+    body.write(ascii85Encode(jpeg))
+    body.write(" EI".getBytes(ISO_8859_1))
+    val imgs = Pdf.extractImages(contentPdf(body.toByteArray))
+    assert(imgs.map(i => (i.format, i.width, i.height)) == Seq(("jpeg", w, h)))
+    assert(imgs.head.data.toSeq == jpeg.toSeq)
+    // behind a NON-self-terminating transport (Flate) with no /L the
+    // boundary stays unprovable — skip, never garble
+    val fl = new java.io.ByteArrayOutputStream()
+    fl.write("BI /W 4 /H 3 /CS /RGB /BPC 8 /F [/Fl /DCT] ID ".getBytes(ISO_8859_1))
+    fl.write(deflate(jpeg))
+    fl.write(" EI".getBytes(ISO_8859_1))
+    assert(Pdf.extractImages(contentPdf(fl.toByteArray)).isEmpty)
+  }
+
+  test("inline Flate image honors /DP TIFF predictor 2 (differenced bytes undone)") {
+    val w = 4; val h = 3; val colors = 3
+    val raw = Array.tabulate[Byte](w * h * colors)(i => ((i * 7 + 3) & 0xff).toByte)
+    // test-local reference differencer (§7.4.4.3, 8-bpc)
+    val enc = raw.clone()
+    for (y <- 0 until h; i <- (y * w * colors until (y + 1) * w * colors).reverse
+         if i - y * w * colors >= colors)
+      enc(i) = (enc(i) - enc(i - colors)).toByte
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(("BI /W 4 /H 3 /CS /RGB /BPC 8 /F /Fl " +
+      "/DP << /Predictor 2 /Columns 4 /Colors 3 /BitsPerComponent 8 >> ID ")
+      .getBytes(ISO_8859_1))
+    body.write(deflate(enc))
+    body.write(" EI".getBytes(ISO_8859_1))
+    val imgs = Pdf.extractImages(contentPdf(body.toByteArray))
+    assert(imgs.map(i => (i.width, i.height, i.channels)) == Seq((4, 3, 3)))
+    assert(imgs.head.data.toSeq == raw.toSeq) // NOT the differenced bytes
+  }
+
+  test("inline Flate image honors /DP PNG predictor (Up rows with filter bytes)") {
+    val w = 5; val h = 4; val colors = 3
+    val rowBytes = w * colors
+    val raw = Array.tabulate[Byte](rowBytes * h)(i => ((i * 11 + 1) & 0xff).toByte)
+    // PNG Up encoding: each row prefixed with filter byte 2, samples
+    // minus the row above (zero row for the first)
+    val enc = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      enc.write(2)
+      for (x <- 0 until rowBytes) {
+        val prev = if (y == 0) 0 else raw((y - 1) * rowBytes + x) & 0xff
+        enc.write(((raw(y * rowBytes + x) & 0xff) - prev) & 0xff)
+      }
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(("BI /W 5 /H 4 /CS /RGB /BPC 8 /F /Fl " +
+      "/DP << /Predictor 12 /Columns 5 /Colors 3 /BitsPerComponent 8 >> ID ")
+      .getBytes(ISO_8859_1))
+    body.write(deflate(enc.toByteArray))
+    body.write(" EI".getBytes(ISO_8859_1))
+    val imgs = Pdf.extractImages(contentPdf(body.toByteArray))
+    assert(imgs.map(i => (i.width, i.height, i.channels)) == Seq((5, 4, 3)))
+    assert(imgs.head.data.toSeq == raw.toSeq)
   }
 
   test("inline image with an unknown color space skips; XObjects on the page survive") {
