@@ -222,6 +222,22 @@ object SparkEntry {
     * marker structure to find the payload end). Pure function of
     * (variant, w, h).
     */
+  /** One-page PDF whose single content stream is `content` verbatim
+    * (the inline-image variants' shared scaffolding).
+    */
+  private def inlineContentPdf(content: Array[Byte]): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new java.io.ByteArrayOutputStream()
+    def put(str: String): Unit = out.write(str.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n")
+    out.write(content)
+    put("\nendstream endobj\n%%EOF\n")
+    out.toByteArray
+  }
+
   private def synthImagePdf(variant: Int, w: Int, h: Int): Array[Byte] = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     val out = new java.io.ByteArrayOutputStream()
@@ -241,14 +257,7 @@ object SparkEntry {
       body.write(s"q BI /W $w /H $h /CS /RGB /BPC 8 /F /DCT ID ".getBytes(ISO_8859_1))
       body.write(jb.toByteArray)
       body.write(" EI Q".getBytes(ISO_8859_1))
-      val content = body.toByteArray
-      put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
-      put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
-      put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
-      put(s"4 0 obj << /Length ${content.length} >> stream\n")
-      out.write(content)
-      put("\nendstream endobj\n%%EOF\n")
-      return out.toByteArray
+      return inlineContentPdf(body.toByteArray)
     }
     if (variant == 4) {
       val raw = Array.tabulate[Byte](w * h * 3)(i => ((i * 11 + 5) & 0xff).toByte)
@@ -259,14 +268,7 @@ object SparkEntry {
       body.write(s"q BI /W $w /H $h /CS /RGB /BPC 8 ID ".getBytes(ISO_8859_1))
       body.write(raw)
       body.write(" EI Q".getBytes(ISO_8859_1))
-      val content = body.toByteArray
-      put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
-      put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
-      put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
-      put(s"4 0 obj << /Length ${content.length} >> stream\n")
-      out.write(content)
-      put("\nendstream endobj\n%%EOF\n")
-      return out.toByteArray
+      return inlineContentPdf(body.toByteArray)
     }
     val (data, entries) = variant match {
       case 1 =>

@@ -519,18 +519,7 @@ object Pdf {
     * filter (DCT, JBIG2, JPX, Crypt, …).
     */
   def decodeStream(dict: String, data: Array[Byte]): Option[Array[Byte]] =
-    filtersOf(dict).foldLeft(Option(data)) { (acc, f) =>
-      acc.flatMap(d => f match {
-        case "FlateDecode" | "Fl" => inflate(d).flatMap(applyPredictor(dict, _))
-        case "LZWDecode" | "LZW" =>
-          paramOr(EarlyChangeRe, dict, 1).flatMap(lzw(d, _))
-            .flatMap(applyPredictor(dict, _))
-        case "ASCII85Decode" | "A85" => ascii85(d)
-        case "ASCIIHexDecode" | "AHx" => asciiHex(d)
-        case "RunLengthDecode" | "RL" => runLength(d)
-        case _ => None
-      })
-    }
+    transportChain(data, filtersOf(dict), dict)
 
   private def decodeContent(dict: String, data: Array[Byte]): Option[String] =
     decodeStream(dict, data).map(new String(_, StandardCharsets.ISO_8859_1))
@@ -2014,14 +2003,24 @@ object Pdf {
           // never used here: a JPEG body may contain ' EI' and
           // decoders tolerate trailing bytes, so a decode succeeding
           // at some candidate wouldn't prove the boundary.
+          // terminator-derived lengths additionally require the decode
+          // to be EXACTLY one structurally complete JPEG: ' ', 'E',
+          // 'I', '/', digits are all valid ASCII85 body chars, so a
+          // missing/corrupt '~>' would otherwise let indexOf adopt a
+          // LATER stream's terminator, emit a junk-extended JPEG
+          // (ImageIO tolerates trailing bytes), and jump the cursor
+          // past any intervening images
+          var terminatorDerived = false
           val structuralLen: Option[Int] =
             if (lOpt.isDefined) None
             else if (filters.size == 1) jpegScanLength(content, dataStart)
             else filters.head match {
               case "ASCII85Decode" | "A85" =>
+                terminatorDerived = true
                 val t = content.indexOf("~>", dataStart)
                 if (t >= 0) Some(t + 2 - dataStart) else None
               case "ASCIIHexDecode" | "AHx" =>
+                terminatorDerived = true
                 val t = content.indexOf('>', dataStart)
                 if (t >= 0) Some(t + 1 - dataStart) else None
               case _ => None
@@ -2029,6 +2028,8 @@ object Pdf {
           for {
             l <- lOpt.orElse(structuralLen)
             jpeg <- transportChain(encodedAt(l), filters.dropRight(1), parms)
+            if !terminatorDerived || jpegScanLength(
+              new String(jpeg, StandardCharsets.ISO_8859_1), 0).contains(jpeg.length)
             img <- {
               imageIoReady
               try Option(javax.imageio.ImageIO.read(

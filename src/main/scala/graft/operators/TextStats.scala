@@ -198,6 +198,10 @@ object TextStats {
       dup5_chars: Long, total_chars: Long, repetition_ok: Boolean)
 
   def repetitionMetrics(text: String): Repetition = {
+    // char counts are Unicode CODE POINTS (what Spark SQL length()
+    // and DuckDB length() both count) — String.length would diverge
+    // on non-BMP text (2 UTF-16 units per astral char)
+    def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
     val ws = text.split(" ", -1)
     val n = ws.length
     def gramStats(k: Int): (Long, Long) = {
@@ -212,7 +216,7 @@ object TextStats {
       var top = 0L
       var dup = 0L
       counts.forEach { (g, c) =>
-        val chars = c.toLong * g.length
+        val chars = c.toLong * cpLen(g)
         if (chars > top) top = chars
         if (c > 1) dup += chars
       }
@@ -227,10 +231,10 @@ object TextStats {
       j += 1
     }
     var dupLineChars = 0L
-    lineCounts.forEach { (l, c) => if (c > 1) dupLineChars += c.toLong * l.length }
+    lineCounts.forEach { (l, c) => if (c > 1) dupLineChars += c.toLong * cpLen(l) }
     val (top2, _) = gramStats(2)
     val (_, dup5) = gramStats(5)
-    val total = text.length.toLong
+    val total = cpLen(text)
     Repetition(n, nLines.toLong, lineCounts.size.toLong, dupLineChars,
       top2, dup5, total,
       dupLineChars * 5 <= total && top2 * 5 <= total && dup5 * 5 <= total)

@@ -295,17 +295,7 @@ class PdfEmitSpec extends AnyFunSuite {
           case 1 => (deflate(content.getBytes(ISO_8859_1)), "/Filter /FlateDecode ")
           case 2 =>
             val z = deflate(content.getBytes(ISO_8859_1))
-            // ASCII85 encode (test-local reference encoder)
-            val sb = new StringBuilder
-            z.grouped(4).foreach { g =>
-              val n = g.length
-              var v = 0L
-              for (k <- 0 until 4) v = (v << 8) | (if (k < n) g(k) & 0xffL else 0L)
-              val digits = (0 until 5).map(k => ('!' + (v / math.pow(85, 4 - k).toLong % 85)).toChar)
-              sb.appendAll(digits.take(n + 1))
-            }
-            sb.append("~>")
-            (sb.toString.getBytes(ISO_8859_1), "/Filter [/ASCII85Decode /FlateDecode] ")
+            (PdfTestCodecs.ascii85Encode(z), "/Filter [/ASCII85Decode /FlateDecode] ")
           case _ => (content.getBytes(ISO_8859_1), "")
         }
         put(s"${pageObj + 1} 0 obj << /Length ${data.length} $filter>> stream\n")

@@ -35,19 +35,8 @@ class PdfImagesSpec extends AnyFunSuite {
 
   private def deflate(b: Array[Byte]): Array[Byte] = Pdf.deflate(b)
 
-  /** Test-local reference ASCII85 encoder (same as PdfEmitSpec's). */
-  private def ascii85Encode(data: Array[Byte]): Array[Byte] = {
-    val sb = new StringBuilder
-    data.grouped(4).foreach { g =>
-      val n = g.length
-      var v = 0L
-      for (k <- 0 until 4) v = (v << 8) | (if (k < n) g(k) & 0xffL else 0L)
-      val digits = (0 until 5).map(k => ('!' + (v / math.pow(85, 4 - k).toLong % 85)).toChar)
-      sb.appendAll(digits.take(n + 1))
-    }
-    sb.append("~>")
-    sb.toString.getBytes(ISO_8859_1)
-  }
+  private def ascii85Encode(data: Array[Byte]): Array[Byte] =
+    PdfTestCodecs.ascii85Encode(data)
 
   private def imagePdf(w: Int, h: Int, data: Array[Byte], entries: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -381,6 +370,31 @@ class PdfImagesSpec extends AnyFunSuite {
     fl.write(deflate(jpeg))
     fl.write(" EI".getBytes(ISO_8859_1))
     assert(Pdf.extractImages(contentPdf(fl.toByteArray)).isEmpty)
+  }
+
+  test("A85 inline DCT with a corrupt terminator cannot adopt a later stream's '~>'") {
+    // image 1's '~>' is stripped; indexOf would find image 2's
+    // terminator, decode the concatenated run (space/E/I/Q/B are all
+    // valid ASCII85 digits) and emit a junk-extended JPEG while
+    // swallowing image 2 — the structural-exactness gate must skip
+    // image 1 and still extract image 2
+    def jpegOf(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * seed + y) * 30000)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", o)
+      o.toByteArray
+    }
+    val a1 = ascii85Encode(jpegOf(4, 3, 7))
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("BI /W 4 /H 3 /CS /RGB /BPC 8 /F [/A85 /DCT] ID ".getBytes(ISO_8859_1))
+    body.write(a1, 0, a1.length - 2) // corrupt: drop the '~>'
+    body.write(" EI Q BI /W 6 /H 5 /CS /RGB /BPC 8 /F [/A85 /DCT] ID ".getBytes(ISO_8859_1))
+    body.write(ascii85Encode(jpegOf(6, 5, 13)))
+    body.write(" EI".getBytes(ISO_8859_1))
+    val imgs = Pdf.extractImages(contentPdf(body.toByteArray))
+    assert(imgs.map(i => (i.width, i.height, i.format)) == Seq((6, 5, "jpeg")))
   }
 
   test("inline Flate image honors /DP TIFF predictor 2 (differenced bytes undone)") {
