@@ -80,10 +80,37 @@ class PdfFuzzSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  /** Inline JPEG with no /L — mutants drive the marker-structure
+    * scan (jpegScanLength) through corrupt segment lengths, truncated
+    * entropy data, and fake markers.
+    */
+  private def inlineDctPdf: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val img = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, (x * 19 + y * 5) * 60000)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("q BI /W 6 /H 4 /CS /RGB /BPC 8 /F /DCT ID ".getBytes(ISO_8859_1))
+    body.write(jb.toByteArray)
+    body.write(" EI Q BT (after) Tj ET".getBytes(ISO_8859_1))
+    val content = body.toByteArray
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n")
+    out.write(content)
+    put("\nendstream endobj\n%%EOF\n")
+    out.toByteArray
+  }
+
   private lazy val bases: Seq[(String, Array[Byte])] = Seq(
     "text" -> textPdf,
     "image" -> imagePdf,
     "inline" -> inlineImagePdf,
+    "inline_dct" -> inlineDctPdf,
     "rc4" -> resource("rc4_r3_empty_user.pdf"),
     "rc4_setuser" -> resource("rc4_r3_set_user.pdf"),
     "aesv2" -> resource("aesv2_r4_empty_user.pdf"),
