@@ -540,7 +540,8 @@ object Pdf {
     */
   final case class PdfFont(isType0: Boolean,
       toUnicode: Option[Map[Int, String]], differences: Map[Int, String],
-      baseEncoding: Map[Int, String] = Map.empty)
+      baseEncoding: Map[Int, String] = Map.empty,
+      suppressUnmapped: Boolean = false)
 
   /** High-half (0x80–0xFF) tables for the Annex D base encodings,
     * derived from the JDK charsets (windows-1252 / x-MacRoman) —
@@ -797,7 +798,13 @@ object Pdf {
       case Some("/MacRomanEncoding") => MacRomanHigh
       case _ => Map.empty[Int, String]
     }
-    PdfFont(isType0, toUni, diffs, base)
+    // /MacExpertEncoding codes name expert-set glyphs (oldstyle
+    // figures, small caps, fractions — Annex D.4) with NO Latin-1
+    // correspondence, so the identity fallback would be mojibake:
+    // unmapped codes suppress instead (Differences/ToUnicode still
+    // decode the codes they cover)
+    val suppress = encName.contains("/MacExpertEncoding")
+    PdfFont(isType0, toUni, diffs, base, suppress)
   }
 
   /** Walk a page's `/Parent` ancestor chain (§7.7.3.4 inheritable
@@ -2203,7 +2210,7 @@ object Pdf {
               // symbolic — its raw code bytes are glyph indices, not
               // characters, so emitting them would be garbage. Drop,
               // matching the Type0 suppression contract.
-              if (f.toUnicode.isEmpty) sb.append(ch)
+              if (f.toUnicode.isEmpty && !f.suppressUnmapped) sb.append(ch)
           }
         }
         Some(sb.toString)

@@ -406,6 +406,29 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.splitPages(out2.toByteArray).head.text.startsWith("12"))
   }
 
+  test("/MacExpertEncoding suppresses unmapped codes (expert glyphs, not Latin-1)") {
+    def doc(fontEntries: String, content: String) = {
+      val out = new java.io.ByteArrayOutputStream()
+      def put(s: String): Unit =
+        out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+      put(s"3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 << /Type /Font /Subtype /Type1 $fontEntries >> >> >> /Contents 4 0 R >> endobj\n")
+      put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n%%EOF\n")
+      out.toByteArray
+    }
+    // expert-set codes have no Latin-1 correspondence — emitting the
+    // raw bytes would be mojibake, so the whole string suppresses
+    val bare = Pdf.splitPages(doc("/Encoding /MacExpertEncoding",
+      "BT /F1 12 Tf (AB12) Tj ET"))
+    assert(bare.head.text == "")
+    // /Differences still decode the codes they cover; the rest drop
+    val withDiffs = Pdf.splitPages(doc(
+      "/Encoding << /BaseEncoding /MacExpertEncoding /Differences [65 /q /w] >>",
+      "BT /F1 12 Tf (A1B2) Tj ET"))
+    assert(withDiffs.head.text == "qw")
+  }
+
   test("simple-font base encodings: WinAnsi and MacRoman high-half bytes decode correctly") {
     def doc(encName: String, octals: String) = {
       val content = s"BT /F1 12 Tf ($octals) Tj ET"
