@@ -372,6 +372,26 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(Pdf.extractImages(contentPdf(fl.toByteArray)).isEmpty)
   }
 
+  test("marker-structure scan recovers the exact byte length of every writer JPEG") {
+    // sweep of shapes: the scan must end exactly at EOI whatever the
+    // segment layout — trailing bytes after the JPEG prove exactness
+    for (w <- Seq(1, 2, 5, 16, 33); h <- Seq(1, 3, 8, 21)) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 31 + y * 7) * 12345)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", o)
+      val jpeg = o.toByteArray
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(s"BI /W $w /H $h /CS /RGB /BPC 8 /F /DCT ID ".getBytes(ISO_8859_1))
+      body.write(jpeg)
+      body.write(" EI".getBytes(ISO_8859_1))
+      val imgs = Pdf.extractImages(contentPdf(body.toByteArray))
+      assert(imgs.map(i => (i.width, i.height)) == Seq((w, h)), s"dims at ${w}x$h")
+      assert(imgs.head.data.length == jpeg.length, s"scan length at ${w}x$h")
+    }
+  }
+
   test("A85 inline DCT with a corrupt terminator cannot adopt a later stream's '~>'") {
     // image 1's '~>' is stripped; indexOf would find image 2's
     // terminator, decode the concatenated run (space/E/I/Q/B are all

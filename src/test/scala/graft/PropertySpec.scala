@@ -103,6 +103,74 @@ class PropertySpec extends AnyFunSuite {
 }
 
 /** Properties of the normalization + offset-lineage kernel. */
+/** Property anchors for the round-6 text operators: the optimized
+  * HashMap kernels vs naive quadratic re-derivations, incl. non-BMP
+  * (astral) characters where UTF-16 unit counting would diverge from
+  * the code-point semantics both SQL engines use.
+  */
+class TextOpsPropertySpec extends AnyFunSuite {
+  import graft.operators.TextStats
+
+  private def forAll[A](gen: Gen[A], n: Int = 80)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(1042L)
+    var i = 0
+    while (i < n) {
+      gen.apply(params, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  // small vocabulary (forces duplicates) + an astral-char word
+  private val wordGen: Gen[String] =
+    Gen.oneOf("a", "bb", "ccc", "dd", "e", "😀ok", "ffff")
+  private val textGen: Gen[String] =
+    Gen.listOf(wordGen).map(_.take(40).mkString(" "))
+
+  private def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  test("repetitionMetrics equals a naive quadratic re-derivation") {
+    forAll(textGen) { text =>
+      val m = TextStats.repetitionMetrics(text)
+      val ws = text.split(" ", -1)
+      val lines = ws.grouped(8).map(_.mkString(" ")).toSeq
+      assert(m.n_words == ws.length)
+      assert(m.n_lines == lines.length.max(1)) // "" → one empty line
+      val lineGroups = lines.groupBy(identity)
+      assert(m.n_distinct_lines == lineGroups.size.max(1))
+      assert(m.dup_line_chars == lineGroups.collect {
+        case (l, g) if g.size > 1 => g.size.toLong * cp(l) }.sum)
+      val bigrams = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val topNaive = bigrams.groupBy(identity)
+        .map { case (g, o) => o.size.toLong * cp(g) }.maxOption.getOrElse(0L)
+      assert(m.top2_chars == topNaive)
+      val fives = ws.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSeq
+      val dupNaive = fives.groupBy(identity).collect {
+        case (g, o) if o.size > 1 => o.size.toLong * cp(g) }.sum
+      assert(m.dup5_chars == dupNaive)
+      assert(m.total_chars == cp(text))
+    }
+  }
+
+  test("redaction placeholders cannot re-match: scrub is idempotent") {
+    // <EMAIL>/<PHONE> contain no '@' and no digit, so a second pass
+    // finds nothing new — java-regex side; the RE2 twin shares the
+    // patterns so the argument transfers
+    val piiGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      "x@y.com", "a.b@c-d.org", "+1 555-0100", "(12) 3456-7890",
+      "word", "a@b", "12345", "@", "+")).map(_.take(12).mkString(" "))
+    forAll(piiGen) { text =>
+      def scrub(s: String): String = s
+        .replaceAll(TextStats.EmailRe, "<EMAIL>")
+        .replaceAll(TextStats.PhoneRe, "<PHONE>")
+      val once = scrub(text)
+      assert(scrub(once) == once)
+      assert(!once.matches(s".*${TextStats.EmailRe}.*"))
+    }
+  }
+}
+
 class NormalizePropertySpec extends AnyFunSuite {
   import graft.kernels.Normalize
   import org.scalacheck.Gen
