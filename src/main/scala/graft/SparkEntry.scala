@@ -1158,6 +1158,27 @@ object SparkEntry {
         .toDF("doc_id", "media")
         .transform(df => Multimodal.decodeMeta(df, "doc_id").toDF())
         .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"))
+    }),
+
+    // REAL pixel kernel under the driver gate: per doc a linear-
+    // pattern PNG is encoded in-flight, then the kernel must DECODE
+    // the actual bytes, nearest-neighbor-resample to 8x6, and emit
+    // 2x2 grid channel sums — DuckDB restates every sum closed-form
+    // from the pattern + the integer source mapping (a wrong decode,
+    // resample index, or cell boundary changes some integer sum)
+    "q_multimodal_pixels" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val w = 16 + (id % 5).toInt
+          val h = 12 + (id % 3).toInt
+          val png = Multimodal.encodePngPattern(w, h)
+          Multimodal.pixelGridSums(png, 8, 6, 2, 2).toSeq.flatten
+            .map { case (cell, r, g, b, n) => (id, cell, r, g, b, n) }
+        }
+        .toDF("doc_id", "cell", "sum_r", "sum_g", "sum_b", "n_px")
+        .orderBy("doc_id", "cell")
     })
   )
 
@@ -1990,7 +2011,27 @@ object SparkEntry {
         """SELECT doc_id, CAST(doc_id % 7 + 1 AS INT) AS width,
                   CAST(doc_id % 5 + 2 AS INT) AS height,
                   CAST(3 AS INT) AS channels
-           FROM documents WHERE doc_id < 64"""
+           FROM documents WHERE doc_id < 64""",
+
+      // pixel kernel sums restated closed-form: the pattern pixel at
+      // source (sx, sy) is ((sx*7+sy*13)%256, (sx*3+sy*5)%256,
+      // (sx*11+sy)%256); nearest-neighbor source mapping
+      // sx=(x*w)//8, sy=(y*h)//6; cell = (y//3)*2 + x//4
+      "q_multimodal_pixels" ->
+        """SELECT doc_id, CAST(cell AS INT) AS cell,
+                  CAST(SUM(r) AS BIGINT) AS sum_r,
+                  CAST(SUM(g) AS BIGINT) AS sum_g,
+                  CAST(SUM(b) AS BIGINT) AS sum_b,
+                  CAST(count(*) AS INT) AS n_px
+           FROM (
+             SELECT d.doc_id,
+               (y//3)*2 + (x//4) AS cell,
+               (((x*(16+d.doc_id%5))//8)*7  + ((y*(12+d.doc_id%3))//6)*13) % 256 AS r,
+               (((x*(16+d.doc_id%5))//8)*3  + ((y*(12+d.doc_id%3))//6)*5)  % 256 AS g,
+               (((x*(16+d.doc_id%5))//8)*11 + ((y*(12+d.doc_id%3))//6))    % 256 AS b
+             FROM documents d, range(0, 8) tx(x), range(0, 6) ty(y)
+             WHERE d.doc_id < 200)
+           GROUP BY doc_id, cell ORDER BY doc_id, cell"""
     )
   }
 }

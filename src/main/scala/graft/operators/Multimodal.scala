@@ -160,6 +160,73 @@ object Multimodal {
       .toDF("id", "embedding")
   }
 
+  /** Deterministic linear-pattern PNG (pixel (x,y) = ((x·7+y·13)%256,
+    * (x·3+y·5)%256, (x·11+y)%256)) — real ImageIO encode, and the
+    * pixel function is plain integer arithmetic a SQL oracle can
+    * restate closed-form (unlike the splitmix fixture, whose 64-bit
+    * wrap-around products overflow DuckDB's HUGEINT).
+    */
+  def encodePngPattern(width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (((x * 7 + y * 13) % 256) << 16) |
+          (((x * 3 + y * 5) % 256) << 8) | ((x * 11 + y) % 256))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL pixel kernel (decode → resample → pool), pure JDK: ImageIO
+    * decode, nearest-neighbor resample to exactly `tw`×`th` with
+    * integer source mapping `src = (dst · srcDim) / dstDim` (our own
+    * loop, not AWT's scaler, so the mapping is exact and SQL-
+    * restatable), then per-grid-cell channel SUMS (gridW×gridH cells,
+    * cell of x = x / (tw/gridW)). Sums are exact integers — the
+    * engine-comparable numerators of mean-pooled features; divide by
+    * `n_px` for the float embedding. None for undecodable bytes
+    * (quarantine-by-value, same contract as [[decode]]).
+    */
+  def pixelGridSums(bytes: Array[Byte], tw: Int, th: Int,
+      gridW: Int, gridH: Int): Option[Seq[(Int, Long, Long, Long, Int)]] = {
+    require(tw % gridW == 0 && th % gridH == 0, "grid must tile the target")
+    if (!isImageMagic(bytes)) return None
+    imageIoReady
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= 0 || h <= 0) return None
+    val cw = tw / gridW
+    val ch = th / gridH
+    val sums = Array.ofDim[Long](gridW * gridH, 3)
+    var y = 0
+    while (y < th) {
+      val srcY = y * h / th
+      var x = 0
+      while (x < tw) {
+        val srcX = x * w / tw
+        val rgb = img.getRGB(srcX, srcY)
+        val cell = (y / ch) * gridW + (x / cw)
+        sums(cell)(0) += (rgb >> 16) & 0xff
+        sums(cell)(1) += (rgb >> 8) & 0xff
+        sums(cell)(2) += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some((0 until gridW * gridH).map(c =>
+      (c, sums(c)(0), sums(c)(1), sums(c)(2), cw * ch)))
+  }
+
   /** Frame sampling stub: every `stride`-th window of `frameBytes`
     * bytes stands in for video frame extraction; demonstrates the
     * 1-row → n-rows explode shape with deterministic output.

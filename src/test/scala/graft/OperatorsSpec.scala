@@ -209,6 +209,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m == Multimodal.fakeDecode(9L, junk))
   }
 
+  test("pixelGridSums: real decode + nearest resample equals direct pattern math") {
+    val (w, h) = (17, 13)
+    val png = Multimodal.encodePngPattern(w, h)
+    val got = Multimodal.pixelGridSums(png, 8, 6, 2, 2).get
+    // independent re-derivation straight from the pattern formula
+    val expect = Array.ofDim[Long](4, 3)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val sx = x * w / 8; val sy = y * h / 6
+      val cell = (y / 3) * 2 + (x / 4)
+      expect(cell)(0) += (sx * 7 + sy * 13) % 256
+      expect(cell)(1) += (sx * 3 + sy * 5) % 256
+      expect(cell)(2) += (sx * 11 + sy) % 256
+    }
+    assert(got == (0 until 4).map(c =>
+      (c, expect(c)(0), expect(c)(1), expect(c)(2), 12)))
+    // undecodable bytes → None (quarantine-by-value)
+    assert(Multimodal.pixelGridSums("not an image".getBytes, 8, 6, 2, 2).isEmpty)
+  }
+
   test("frame sampling explodes deterministically with stride") {
     val d = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(5)
     val frames = Multimodal.sampleFrames(Multimodal.withBinary(d, "text"), "doc_id")
