@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model._
-import graft.operators.{Coco, Dedup, Multimodal, Similarity, TextStats}
+import graft.operators.{Coco, Corpus, Dedup, Multimodal, Similarity, TextStats}
 import graft.pipeline.Extract
 import graft.sources.Turns
 
@@ -708,6 +708,51 @@ object SparkEntry {
           "repetition_ok")
         .orderBy("doc_id")
     }),
+
+    // Benchmark decontamination: benchmark = docs with doc_id%37==0,
+    // corpus = the rest. Natural 5-gram overlap in the synthetic corpus
+    // is thin, so contamination is PLANTED deterministically: corpus
+    // docs with doc_id%7==3 get the first 5 words of benchmark doc
+    // (doc_id%13)*37 appended (broadcast join — both engines rebuild
+    // the identical planted text). Corpus pass itself is map-only
+    // against the broadcast benchmark gram set.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 37 === 0)
+      val plant = bench
+        .select((col("doc_id") / 37).cast("long").as("b13"),
+          split(col("text"), " ").as("bws"))
+        .filter(size(col("bws")) >= 5)
+        .select(col("b13"), array_join(slice(col("bws"), 1, 5), " ").as("bgram"))
+      val corpus0 = d.filter(col("doc_id") % 37 =!= 0)
+      val corpus = corpus0
+        .join(broadcast(plant),
+          corpus0("doc_id") % 13 === plant("b13") && corpus0("doc_id") % 7 === 3,
+          "left")
+        .select(col("doc_id"),
+          when(col("bgram").isNotNull, concat(col("text"), lit(" "), col("bgram")))
+            .otherwise(col("text")).as("text"))
+      Corpus.decontaminate(corpus, "doc_id", "text",
+        Corpus.benchmarkGrams(bench, "text", 5), 5).orderBy("doc_id")
+    }),
+
+    // Corpus-level exact line dedup (C4-style): docs<200 plus exact
+    // copies shifted +10000 — copies must come back empty (every line
+    // seen earlier at a lower doc_id); natural cross-doc dup lines in
+    // the originals resolve to the lowest (doc_id, line_idx)
+    "q_line_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200).select("doc_id", "text")
+      val all = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+      Corpus.lineDedup(all, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // Deterministic stratified quota sampling over the lang column:
+    // per-mille Lehmer-hash rates (map-only path) + exact top-30 rank
+    // per stratum (window path); 'zh' exercises the default rate
+    "q_sample_quota" -> ((s, dir) =>
+      Corpus.quotaSample(docs(s, dir), "doc_id", "lang",
+        Seq("en" -> 500, "de" -> 300, "es" -> 200, "fr" -> 100), 50, 30)
+        .orderBy("doc_id")),
 
     // ---- dedup family ----
     // near-dup input: docs < 200 plus exact copies shifted by 10000
@@ -1443,6 +1488,83 @@ object SparkEntry {
            FROM base b JOIN la USING (doc_id)
            LEFT JOIN ba USING (doc_id) LEFT JOIN fa USING (doc_id)
            ORDER BY b.doc_id""",
+
+      // decontamination: rebuild the planted corpus (benchmark head
+      // 5-gram appended to doc_id%7==3 rows via the same join), then
+      // an independent relational derivation — explode corpus 5-grams,
+      // semi-join the distinct benchmark gram set, count positions and
+      // distinct grams per doc
+      "q_decontaminate" ->
+        """WITH bench AS (
+             SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents WHERE doc_id % 37 = 0),
+           bgrams AS (
+             SELECT DISTINCT unnest(list_transform(range(1, len(ws)-3),
+               i -> array_to_string(ws[i:i+4], ' '))) AS g FROM bench),
+           plant AS (
+             SELECT doc_id // 37 AS b13, array_to_string(ws[1:5], ' ') AS bgram
+             FROM bench WHERE len(ws) >= 5),
+           corpus AS (
+             SELECT d.doc_id,
+               CASE WHEN p.bgram IS NOT NULL THEN d.text || ' ' || p.bgram
+                    ELSE d.text END AS text
+             FROM documents d LEFT JOIN plant p
+               ON d.doc_id % 13 = p.b13 AND d.doc_id % 7 = 3
+             WHERE d.doc_id % 37 <> 0),
+           cg AS (
+             SELECT doc_id, unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 3),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS g
+             FROM corpus),
+           hits AS (
+             SELECT c.doc_id, count(*) AS n_hits, count(DISTINCT c.g) AS n_dist
+             FROM cg c JOIN bgrams b USING (g) GROUP BY c.doc_id)
+           SELECT c.doc_id, CAST(COALESCE(h.n_hits, 0) AS INT) AS n_gram_hits,
+                  CAST(COALESCE(h.n_dist, 0) AS INT) AS n_distinct_hits,
+                  COALESCE(h.n_hits, 0) > 0 AS contaminated
+           FROM corpus c LEFT JOIN hits h USING (doc_id)
+           ORDER BY c.doc_id""",
+
+      // corpus line dedup: same 8-word-chunk lines, first occurrence
+      // via an INDEPENDENT derivation (row_number window vs Spark's
+      // groupBy-min-struct), string_agg reassembly in position order
+      "q_line_dedup" ->
+        """WITH all_docs AS (
+             SELECT doc_id, text FROM documents WHERE doc_id < 200
+             UNION ALL
+             SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 200),
+           base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+           lines AS (
+             SELECT doc_id, u['i'] AS line_idx, u['l'] AS line FROM (
+               SELECT doc_id, unnest(list_transform(range(0, (len(ws)+7)//8),
+                 j -> {'i': j, 'l': array_to_string(ws[j*8+1:j*8+8], ' ')})) AS u
+               FROM base)),
+           ranked AS (
+             SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+             FROM lines),
+           perdoc AS (
+             SELECT doc_id, count(*) AS n_kept,
+                    string_agg(line, ' ' ORDER BY line_idx) AS kept_text
+             FROM ranked WHERE rn = 1 GROUP BY doc_id),
+           totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+           SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+                  CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+                  COALESCE(p.kept_text, '') AS kept_text
+           FROM totals t LEFT JOIN perdoc p USING (doc_id)
+           ORDER BY t.doc_id""",
+
+      // quota sampling: identical integer Lehmer-hash arithmetic, CASE
+      // rate table, row_number window for the exact-quota verdict
+      "q_sample_quota" ->
+        """WITH h AS (
+             SELECT doc_id, lang AS stratum,
+               ((doc_id % 2147483648) * 48271) % 2147483647 % 1000 AS sk
+             FROM documents)
+           SELECT doc_id, stratum, CAST(sk AS INT) AS sample_key,
+             sk < (CASE stratum WHEN 'en' THEN 500 WHEN 'de' THEN 300
+                   WHEN 'es' THEN 200 WHEN 'fr' THEN 100 ELSE 50 END) AS kept_rate,
+             row_number() OVER (PARTITION BY stratum ORDER BY sk, doc_id) <= 30 AS kept_rank
+           FROM h ORDER BY doc_id""",
 
       "x6_lang" ->
         s"""$cte SELECT conv_id, turn_idx,

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Corpus
+
+/** Corpus-level operators: decontamination, line dedup, quota
+  * sampling. The driver oracle (q_decontaminate / q_line_dedup /
+  * q_sample_quota) proves engine parity; these specs pin the kernel
+  * semantics on handcrafted cases and invariants the relational oracle
+  * can't state directly (first-occurrence uniqueness, rate recompute).
+  */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("wordGrams matches the naive sliding-window derivation") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(12)
+      val words = Seq.fill(n)(("a" + rnd.nextInt(5)) * (1 + rnd.nextInt(2)))
+      val text = words.mkString(" ")
+      val k = 1 + rnd.nextInt(6)
+      val ws = text.split(" ", -1) // "" for empty text — same as SQL
+      val naive =
+        if (ws.length < k) Seq.empty
+        else (0 to ws.length - k).map(i => ws.slice(i, i + k).mkString(" "))
+      assert(Corpus.wordGrams(text, k).toSeq == naive)
+    }
+    assert(Corpus.wordGrams(null, 3).isEmpty)
+    assert(Corpus.wordGrams("a b", 3).isEmpty)
+  }
+
+  test("decontaminate counts positions and distinct grams, keeps zero-hit rows") {
+    import spark.implicits._
+    val bench = Seq("p q r s t u").toDF("text") // grams: "p q r s t", "q r s t u"
+    val corpus = Seq(
+      (1L, "x p q r s t u y"),      // both bench grams hit once each
+      (2L, "p q r s t z p q r s t"), // first gram hits twice (positions 0 and 6)
+      (3L, "no overlap here at all"),
+      (4L, "short")                  // < 5 words — zero grams
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(corpus, "doc_id", "text",
+        Corpus.benchmarkGrams(bench, "text", 5), 5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2, 2, true), (2L, 2, 1, true), (3L, 0, 0, false), (4L, 0, 0, false)))
+  }
+
+  test("lineDedup keeps the first (doc, position) occurrence of each line") {
+    import spark.implicits._
+    def words(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val a8 = words("a", 8); val b8 = words("b", 8); val c8 = words("c", 8)
+    val corpus = Seq(
+      (1L, s"$a8 $b8"),       // lines a8, b8 — both first occurrences
+      (2L, s"$b8 $c8"),       // b8 dup of doc 1 → only c8 kept
+      (3L, s"$a8 $a8"),       // a8 dup of doc 1 AND internal dup → empty
+      (4L, words("d", 3))     // short tail line, unique
+    ).toDF("doc_id", "text")
+    val out = Corpus.lineDedup(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, s"$a8 $b8"),
+      (2L, 2L, 1L, c8),
+      (3L, 2L, 0L, ""),
+      (4L, 1L, 1L, words("d", 3))))
+  }
+
+  test("lineDedup invariant: every distinct input line survives exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 40L).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      // small vocabulary → plenty of natural dup chunks
+      (id, Seq.fill(n)("w" + rnd.nextInt(4)).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = Corpus.lineDedup(df, "doc_id", "text").collect()
+    // counting invariants: the kept-line total equals the number of
+    // distinct lines in the whole corpus (each survives exactly once),
+    // and n_lines sums to the total chunk count
+    val allLines = docs.flatMap { case (_, text) =>
+      val ws = text.split(" ", -1)
+      (0 until (ws.length + 7) / 8).map(j =>
+        ws.slice(j * 8, math.min(j * 8 + 8, ws.length)).mkString(" "))
+    }
+    assert(out.map(_.getLong(2)).sum == allLines.toSet.size)
+    assert(out.map(_.getLong(1)).sum == allLines.size)
+    // and with a 4-word vocabulary, dedup must actually remove lines
+    assert(allLines.toSet.size < allLines.size)
+  }
+
+  test("quotaSample: exact rank quotas per stratum, recomputable rate keys") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(id => (id, if (id % 3 == 0) "en" else "zz"))
+      .toDF("doc_id", "lang")
+    val out = Corpus.quotaSample(docs, "doc_id", "lang",
+        Seq("en" -> 500), 50, 25)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3), r.getBoolean(4)))
+    def lehmerKey(id: Long): Long = ((id % 2147483648L) * 48271L) % 2147483647L % 1000L
+    out.foreach { case (id, lang, key, rate, _) =>
+      assert(key.toLong == lehmerKey(id))
+      assert(rate == (key < (if (lang == "en") 500 else 50)))
+    }
+    // rank verdict: exactly 25 kept per stratum (both have ≥25 rows),
+    // and the kept set is the 25 smallest (key, id) pairs
+    for (lang <- Seq("en", "zz")) {
+      val rows = out.filter(_._2 == lang)
+      val kept = rows.filter(_._5).map(r => (r._3, r._1)).sorted.toSeq
+      val expected = rows.map(r => (r._3, r._1)).sorted.take(25).toSeq
+      assert(kept == expected)
+    }
+  }
+}
