@@ -754,6 +754,75 @@ object SparkEntry {
         Seq("en" -> 500, "de" -> 300, "es" -> 200, "fr" -> 100), 50, 30)
         .orderBy("doc_id")),
 
+    // Gopher quality rules (Rae et al. A1.1): the corpus is single-line
+    // benign text, so each rule is exercised by a PLANTED variant by
+    // doc_id%6 (1 = every 8-word chunk bulleted '- ', 2 = every chunk
+    // ellipsis-terminated, 3 = ' #' appended per word, 4 = truncated to
+    // 10 words, 5 = all words replaced by digits). The oracle rebuilds
+    // the identical planted text and re-derives every metric with
+    // DuckDB list lambdas — word count and stopword rules also fire
+    // naturally (docs span 10..99 words; 'the' ~1.8 hits/doc).
+    "q_quality_gopher" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+        .withColumn("chunks", expr(
+          "transform(sequence(0, (size(ws)+7) div 8 - 1), j -> array_join(slice(ws, j*8+1, 8), ' '))"))
+      val m = col("doc_id") % 6
+      val t2 = when(m === 1,
+          array_join(transform(col("chunks"), c => concat(lit("- "), c)), "\n"))
+        .when(m === 2,
+          array_join(transform(col("chunks"), c => concat(c, lit("..."))), "\n"))
+        .when(m === 3, concat(col("text"), expr("repeat(' #', size(ws))")))
+        .when(m === 4, array_join(slice(col("ws"), 1, 10), " "))
+        .when(m === 5, array_join(transform(col("ws"), _ => lit("12345")), " "))
+        .otherwise(col("text"))
+      TextStats.gopher(d.select(col("doc_id"), t2.as("t2")), "doc_id", "t2")
+        .orderBy("doc_id")
+    }),
+
+    // C4 cleaning (Raffel et al. §2.2): multi-line structure is PLANTED
+    // — 8-word chunk lines where line j ends '.' iff (doc_id+j)%3 != 0
+    // and j%7==3 injects ' javascript' BEFORE the punctuation (so the
+    // javascript rule, not the punctuation rule, drops it); doc_id%11==5
+    // appends a '{' line and doc_id%13==7 a 'lorem ipsum' line (doc-level
+    // drops). Short last chunks (<3 words) fire the word-count rule
+    // naturally. Oracle rebuilds the text and re-derives with lambdas.
+    "q_c4_filter" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("chunks", expr(
+          "transform(sequence(0, (size(ws)+7) div 8 - 1), j -> array_join(slice(ws, j*8+1, 8), ' '))"))
+      val lines0 = transform(col("chunks"), (c, j) =>
+        concat(c,
+          when(j % 7 === 3, lit(" javascript")).otherwise(lit("")),
+          when((col("doc_id") + j) % 3 =!= 0, lit(".")).otherwise(lit(""))))
+      val empty = typedlit(Seq.empty[String])
+      val lines = concat(lines0,
+        when(col("doc_id") % 11 === 5, typedlit(Seq("config { debug }"))).otherwise(empty),
+        when(col("doc_id") % 13 === 7, typedlit(Seq("lorem ipsum dolor sit amet."))).otherwise(empty))
+      TextStats.c4Filter(
+        d.select(col("doc_id"), array_join(lines, "\n").as("t2")), "doc_id", "t2")
+        .orderBy("doc_id")
+    }),
+
+    // Cross-doc duplicated-passage coverage (Lee et al. k-gram
+    // approximation, k=8): duplication is PLANTED — docs with
+    // doc_id%5==1 get doc 0's first 12 words appended, so those spans
+    // (and doc 0's own head) must come back covered. Spark narrows
+    // grams to md5 before the exchange; the oracle re-derives coverage
+    // from RAW gram strings — an independent formulation that would
+    // catch a wrong narrowing.
+    "q_dup_spans" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 300).select("doc_id", "text")
+      val donor = d.filter(col("doc_id") === 0)
+        .select(array_join(slice(split(col("text"), " "), 1, 12), " ").as("donor"))
+      val planted = d.crossJoin(broadcast(donor))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 1, concat(col("text"), lit(" "), col("donor")))
+            .otherwise(col("text")).as("t2"))
+      Corpus.dupSpanCoverage(planted, "doc_id", "t2", 8).orderBy("doc_id")
+    }),
+
     // ---- dedup family ----
     // near-dup input: docs < 200 plus exact copies shifted by 10000
     "q_dedup_minhash" -> ((s, dir) => {
@@ -1551,6 +1620,82 @@ object SparkEntry {
                   CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
                   COALESCE(p.kept_text, '') AS kept_text
            FROM totals t LEFT JOIN perdoc p USING (doc_id)
+           ORDER BY t.doc_id""",
+
+      // Gopher rules: rebuild the six planted variants, then re-derive
+      // every metric with DuckDB list lambdas (an independent
+      // formulation of the same published rule set)
+      "q_quality_gopher" -> {
+        val planted =
+          """WITH base AS (
+               SELECT doc_id, text, string_split(text, ' ') AS ws,
+                 list_transform(range(0, (len(string_split(text, ' '))+7)//8),
+                   j -> array_to_string((string_split(text, ' '))[j*8+1:j*8+8], ' ')) AS chunks
+               FROM documents WHERE doc_id < 300)
+             SELECT doc_id, CASE CAST(doc_id % 6 AS INT)
+               WHEN 1 THEN array_to_string(list_transform(chunks, c -> '- ' || c), chr(10))
+               WHEN 2 THEN array_to_string(list_transform(chunks, c -> c || '...'), chr(10))
+               WHEN 3 THEN text || repeat(' #', len(ws))
+               WHEN 4 THEN array_to_string(ws[1:10], ' ')
+               WHEN 5 THEN array_to_string(list_transform(ws, w -> '12345'), ' ')
+               ELSE text END AS t2
+             FROM base"""
+        TextStats.gopherSqlSelect("t2", planted) + " ORDER BY doc_id"
+      },
+
+      // C4 cleaning: rebuild the planted multi-line text (range-indexed
+      // chunk lines + conditional doc-level extra lines), re-derive the
+      // line and document rules with list lambdas
+      "q_c4_filter" -> {
+        val planted =
+          """WITH base AS (
+               SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id < 300),
+             lined AS (
+               SELECT doc_id, list_transform(range(0, (len(ws)+7)//8), j ->
+                 array_to_string(ws[j*8+1:j*8+8], ' ')
+                 || CASE WHEN j % 7 = 3 THEN ' javascript' ELSE '' END
+                 || CASE WHEN (doc_id + j) % 3 <> 0 THEN '.' ELSE '' END) AS ls
+               FROM base)
+             SELECT doc_id,
+               array_to_string(list_concat(list_concat(ls,
+                 CASE WHEN doc_id % 11 = 5 THEN ['config { debug }'] ELSE [] END),
+                 CASE WHEN doc_id % 13 = 7 THEN ['lorem ipsum dolor sit amet.'] ELSE [] END),
+                 chr(10)) AS t2
+             FROM lined"""
+        TextStats.c4FilterSqlSelect("t2", planted) + " ORDER BY doc_id"
+      },
+
+      // duplicated-passage coverage: rebuild the planted corpus, then
+      // an independent derivation over RAW gram strings (struct-unnest
+      // positions, HAVING count>=2, constant-range span expansion,
+      // DISTINCT positions) — no md5 narrowing on this side
+      "q_dup_spans" ->
+        """WITH donor AS (
+             SELECT array_to_string((string_split(text, ' '))[1:12], ' ') AS d
+             FROM documents WHERE doc_id = 0),
+           base AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 5 = 1 THEN text || ' ' || (SELECT d FROM donor)
+                    ELSE text END AS t2
+             FROM documents WHERE doc_id < 300),
+           toks AS (SELECT doc_id, string_split(t2, ' ') AS ws FROM base),
+           occ AS (
+             SELECT doc_id, u['p'] AS pos, u['g'] AS g FROM (
+               SELECT doc_id, unnest(list_transform(range(0, len(ws) - 7),
+                 i -> {'p': i, 'g': array_to_string(ws[i+1:i+8], ' ')})) AS u
+               FROM toks)),
+           dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+           cov AS (
+             SELECT doc_id, count(*) AS n_dup FROM (
+               SELECT DISTINCT o.doc_id, o.pos + j AS p
+               FROM occ o JOIN dup USING (g), range(0, 8) r(j))
+             GROUP BY doc_id)
+           SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tokens,
+             CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+             CAST(COALESCE(c.n_dup, 0) * 10000 // len(t.ws) AS BIGINT) AS dup_frac_x10000,
+             COALESCE(c.n_dup, 0) * 5 >= len(t.ws) AS dup_heavy
+           FROM toks t LEFT JOIN cov c USING (doc_id)
            ORDER BY t.doc_id""",
 
       // quota sampling: identical integer Lehmer-hash arithmetic, CASE

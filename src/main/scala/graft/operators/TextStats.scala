@@ -175,6 +175,154 @@ object TextStats {
        regexp_replace(regexp_replace($textExpr, '${q(EmailRe)}', '<EMAIL>', 'g'), '${q(PhoneRe)}', '<PHONE>', 'g') AS redacted"""
   }
 
+  /** Gopher quality heuristics (Rae et al. 2021 appendix A1.1,
+    * public). The reference pipeline's quality gate is a model
+    * (fasttext); these are the published rule-based filters every
+    * large-scale training-data pipeline runs first. Rules, with the
+    * paper's thresholds:
+    *
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10] characters
+    *   - symbol-to-word ratio ('#' and '...') <= 0.1
+    *   - fraction of lines starting with a bullet ('- ') <= 0.9
+    *   - fraction of lines ending with an ellipsis ('...') <= 0.3
+    *   - fraction of words containing an alphabetic char >= 0.8
+    *   - at least 2 occurrences of the 8-word English stop list
+    *     (occurrence-count semantics, as in the public DataTrove
+    *     reproduction — word-equality matches, not substring)
+    *
+    * Every metric is an exact integer and the verdict cross-multiplies
+    * (e.g. `n_sym*10 <= n_words`), so no float division exists on
+    * either engine and the oracle comparison is hash-exact. Words are
+    * the space-split of the newline-flattened text; lines are the
+    * newline-split. Pure Column expressions — map-only, codegen'd; a
+    * 100 TB corpus pays zero exchange for this gate.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  final case class GopherCols(nWords: Column, wordChars: Column,
+      nLines: Column, nSym: Column, nBullet: Column, nEllipsis: Column,
+      nAlpha: Column, nStop: Column) {
+    def ok: Column =
+      nWords >= 50 && nWords <= 100000 &&
+        wordChars >= nWords.cast("long") * 3 &&
+        wordChars <= nWords.cast("long") * 10 &&
+        nSym * 10 <= nWords &&
+        nBullet * 10 <= nLines * 9 &&
+        nEllipsis * 10 <= nLines * 3 &&
+        nAlpha * 5 >= nWords * 4 &&
+        nStop >= 2
+  }
+
+  def gopherCols(t: Column): GopherCols = {
+    val ws = split(translate(t, "\n", " "), " ")
+    val lines = split(t, "\n")
+    val stopArr = array(GopherStopwords.map(lit): _*)
+    GopherCols(
+      nWords = size(ws),
+      wordChars = aggregate(ws, lit(0L), (a, w) => a + length(w)),
+      nLines = size(lines),
+      nSym = (markerCount(t, "#") + markerCount(t, "...")).cast("int"),
+      nBullet = size(filter(lines, l => l.like("- %"))),
+      nEllipsis = size(filter(lines, l => l.like("%..."))),
+      nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]"))),
+      nStop = size(filter(ws, w => array_contains(stopArr, w))))
+  }
+
+  def gopher(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g = gopherCols(col(textCol))
+    df.select(col(idCol).as("doc_id"),
+      g.nWords.as("n_words"),
+      g.wordChars.as("word_chars"),
+      g.nLines.as("n_lines"),
+      g.nSym.as("n_sym"),
+      g.nBullet.as("n_bullet_lines"),
+      g.nEllipsis.as("n_ellipsis_lines"),
+      g.nAlpha.as("n_alpha_words"),
+      g.nStop.as("n_stopwords"),
+      g.ok.as("gopher_ok"))
+  }
+
+  /** DuckDB twin of [[gopher]]: metric expressions over a text column,
+    * assembled as inner-metrics + outer-verdict so each metric is
+    * written once. `fromSql` must yield (doc_id, <textExpr>).
+    */
+  def gopherSqlSelect(textExpr: String, fromSql: String): String = {
+    val flat = s"replace($textExpr, chr(10), ' ')"
+    val ws = s"string_split($flat, ' ')"
+    val lines = s"string_split($textExpr, chr(10))"
+    val stopList = GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, n_words, word_chars, n_lines, n_sym, n_bullet_lines,
+          n_ellipsis_lines, n_alpha_words, n_stopwords,
+          (n_words >= 50 AND n_words <= 100000
+           AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+           AND n_sym * 10 <= n_words
+           AND n_bullet_lines * 10 <= n_lines * 9
+           AND n_ellipsis_lines * 10 <= n_lines * 3
+           AND n_alpha_words * 5 >= n_words * 4
+           AND n_stopwords >= 2) AS gopher_ok
+        FROM (SELECT doc_id,
+          CAST(len($ws) AS INT) AS n_words,
+          CAST(COALESCE(list_sum(list_transform($ws, w -> length(w))), 0) AS BIGINT) AS word_chars,
+          CAST(len($lines) AS INT) AS n_lines,
+          CAST(${markerCountSql(textExpr, "#")} + ${markerCountSql(textExpr, "...")} AS INT) AS n_sym,
+          CAST(len(list_filter($lines, l -> l LIKE '- %')) AS INT) AS n_bullet_lines,
+          CAST(len(list_filter($lines, l -> l LIKE '%...')) AS INT) AS n_ellipsis_lines,
+          CAST(len(list_filter($ws, w -> regexp_matches(w, '[A-Za-z]'))) AS INT) AS n_alpha_words,
+          CAST(len(list_filter($ws, w -> list_contains($stopList, w))) AS INT) AS n_stopwords
+        FROM ($fromSql))"""
+  }
+
+  /** C4-style line/document cleaning (Raffel et al. 2020 §2.2,
+    * public): keep only lines that end in a terminal punctuation mark
+    * ('.', '!', '?', '"'), contain at least 3 words, and do not
+    * mention "javascript"; drop the whole document when it contains a
+    * curly brace or the phrase "lorem ipsum", or when fewer than 5
+    * lines survive (the paper gates on 5 sentences; this corpus is
+    * line-oriented so the line count is the published proxy). Matching
+    * is literal lowercase — the synthetic corpus is lowercase, so this
+    * equals the paper's case-folded match deterministically.
+    *
+    * All Column expressions over the line array — map-only, no
+    * shuffle; the kept text is reassembled in original line order.
+    */
+  def c4Filter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      (l.like("%.") || l.like("%!") || l.like("%?") || l.like("%\"")) &&
+        size(split(l, " ")) >= 3 &&
+        !l.like("%javascript%"))
+    val nKept = size(kept)
+    val docKept = nKept >= 5 && !t.like("%{%") && !t.like("%lorem ipsum%")
+    df.select(col(idCol).as("doc_id"),
+      size(lines).as("n_lines"),
+      nKept.as("n_kept"),
+      docKept.as("doc_kept"),
+      when(docKept, array_join(kept, "\n")).otherwise(lit("")).as("final_text"))
+  }
+
+  /** DuckDB twin of [[c4Filter]] — same rules re-derived with list
+    * lambdas. `fromSql` must yield (doc_id, <textExpr>).
+    */
+  def c4FilterSqlSelect(textExpr: String, fromSql: String): String = {
+    val lines = s"string_split($textExpr, chr(10))"
+    val kept = s"""list_filter($lines, l ->
+        (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+        AND len(string_split(l, ' ')) >= 3
+        AND NOT l LIKE '%javascript%')"""
+    s"""SELECT doc_id, n_lines, n_kept, doc_kept,
+          CASE WHEN doc_kept THEN kept_text ELSE '' END AS final_text
+        FROM (SELECT doc_id,
+          CAST(len($lines) AS INT) AS n_lines,
+          CAST(len($kept) AS INT) AS n_kept,
+          (len($kept) >= 5 AND NOT $textExpr LIKE '%{%'
+            AND NOT $textExpr LIKE '%lorem ipsum%') AS doc_kept,
+          array_to_string($kept, chr(10)) AS kept_text
+        FROM ($fromSql))"""
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 appendix A1.1,
     * public): duplicate-"line" and duplicated/top word-n-gram
     * character counts. All outputs are exact integer NUMERATORS with

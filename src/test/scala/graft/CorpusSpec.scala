@@ -116,4 +116,25 @@ class CorpusSpec extends AnyFunSuite {
       assert(kept == expected)
     }
   }
+
+  test("dupSpanCoverage: hand-computed cross-doc and within-doc coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),          // gram 'a b c'@0 shared with doc 2
+      (2L, "x y a b c z"),          // 'a b c'@2 -> tokens 2..4 covered
+      (3L, "q r"),                  // < k words: zero grams, zero coverage
+      (4L, "m n o m n o m n o")     // every 3-gram repeats within the doc
+    ).toDF("doc_id", "t")
+    val out = Corpus.dupSpanCoverage(docs, "doc_id", "t", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out(0) == ((1L, 6, 3L, 5000L, true)))   // tokens 0..2
+    assert(out(1) == ((2L, 6, 3L, 5000L, true)))   // tokens 2..4
+    assert(out(2) == ((3L, 2, 0L, 0L, false)))
+    assert(out(3) == ((4L, 9, 9L, 10000L, true)))  // fully covered
+    // no duplication anywhere -> all zeros
+    val clean = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "t")
+    val cout = Corpus.dupSpanCoverage(clean, "doc_id", "t", 3).collect()
+    assert(cout.forall(r => r.getLong(2) == 0L && !r.getBoolean(4)))
+  }
 }
