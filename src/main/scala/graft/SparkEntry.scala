@@ -823,6 +823,38 @@ object SparkEntry {
       Corpus.dupSpanCoverage(planted, "doc_id", "t2", 8).orderBy("doc_id")
     }),
 
+    // End-to-end training-data pipeline COMPOSITION: plant PII keyed on
+    // the pre-copy id (so exact copies stay byte-identical), then chain
+    // quality gate -> exact dedup (first-occurrence via one md5-keyed
+    // aggregation) -> redact -> lang-id -> BPE token count -> kept
+    // verdict. The oracle re-derives the whole chain, deduping by the
+    // RAW text string (Spark dedups by md5 — an independent check of
+    // the digest narrowing). Everything except the dedup exchange is
+    // map-only.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 400).select("doc_id", "text")
+      val all = base.unionByName(base.withColumn("doc_id", col("doc_id") + 10000))
+      val planted = all.select(col("doc_id"),
+        when((col("doc_id") % 10000) % 9 === 4,
+          concat(lit("contact user"), col("doc_id") % 10000,
+            lit("@example.com "), col("text")))
+          .otherwise(col("text")).as("t2"))
+      val firsts = planted.groupBy(md5(col("t2")).as("h"))
+        .agg(min("doc_id").as("first_id"))
+      val red = TextStats.redactPii(col("t2"))
+      planted.withColumn("h", md5(col("t2")))
+        .join(firsts, "h")
+        .select(col("doc_id"),
+          TextStats.gopherCols(col("t2")).ok.as("gopher_ok"),
+          (col("doc_id") === col("first_id")).as("is_first"),
+          TextStats.langId(red).as("lang"),
+          TextStats.bpeTokenCount(red).as("n_tokens_bpe"),
+          red.as("redacted"))
+        .withColumn("kept",
+          col("gopher_ok") && col("is_first") && col("lang") =!= "und")
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup family ----
     // near-dup input: docs < 200 plus exact copies shifted by 10000
     "q_dedup_minhash" -> ((s, dir) => {
@@ -1697,6 +1729,37 @@ object SparkEntry {
              COALESCE(c.n_dup, 0) * 5 >= len(t.ws) AS dup_heavy
            FROM toks t LEFT JOIN cov c USING (doc_id)
            ORDER BY t.doc_id""",
+
+      // e2e pipeline: rebuild the planted corpus, then the whole chain
+      // in SQL — dedup grouped by the RAW text (not md5), gopher via
+      // the rule-set builder, redaction + lang-id + BPE count inline
+      "q_pipeline_e2e" -> {
+        val lang = TextStats.langIdSql("r.redacted")
+        s"""WITH all_docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 400
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 400),
+            planted AS (
+              SELECT doc_id, CASE WHEN (doc_id % 10000) % 9 = 4
+                THEN 'contact user' || (doc_id % 10000) || '@example.com ' || text
+                ELSE text END AS t2
+              FROM all_docs),
+            firsts AS (SELECT t2, min(doc_id) AS first_id FROM planted GROUP BY t2),
+            gop AS (${TextStats.gopherSqlSelect("t2", "SELECT doc_id, t2 FROM planted")}),
+            red AS (SELECT doc_id, ${TextStats.redactedSqlExpr("t2")} AS redacted FROM planted)
+            SELECT doc_id, gopher_ok, is_first, lang, n_tokens_bpe, redacted,
+              (gopher_ok AND is_first AND lang <> 'und') AS kept
+            FROM (
+              SELECT p.doc_id, g.gopher_ok, p.doc_id = f.first_id AS is_first,
+                $lang AS lang,
+                ${TextStats.bpeTokenCountSql("r.redacted")} AS n_tokens_bpe,
+                r.redacted AS redacted
+              FROM planted p
+              JOIN firsts f ON p.t2 = f.t2
+              JOIN gop g ON p.doc_id = g.doc_id
+              JOIN red r ON p.doc_id = r.doc_id)
+            ORDER BY doc_id"""
+      },
 
       // quota sampling: identical integer Lehmer-hash arithmetic, CASE
       // rate table, row_number window for the exact-quota verdict

@@ -167,12 +167,20 @@ object TextStats {
         .as("n_phones"),
       redactPii(col(textCol)).as("redacted"))
 
+  /** DuckDB expression for the fully-redacted string (emails first,
+    * then phones — the order is part of the contract).
+    */
+  def redactedSqlExpr(textExpr: String): String = {
+    def q(p: String) = p.replace("'", "''")
+    s"regexp_replace(regexp_replace($textExpr, '${q(EmailRe)}', '<EMAIL>', 'g'), '${q(PhoneRe)}', '<PHONE>', 'g')"
+  }
+
   /** DuckDB twin of [[redact]] over a `t2` text column. */
   def redactSqlSelect(textExpr: String): String = {
     def q(p: String) = p.replace("'", "''")
     s"""CAST(len(regexp_extract_all($textExpr, '${q(EmailRe)}')) AS INT) AS n_emails,
        CAST(len(regexp_extract_all(regexp_replace($textExpr, '${q(EmailRe)}', '<EMAIL>', 'g'), '${q(PhoneRe)}')) AS INT) AS n_phones,
-       regexp_replace(regexp_replace($textExpr, '${q(EmailRe)}', '<EMAIL>', 'g'), '${q(PhoneRe)}', '<PHONE>', 'g') AS redacted"""
+       ${redactedSqlExpr(textExpr)} AS redacted"""
   }
 
   /** Gopher quality heuristics (Rae et al. 2021 appendix A1.1,
