@@ -765,8 +765,7 @@ object SparkEntry {
     "q_quality_gopher" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 300)
         .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
-        .withColumn("chunks", expr(
-          "transform(sequence(0, (size(ws)+7) div 8 - 1), j -> array_join(slice(ws, j*8+1, 8), ' '))"))
+        .withColumn("chunks", Corpus.chunksExpr("ws"))
       val m = col("doc_id") % 6
       val t2 = when(m === 1,
           array_join(transform(col("chunks"), c => concat(lit("- "), c)), "\n"))
@@ -785,13 +784,12 @@ object SparkEntry {
     // and j%7==3 injects ' javascript' BEFORE the punctuation (so the
     // javascript rule, not the punctuation rule, drops it); doc_id%11==5
     // appends a '{' line and doc_id%13==7 a 'lorem ipsum' line (doc-level
-    // drops). Short last chunks (<3 words) fire the word-count rule
+    // drops). Short last chunks (<5 words) fire the word-count rule
     // naturally. Oracle rebuilds the text and re-derives with lambdas.
     "q_c4_filter" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 300)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .withColumn("chunks", expr(
-          "transform(sequence(0, (size(ws)+7) div 8 - 1), j -> array_join(slice(ws, j*8+1, 8), ' '))"))
+        .withColumn("chunks", Corpus.chunksExpr("ws"))
       val lines0 = transform(col("chunks"), (c, j) =>
         concat(c,
           when(j % 7 === 3, lit(" javascript")).otherwise(lit("")),
@@ -1659,10 +1657,9 @@ object SparkEntry {
       // formulation of the same published rule set)
       "q_quality_gopher" -> {
         val planted =
-          """WITH base AS (
+          s"""WITH base AS (
                SELECT doc_id, text, string_split(text, ' ') AS ws,
-                 list_transform(range(0, (len(string_split(text, ' '))+7)//8),
-                   j -> array_to_string((string_split(text, ' '))[j*8+1:j*8+8], ' ')) AS chunks
+                 ${Corpus.chunksSql("string_split(text, ' ')")} AS chunks
                FROM documents WHERE doc_id < 300)
              SELECT doc_id, CASE CAST(doc_id % 6 AS INT)
                WHEN 1 THEN array_to_string(list_transform(chunks, c -> '- ' || c), chr(10))
@@ -1679,15 +1676,17 @@ object SparkEntry {
       // chunk lines + conditional doc-level extra lines), re-derive the
       // line and document rules with list lambdas
       "q_c4_filter" -> {
+        // DuckDB's (elem, idx) lambda is 1-BASED; Spark's is 0-based —
+        // hence the j-1 on this side
         val planted =
-          """WITH base AS (
+          s"""WITH base AS (
                SELECT doc_id, string_split(text, ' ') AS ws
                FROM documents WHERE doc_id < 300),
              lined AS (
-               SELECT doc_id, list_transform(range(0, (len(ws)+7)//8), j ->
-                 array_to_string(ws[j*8+1:j*8+8], ' ')
-                 || CASE WHEN j % 7 = 3 THEN ' javascript' ELSE '' END
-                 || CASE WHEN (doc_id + j) % 3 <> 0 THEN '.' ELSE '' END) AS ls
+               SELECT doc_id, list_transform(${Corpus.chunksSql("ws")}, (c, j) ->
+                 c
+                 || CASE WHEN (j-1) % 7 = 3 THEN ' javascript' ELSE '' END
+                 || CASE WHEN (doc_id + j - 1) % 3 <> 0 THEN '.' ELSE '' END) AS ls
                FROM base)
              SELECT doc_id,
                array_to_string(list_concat(list_concat(ls,

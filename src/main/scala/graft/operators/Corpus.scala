@@ -45,6 +45,23 @@ object Corpus {
     else (0 to ws.length - k).iterator.map(i => ws.slice(i, i + k).mkString(" "))
   }
 
+  /** The corpus "line" convention, single-sourced: k-word chunks of a
+    * space-split word array (the transcript corpus is single-line, so
+    * literal newline lines would be vacuous — q_repetition,
+    * q_line_dedup, q_quality_gopher and q_c4_filter all plant multi-
+    * line structure from these chunks). The Spark and DuckDB builders
+    * MUST stay formula-identical; every planted corpus and its oracle
+    * shares them so the convention cannot desynchronize.
+    */
+  def chunksExpr(wsCol: String, k: Int = 8): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"transform(sequence(0, (size($wsCol)+${k - 1}) div $k - 1), " +
+        s"j -> array_join(slice($wsCol, j*$k+1, $k), ' '))")
+
+  def chunksSql(wsExpr: String, k: Int = 8): String =
+    s"list_transform(range(0, (len($wsExpr)+${k - 1})//$k), " +
+      s"j -> array_to_string(($wsExpr)[j*$k+1:j*$k+$k], ' '))"
+
   /** Distinct word k-grams of a (small) benchmark document set, as a
     * single-column `gram` DataFrame. The explode+distinct shuffle runs
     * over the benchmark only — never the corpus.

@@ -191,7 +191,9 @@ object TextStats {
     *
     *   - word count in [50, 100000]
     *   - mean word length in [3, 10] characters
-    *   - symbol-to-word ratio ('#' and '...') <= 0.1
+    *   - symbol-to-word ratio <= 0.1 for EACH of '#' and '...'
+    *     (separate ratios per symbol, as published — a doc at 6% of
+    *     each passes; a combined 10% test would wrongly drop it)
     *   - fraction of lines starting with a bullet ('- ') <= 0.9
     *   - fraction of lines ending with an ellipsis ('...') <= 0.3
     *   - fraction of words containing an alphabetic char >= 0.8
@@ -210,13 +212,14 @@ object TextStats {
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   final case class GopherCols(nWords: Column, wordChars: Column,
-      nLines: Column, nSym: Column, nBullet: Column, nEllipsis: Column,
-      nAlpha: Column, nStop: Column) {
+      nLines: Column, nHashSym: Column, nEllipsisSym: Column,
+      nBullet: Column, nEllipsis: Column, nAlpha: Column, nStop: Column) {
     def ok: Column =
       nWords >= 50 && nWords <= 100000 &&
         wordChars >= nWords.cast("long") * 3 &&
         wordChars <= nWords.cast("long") * 10 &&
-        nSym * 10 <= nWords &&
+        nHashSym * 10 <= nWords &&
+        nEllipsisSym * 10 <= nWords &&
         nBullet * 10 <= nLines * 9 &&
         nEllipsis * 10 <= nLines * 3 &&
         nAlpha * 5 >= nWords * 4 &&
@@ -231,7 +234,8 @@ object TextStats {
       nWords = size(ws),
       wordChars = aggregate(ws, lit(0L), (a, w) => a + length(w)),
       nLines = size(lines),
-      nSym = (markerCount(t, "#") + markerCount(t, "...")).cast("int"),
+      nHashSym = markerCount(t, "#").cast("int"),
+      nEllipsisSym = markerCount(t, "...").cast("int"),
       nBullet = size(filter(lines, l => l.like("- %"))),
       nEllipsis = size(filter(lines, l => l.like("%..."))),
       nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]"))),
@@ -244,7 +248,8 @@ object TextStats {
       g.nWords.as("n_words"),
       g.wordChars.as("word_chars"),
       g.nLines.as("n_lines"),
-      g.nSym.as("n_sym"),
+      g.nHashSym.as("n_hash_sym"),
+      g.nEllipsisSym.as("n_ellipsis_sym"),
       g.nBullet.as("n_bullet_lines"),
       g.nEllipsis.as("n_ellipsis_lines"),
       g.nAlpha.as("n_alpha_words"),
@@ -261,11 +266,13 @@ object TextStats {
     val ws = s"string_split($flat, ' ')"
     val lines = s"string_split($textExpr, chr(10))"
     val stopList = GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""SELECT doc_id, n_words, word_chars, n_lines, n_sym, n_bullet_lines,
+    s"""SELECT doc_id, n_words, word_chars, n_lines, n_hash_sym,
+          n_ellipsis_sym, n_bullet_lines,
           n_ellipsis_lines, n_alpha_words, n_stopwords,
           (n_words >= 50 AND n_words <= 100000
            AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
-           AND n_sym * 10 <= n_words
+           AND n_hash_sym * 10 <= n_words
+           AND n_ellipsis_sym * 10 <= n_words
            AND n_bullet_lines * 10 <= n_lines * 9
            AND n_ellipsis_lines * 10 <= n_lines * 3
            AND n_alpha_words * 5 >= n_words * 4
@@ -274,7 +281,8 @@ object TextStats {
           CAST(len($ws) AS INT) AS n_words,
           CAST(COALESCE(list_sum(list_transform($ws, w -> length(w))), 0) AS BIGINT) AS word_chars,
           CAST(len($lines) AS INT) AS n_lines,
-          CAST(${markerCountSql(textExpr, "#")} + ${markerCountSql(textExpr, "...")} AS INT) AS n_sym,
+          CAST(${markerCountSql(textExpr, "#")} AS INT) AS n_hash_sym,
+          CAST(${markerCountSql(textExpr, "...")} AS INT) AS n_ellipsis_sym,
           CAST(len(list_filter($lines, l -> l LIKE '- %')) AS INT) AS n_bullet_lines,
           CAST(len(list_filter($lines, l -> l LIKE '%...')) AS INT) AS n_ellipsis_lines,
           CAST(len(list_filter($ws, w -> regexp_matches(w, '[A-Za-z]'))) AS INT) AS n_alpha_words,
@@ -284,13 +292,15 @@ object TextStats {
 
   /** C4-style line/document cleaning (Raffel et al. 2020 §2.2,
     * public): keep only lines that end in a terminal punctuation mark
-    * ('.', '!', '?', '"'), contain at least 3 words, and do not
+    * ('.', '!', '?', '"'), contain at least 5 words, and do not
     * mention "javascript"; drop the whole document when it contains a
-    * curly brace or the phrase "lorem ipsum", or when fewer than 5
-    * lines survive (the paper gates on 5 sentences; this corpus is
-    * line-oriented so the line count is the published proxy). Matching
-    * is literal lowercase — the synthetic corpus is lowercase, so this
-    * equals the paper's case-folded match deterministically.
+    * curly brace or the phrase "lorem ipsum", or when fewer than 3
+    * lines survive (the paper discards pages with fewer than 3
+    * sentences and retains lines of at least 5 words; this corpus is
+    * line-oriented so the kept-line count is the sentence proxy).
+    * Matching is literal lowercase — the synthetic corpus is
+    * lowercase, so this equals the paper's case-folded match
+    * deterministically.
     *
     * All Column expressions over the line array — map-only, no
     * shuffle; the kept text is reassembled in original line order.
@@ -300,10 +310,10 @@ object TextStats {
     val lines = split(t, "\n")
     val kept = filter(lines, l =>
       (l.like("%.") || l.like("%!") || l.like("%?") || l.like("%\"")) &&
-        size(split(l, " ")) >= 3 &&
+        size(split(l, " ")) >= 5 &&
         !l.like("%javascript%"))
     val nKept = size(kept)
-    val docKept = nKept >= 5 && !t.like("%{%") && !t.like("%lorem ipsum%")
+    val docKept = nKept >= 3 && !t.like("%{%") && !t.like("%lorem ipsum%")
     df.select(col(idCol).as("doc_id"),
       size(lines).as("n_lines"),
       nKept.as("n_kept"),
@@ -318,14 +328,14 @@ object TextStats {
     val lines = s"string_split($textExpr, chr(10))"
     val kept = s"""list_filter($lines, l ->
         (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
-        AND len(string_split(l, ' ')) >= 3
+        AND len(string_split(l, ' ')) >= 5
         AND NOT l LIKE '%javascript%')"""
     s"""SELECT doc_id, n_lines, n_kept, doc_kept,
           CASE WHEN doc_kept THEN kept_text ELSE '' END AS final_text
         FROM (SELECT doc_id,
           CAST(len($lines) AS INT) AS n_lines,
           CAST(len($kept) AS INT) AS n_kept,
-          (len($kept) >= 5 AND NOT $textExpr LIKE '%{%'
+          (len($kept) >= 3 AND NOT $textExpr LIKE '%{%'
             AND NOT $textExpr LIKE '%lorem ipsum%') AS doc_kept,
           array_to_string($kept, chr(10)) AS kept_text
         FROM ($fromSql))"""

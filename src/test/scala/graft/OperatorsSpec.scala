@@ -184,46 +184,51 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, pass + " #" * 6),                   // 6 '#' on 67 words: 60 <= 67 passes
       (4L, pass + " #" * 8),                   // 8 on 69: 80 > 69 fails
       (5L, "the of " + "wordwordword " * 48),  // 50 words, mean len 11.6 > 10 fails
-      (6L, ("11 22 " * 24).trim + " the of")   // alpha fraction 2/50 fails
+      (6L, ("11 22 " * 24).trim + " the of"),  // alpha fraction 2/50 fails
+      // 5 '#' and 5 '...' on 72 words: EACH ratio <= 10% passes (a
+      // combined-symbol test would wrongly drop this doc)
+      (7L, pass + " #" * 5 + " x..." * 5 + " end")
     ).toDF("doc_id", "t")
     val rows = TextStats.gopher(df, "doc_id", "t").orderBy("doc_id").collect()
-    def ok(i: Int) = rows(i).getBoolean(9)
+    def ok(i: Int) = rows(i).getBoolean(10)
     assert(ok(0), "clean doc passes")
     assert(!ok(1), "bullet fraction 1.0 fails")
-    // 2/5 = 40% ellipsis lines > 30% fails; '...' also counts as symbol
-    assert(!ok(2) && rows(2).getInt(6) == 2 && rows(2).getInt(3) == 5 && rows(2).getInt(4) == 2)
+    // 2/5 = 40% ellipsis lines > 30% fails; '...' also counted as symbol
+    assert(!ok(2) && rows(2).getInt(7) == 2 && rows(2).getInt(3) == 5 && rows(2).getInt(5) == 2)
     assert(ok(3) && rows(3).getInt(4) == 6)
     assert(!ok(4) && rows(4).getInt(4) == 8)
     assert(!ok(5), "mean word length > 10 fails")
-    assert(!ok(6) && rows(6).getInt(7) == 2, "alpha fraction fails")
+    assert(!ok(6) && rows(6).getInt(8) == 2, "alpha fraction fails")
+    assert(ok(7) && rows(7).getInt(4) == 5 && rows(7).getInt(5) == 5,
+      "per-symbol ratios are separate, not combined")
     // stopword occurrences are word-equality, not substring: 'them' no hit
     val them = Seq((9L, ("them data " * 30).trim)).toDF("doc_id", "t")
-    assert(TextStats.gopher(them, "doc_id", "t").collect()(0).getInt(8) == 0)
+    assert(TextStats.gopher(them, "doc_id", "t").collect()(0).getInt(9) == 0)
   }
 
   test("c4 filter: line rules, doc gates, reassembly order") {
     import spark.implicits._
     val t = Seq(
-      "good line one.",        // kept
-      "short.",                // < 3 words
-      "no terminal punct",     // dropped
-      "enable javascript now.",// javascript rule
-      "good line two!",        // kept
-      "good line three?",      // kept
-      "he said \"quote\"",     // kept (quote terminal)
-      "good line four.",       // kept — 5 kept total
+      "good line one two three.",   // kept
+      "too short line.",            // < 5 words
+      "no terminal punct at all",   // dropped
+      "please enable javascript support now.", // javascript rule
+      "good line one two four!",    // kept
+      "he said \"the good quote\"", // kept (quote terminal, 5 words)
+      "good line one two five?",    // kept — 4 kept total
       "").mkString("\n")
     val out = TextStats.c4Filter(Seq((0L, t)).toDF("doc_id", "t"), "doc_id", "t")
       .collect()(0)
-    assert(out.getInt(1) == 9 && out.getInt(2) == 5 && out.getBoolean(3))
+    assert(out.getInt(1) == 8 && out.getInt(2) == 4 && out.getBoolean(3))
     assert(out.getString(4) ==
-      "good line one.\ngood line two!\ngood line three?\nhe said \"quote\"\ngood line four.")
-    // one fewer kept line -> doc dropped, final text empty
-    val t4 = t.split("\n").filterNot(_ == "good line four.").mkString("\n")
-    val o4 = TextStats.c4Filter(Seq((0L, t4)).toDF("doc_id", "t"), "doc_id", "t").collect()(0)
-    assert(o4.getInt(2) == 4 && !o4.getBoolean(3) && o4.getString(4) == "")
+      "good line one two three.\ngood line one two four!\nhe said \"the good quote\"\ngood line one two five?")
+    // two fewer kept lines -> 2 < 3 -> doc dropped, final text empty
+    val t2 = t.split("\n").filterNot(l =>
+      l == "good line one two five?" || l == "he said \"the good quote\"").mkString("\n")
+    val o2 = TextStats.c4Filter(Seq((0L, t2)).toDF("doc_id", "t"), "doc_id", "t").collect()(0)
+    assert(o2.getInt(2) == 2 && !o2.getBoolean(3) && o2.getString(4) == "")
     // doc-level gates fire even with enough kept lines
-    for (poison <- Seq("brace { here.", "has lorem ipsum inside.")) {
+    for (poison <- Seq("brace { here is one.", "has lorem ipsum inside it.")) {
       val tp = t + "\n" + poison
       val op = TextStats.c4Filter(Seq((0L, tp)).toDF("doc_id", "t"), "doc_id", "t").collect()(0)
       assert(!op.getBoolean(3) && op.getString(4) == "")
