@@ -210,6 +210,12 @@ object Corpus {
     * occurrences. Nothing is all-pairs; the oracle independently
     * re-derives coverage grouping by the RAW gram string, so an md5
     * collision (or a wrong narrowing) would hash-mismatch.
+    *
+    * The occurrence stream is deliberately NOT persisted although the
+    * plan reads it twice (count side + join side): it is a map-only
+    * explode off the scan, and at corpus scale re-running two scans is
+    * cheaper than materializing k x corpus-tokens of digests. Callers
+    * with cheap storage can `.persist()` the input beforehand.
     */
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
