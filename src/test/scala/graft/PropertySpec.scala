@@ -109,7 +109,7 @@ class PropertySpec extends AnyFunSuite {
   * the code-point semantics both SQL engines use.
   */
 class TextOpsPropertySpec extends AnyFunSuite {
-  import graft.operators.TextStats
+  import graft.operators.{Corpus, TextStats}
 
   private def forAll[A](gen: Gen[A], n: Int = 80)(f: A => Unit): Unit = {
     val params = Gen.Parameters.default
@@ -167,6 +167,114 @@ class TextOpsPropertySpec extends AnyFunSuite {
       val once = scrub(text)
       assert(scrub(once) == once)
       assert(!once.matches(s".*${TextStats.EmailRe}.*"))
+    }
+  }
+
+  // --- Column-kernel parity: gopher + c4Filter vs plain-Scala naive
+  // derivations on random multi-line texts. The Column kernels use
+  // split/LIKE/rlike/aggregate HOFs whose edge semantics (trailing
+  // empties, zero-width LIKE matches, code-point length) are exactly
+  // what these naive twins pin down.
+
+  private val gopherWordGen: Gen[String] = Gen.frequency(
+    (6, Gen.oneOf("data", "word", "x", "wordwordword", "12345", "😀ok")),
+    (3, Gen.oneOf(TextStats.GopherStopwords)),
+    (1, Gen.oneOf("#", "x...", "...", "them", "-")))
+  private val lineGen: Gen[String] = for {
+    bullet <- Gen.frequency((4, Gen.const("")), (1, Gen.const("- ")))
+    ws <- Gen.listOf(gopherWordGen).map(_.take(12))
+    punct <- Gen.frequency((3, Gen.const("")),
+      (1, Gen.oneOf(".", "!", "?", "\"", "...")),
+      (1, Gen.oneOf(" javascript.", " { x.", " lorem ipsum.")))
+  } yield bullet + ws.mkString(" ") + punct
+  private val multilineGen: Gen[String] =
+    Gen.listOf(lineGen).map(_.take(8).mkString("\n"))
+
+  private def naiveGopher(t: String): (Int, Long, Int, Int, Int, Int, Int, Int, Int, Boolean) = {
+    val ws = t.replace('\n', ' ').split(" ", -1)
+    val lines = t.split("\n", -1)
+    val nWords = ws.length
+    val wordChars = ws.map(cp).sum
+    val nHash = TextStats.markerCountScala(t, "#")
+    val nEllSym = TextStats.markerCountScala(t, "...")
+    val nBullet = lines.count(_.startsWith("- "))
+    val nEll = lines.count(_.endsWith("..."))
+    val nAlpha = ws.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+    val nStop = ws.count(TextStats.GopherStopwords.contains)
+    val ok = nWords >= 50 && nWords <= 100000 &&
+      wordChars >= nWords.toLong * 3 && wordChars <= nWords.toLong * 10 &&
+      nHash * 10 <= nWords && nEllSym * 10 <= nWords &&
+      nBullet * 10 <= lines.length * 9 && nEll * 10 <= lines.length * 3 &&
+      nAlpha * 5 >= nWords * 4 && nStop >= 2
+    (nWords, wordChars, lines.length, nHash, nEllSym, nBullet, nEll, nAlpha, nStop, ok)
+  }
+
+  test("gopher Column kernel equals the naive Scala derivation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    forAll(multilineGen, 120)(texts += _)
+    val rows = TextStats.gopher(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "t"),
+        "doc_id", "t")
+      .orderBy("doc_id").collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      val n = naiveGopher(t)
+      val got = (r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5),
+        r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9), r.getBoolean(10))
+      assert(got == n, s"text=<$t>")
+    }
+  }
+
+  test("c4Filter Column kernel equals the naive Scala derivation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    forAll(multilineGen, 120)(texts += _)
+    val rows = TextStats.c4Filter(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "t"),
+        "doc_id", "t")
+      .orderBy("doc_id").collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      val lines = t.split("\n", -1)
+      val kept = lines.filter(l =>
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+          l.split(" ", -1).length >= 5 && !l.contains("javascript"))
+      val docKept = kept.length >= 3 && !t.contains("{") && !t.contains("lorem ipsum")
+      val finalText = if (docKept) kept.mkString("\n") else ""
+      val got = (r.getInt(1), r.getInt(2), r.getBoolean(3), r.getString(4))
+      assert(got == ((lines.length, kept.length, docKept, finalText)), s"text=<$t>")
+    }
+  }
+
+  test("dupSpanCoverage equals a brute-force interval-union derivation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = Array("a", "b", "c")
+    for (trial <- 1 to 5) {
+      val k = 2 + trial % 2 // k = 3, 2, 3, 2, 3
+      val corpus = (0 until 8).map { id =>
+        (id.toLong, Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(3))).mkString(" "))
+      }
+      // brute force: global gram counts, then per-doc covered set
+      val occ = corpus.flatMap { case (id, t) =>
+        val ws = t.split(" ", -1)
+        (0 to ws.length - k).map(i => (id, i, ws.slice(i, i + k).mkString(" ")))
+      }
+      val counts = occ.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = corpus.map { case (id, t) =>
+        val n = t.split(" ", -1).length
+        val covered = occ.filter(o => o._1 == id && counts(o._3) >= 2)
+          .flatMap(o => o._2 until o._2 + k).toSet
+        (id, n, covered.size.toLong, covered.size.toLong * 10000 / n,
+          covered.size.toLong * 5 >= n)
+      }.sortBy(_._1)
+      val got = Corpus.dupSpanCoverage(corpus.toDF("doc_id", "t"), "doc_id", "t", k)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .toSeq
+      assert(got == expected, s"trial=$trial k=$k corpus=$corpus")
     }
   }
 }
