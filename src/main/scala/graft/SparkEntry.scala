@@ -821,6 +821,15 @@ object SparkEntry {
       Corpus.dupSpanCoverage(planted, "doc_id", "t2", 8).orderBy("doc_id")
     }),
 
+    // Corpus-global common-word fraction (the two-pass IDF-like shape):
+    // pass 1 one word-count exchange + exact top-20 under (count DESC,
+    // word ASC) as bounded driver state; pass 2 map-only broadcast
+    // filter. Oracle re-derives pass 2 RELATIONALLY (explode + join +
+    // re-aggregate) — a wrong driver collect would hash-mismatch.
+    "q_common_words" -> ((s, dir) =>
+      Corpus.commonWordStats(docs(s, dir), "doc_id", "text", 20)
+        .orderBy("doc_id")),
+
     // End-to-end training-data pipeline COMPOSITION: plant PII keyed on
     // the pre-copy id (so exact copies stay byte-identical), then chain
     // quality gate -> exact dedup (first-occurrence via one md5-keyed
@@ -1728,6 +1737,24 @@ object SparkEntry {
              COALESCE(c.n_dup, 0) * 5 >= len(t.ws) AS dup_heavy
            FROM toks t LEFT JOIN cov c USING (doc_id)
            ORDER BY t.doc_id""",
+
+      // common words: identical total order (count DESC, word ASC) for
+      // the top-k; the per-doc pass is a relational join+re-aggregate
+      // where Spark uses a broadcast Column filter
+      "q_common_words" ->
+        """WITH words AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           counts AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+           top AS (SELECT w FROM counts ORDER BY c DESC, w ASC LIMIT 20),
+           hits AS (SELECT doc_id, count(*) AS n_common
+                    FROM words JOIN top USING (w) GROUP BY doc_id)
+           SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS INT) AS n_words,
+             CAST(COALESCE(h.n_common, 0) AS BIGINT) AS n_common,
+             CAST(COALESCE(h.n_common, 0) * 10000 // len(string_split(d.text, ' ')) AS BIGINT) AS common_frac_x10000,
+             COALESCE(h.n_common, 0) * 5 >= len(string_split(d.text, ' ')) * 4 AS common_ok
+           FROM documents d LEFT JOIN hits h USING (doc_id)
+           ORDER BY d.doc_id""",
 
       // e2e pipeline: rebuild the planted corpus, then the whole chain
       // in SQL — dedup grouped by the RAW text (not md5), gopher via

@@ -191,6 +191,40 @@ object Corpus {
       (row_number().over(w) <= rankQuota).as("kept_rank"))
   }
 
+  /** Corpus-global common-word statistics (the FineWeb/fastText-style
+    * "common word fraction" quality signal, and the two-pass shape of
+    * every IDF-like score): pass 1 aggregates corpus word counts (one
+    * exchange, map-side combined, bounded by vocabulary size) and
+    * takes the exact top-`topN` words under the total order
+    * (count DESC, word ASC) — deterministic even through count ties;
+    * pass 2 is MAP-ONLY: the top set is bounded driver state (like the
+    * IVF centroids) broadcast into a Column filter, so the corpus is
+    * never shuffled for the per-document fraction. Emits per document:
+    * word count, common-word occurrence count, the floored per-10000
+    * common fraction, and a >=80% cross-multiplied verdict.
+    *
+    * The oracle re-derives the second pass RELATIONALLY (explode +
+    * join against the top-k CTE + re-aggregate) — an independent
+    * formulation of the same statistic that would catch a wrong
+    * driver-side collect.
+    */
+  def commonWordStats(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{filter => afilter}
+    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
+    val top = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(topN)
+      .collect().map(_.getString(0)).toSeq
+    val topArr = array(top.map(lit): _*)
+    val ws = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"),
+        size(ws).as("n_words"),
+        size(afilter(ws, w => array_contains(topArr, w))).cast("long").as("n_common"))
+      .select(col("doc_id"), col("n_words"), col("n_common"),
+        expr("(n_common * 10000) div n_words").as("common_frac_x10000"),
+        (col("n_common") * 5 >= col("n_words").cast("long") * 4).as("common_ok"))
+  }
+
   /** Cross-document duplicated-passage coverage — the k-gram
     * approximation of ExactSubstr dedup ("Deduplicating Training Data
     * Makes Language Models Better", Lee et al., ACL 2022, public). A

@@ -137,4 +137,23 @@ class CorpusSpec extends AnyFunSuite {
     val cout = Corpus.dupSpanCoverage(clean, "doc_id", "t", 3).collect()
     assert(cout.forall(r => r.getLong(2) == 0L && !r.getBoolean(4)))
   }
+
+  test("commonWordStats: exact top-k with deterministic tie-break") {
+    import spark.implicits._
+    // counts: a=4, b=3, c=3, d=1 — top-2 must be {a, b} (c ties b on
+    // count; 'b' < 'c' wins the (count DESC, word ASC) order)
+    val docs = Seq(
+      (0L, "a a b c"),
+      (1L, "a b c d"),
+      (2L, "a b c")).toDF("doc_id", "t")
+    val out = Corpus.commonWordStats(docs, "doc_id", "t", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out(0) == ((0L, 4, 3L, 7500L, false)))  // a a b
+    assert(out(1) == ((1L, 4, 2L, 5000L, false)))  // a b
+    assert(out(2) == ((2L, 3, 2L, 6666L, false)))  // a b
+    // topN >= vocab: everything common, verdict passes
+    val all = Corpus.commonWordStats(docs, "doc_id", "t", 10).collect()
+    assert(all.forall(r => r.getLong(2) == r.getInt(1).toLong && r.getBoolean(4)))
+  }
 }
