@@ -830,6 +830,32 @@ object SparkEntry {
       Corpus.commonWordStats(docs(s, dir), "doc_id", "text", 20)
         .orderBy("doc_id")),
 
+    // CCNet-style perplexity bucketing in exact integer arithmetic:
+    // unigram LM trained on the English slice (CCNet's "Wikipedia"),
+    // per-word bit-surprisal via length(bin(..)) — exact in both
+    // engines, no floating log — and head/middle/tail tertiles via an
+    // exact DISTRIBUTED ntile (histogram + parallel per-value rank, no
+    // single-partition sort). The oracle uses DuckDB's BUILT-IN ntile,
+    // independently validating the closed-form rank->bucket mapping.
+    "q_ppl_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.surprisalBuckets(d, "doc_id", "text",
+        d.filter(col("lang") === "en"), "text", 3).orderBy("doc_id")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): hashed word-bigram
+    // target-vs-raw models (4096 md5-derived buckets — the hash is the
+    // 100 TB bound: per-bucket counts exchange at most 4096 rows per
+    // partition after map-side combine), integer bit-surprisal log
+    // approximation, keep verdict at weight >= 0. Target domain = the
+    // English slice. The oracle re-derives the whole estimator
+    // relationally with the identical hash arithmetic.
+    "q_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.dsirWeights(d, "doc_id", "text",
+        d.filter(col("lang") === "en"), "text", 4096, 0L).orderBy("doc_id")
+    }),
+
     // End-to-end training-data pipeline COMPOSITION: plant PII keyed on
     // the pre-copy id (so exact copies stay byte-identical), then chain
     // quality gate -> exact dedup (first-occurrence via one md5-keyed
@@ -1754,6 +1780,77 @@ object SparkEntry {
              CAST(COALESCE(h.n_common, 0) * 10000 // len(string_split(d.text, ' ')) AS BIGINT) AS common_frac_x10000,
              COALESCE(h.n_common, 0) * 5 >= len(string_split(d.text, ' ')) * 4 AS common_ok
            FROM documents d LEFT JOIN hits h USING (doc_id)
+           ORDER BY d.doc_id""",
+
+      // CCNet perplexity buckets: same add-one unigram model over the
+      // English slice, same bitlen surprisal; bucketing via DuckDB's
+      // BUILT-IN ntile over (mean_millibits, doc_id) — an independent
+      // implementation of the rank->bucket mapping Spark derives with
+      // the distributed histogram + closed form
+      "q_ppl_buckets" ->
+        """WITH model AS (
+             SELECT w, count(*) AS mc FROM (
+               SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents WHERE lang = 'en') GROUP BY w),
+           tot AS (SELECT CAST(COALESCE(sum(mc), 0) + 1 AS BIGINT) AS m FROM model),
+           words AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           scored AS (
+             SELECT doc_id,
+               length(bin((SELECT m FROM tot))) - length(bin(COALESCE(mc, 0) + 1)) AS bits
+             FROM words LEFT JOIN model USING (w)),
+           perdoc AS (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(bits) AS BIGINT) AS total_bits
+             FROM scored GROUP BY doc_id)
+           SELECT doc_id, n_words, total_bits,
+             CAST(total_bits * 1000 // n_words AS BIGINT) AS mean_millibits,
+             CAST(ntile(3) OVER (ORDER BY total_bits * 1000 // n_words, doc_id) AS INT) AS ppl_bucket
+           FROM perdoc ORDER BY doc_id""",
+
+      // DSIR: identical md5-prefix hash arithmetic
+      // (CAST('0x'||substr(md5(g),1,4) AS BIGINT) % 4096 ≙ Spark
+      // conv(substr(md5(g),1,4),16,10) % 4096), full relational
+      // re-derivation of both bucketed models and the weight
+      "q_dsir" ->
+        """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           cg AS (
+             SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 4)) AS BIGINT) % 4096 AS b
+             FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+                   FROM corpus)),
+           tg AS (
+             SELECT CAST(concat('0x', substr(md5(g), 1, 4)) AS BIGINT) % 4096 AS b
+             FROM (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+                   FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE lang = 'en'))),
+           rawc AS (SELECT b, count(*) AS rc FROM cg GROUP BY b),
+           tgtc AS (SELECT b, count(*) AS tc FROM tg GROUP BY b),
+           model AS (
+             SELECT r.b,
+               CAST(length(bin(COALESCE(t.tc, 0) + 1)) AS BIGINT) AS tbits,
+               CAST(length(bin(r.rc + 1)) AS BIGINT) AS rbits
+             FROM rawc r LEFT JOIN tgtc t USING (b)),
+           tots AS (
+             SELECT length(bin(CAST((SELECT COALESCE(sum(tc), 0) FROM tgtc) + 1 AS BIGINT)))
+                    AS mtb,
+                    length(bin(CAST((SELECT COALESCE(sum(rc), 0) FROM rawc) + 1 AS BIGINT)))
+                    AS mrb),
+           perdoc AS (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(tbits) AS BIGINT) AS target_bits,
+               CAST(sum(rbits) AS BIGINT) AS raw_bits
+             FROM cg JOIN model USING (b) GROUP BY doc_id)
+           SELECT d.doc_id,
+             COALESCE(p.n_grams, 0) AS n_grams,
+             COALESCE(p.target_bits, 0) AS target_bits,
+             COALESCE(p.raw_bits, 0) AS raw_bits,
+             COALESCE(p.target_bits, 0) - COALESCE(p.raw_bits, 0)
+               + COALESCE(p.n_grams, 0) * ((SELECT mrb FROM tots) - (SELECT mtb FROM tots))
+               AS weight_bits,
+             COALESCE(p.target_bits, 0) - COALESCE(p.raw_bits, 0)
+               + COALESCE(p.n_grams, 0) * ((SELECT mrb FROM tots) - (SELECT mtb FROM tots))
+               >= 0 AS dsir_keep
+           FROM documents d LEFT JOIN perdoc p USING (doc_id)
            ORDER BY d.doc_id""",
 
       // e2e pipeline: rebuild the planted corpus, then the whole chain

@@ -225,6 +225,155 @@ object Corpus {
         (col("n_common") * 5 >= col("n_words").cast("long") * 4).as("common_ok"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 —
+    * public), in exact integer arithmetic: score every document by its
+    * mean per-word SURPRISAL under a unigram LM trained on a clean
+    * reference corpus (CCNet: a KenLM model trained on Wikipedia; here
+    * the `ref` DataFrame plays Wikipedia), then split the corpus into
+    * `nBuckets` equal-frequency buckets (CCNet's head/middle/tail are
+    * the tertiles). Bucket 1 = lowest surprisal = most reference-like.
+    *
+    * Integer surprisal: with add-one model counts `m(w) = c_ref(w)+1`
+    * and total `M = sum(c_ref)+1`, the word's surprisal in bits is
+    * approximated by `bitlen(M) - bitlen(m(w))` where `bitlen(x) =
+    * length(bin(x))` — within 1 bit of `log2(M/m(w))` and EXACT in
+    * both engines (no floating log whose libm rounding could differ).
+    * Per document: `total_bits`, `n_words`, and the fixed-point mean
+    * `mean_millibits = total_bits*1000 div n_words`.
+    *
+    * Scale shape: the LM-count exchange runs over the REFERENCE only
+    * (bounded by construction — the model corpus is curated, the 100 TB
+    * side is `docs`); the model joins broadcast onto exploded corpus
+    * words, and the per-doc aggregation exchanges map-side-combined
+    * (doc, partial-sum) rows, not tokens. Bucketing is an exact
+    * distributed NTILE with NO single-partition global sort: the
+    * value histogram (bounded — distinct `mean_millibits` values, at
+    * most ~1000×64) is collected and its cumulative counts broadcast;
+    * each doc's global rank is `cum_before(value) + row_number` within
+    * its value partition (a PARALLEL window keyed by value), and the
+    * standard ntile closed form maps rank → bucket. The oracle uses
+    * DuckDB's built-in `ntile`, independently validating the closed
+    * form and the rank derivation.
+    */
+  def surprisalBuckets(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, nBuckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val model = ref.select(explode(split(col(refTextCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("mc"))
+    val totalM = model.agg(sum(col("mc"))).first() match {
+      case r if r.isNullAt(0) => 1L
+      case r                  => r.getLong(0) + 1L
+    }
+    val totBits = java.lang.Long.toBinaryString(totalM).length
+    val perDoc = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .join(broadcast(model), Seq("w"), "left")
+      .select(col("doc_id"),
+        (lit(totBits) - length(bin(coalesce(col("mc"), lit(0L)) + 1)))
+          .cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("bits").as("total_bits"))
+      .select(col("doc_id"), col("n_words"), col("total_bits"),
+        expr("(total_bits * 1000) div n_words").as("mean_millibits"))
+    // Exact distributed ntile: histogram of the (bounded) score values
+    // -> broadcast cumulative counts -> parallel per-value rank window.
+    val hist = perDoc.groupBy("mean_millibits").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val cumBefore = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2).init)
+    val cumDf = spark.createDataFrame(cumBefore.toSeq)
+      .toDF("mean_millibits", "cum_before")
+    val size = n / math.max(nBuckets, 1)
+    val rem = n % math.max(nBuckets, 1)
+    val rkW = Window.partitionBy("mean_millibits").orderBy("doc_id")
+    perDoc.join(broadcast(cumDf), Seq("mean_millibits"))
+      .withColumn("rk", col("cum_before") + row_number().over(rkW))
+      .select(col("doc_id"), col("n_words"), col("total_bits"),
+        col("mean_millibits"),
+        expr(s"CASE WHEN rk <= ${rem * (size + 1)} " +
+          s"THEN (rk - 1) div ${size + 1} + 1 " +
+          s"ELSE $rem + (rk - ${rem * (size + 1)} - 1) div ${math.max(size, 1)} + 1 END")
+          .cast("int").as("ppl_bucket"))
+  }
+
+  /** Word-bigram expression under split-by-single-space semantics,
+    * empty for texts with fewer than two words (guarded: Spark's
+    * `sequence(1, 0)` is DESCENDING, never produce it).
+    */
+  def bigramsExpr(textCol: String): org.apache.spark.sql.Column =
+    expr(s"CASE WHEN size(split($textCol, ' ')) >= 2 " +
+      s"THEN transform(sequence(1, size(split($textCol, ' ')) - 1), " +
+      s"i -> concat(split($textCol, ' ')[i-1], ' ', split($textCol, ' ')[i])) " +
+      s"ELSE array() END")
+
+  /** Hash a gram string to `[0, nBuckets)` via the first 4 hex chars
+    * of md5 — integer-exact and identically expressible in DuckDB
+    * (`CAST('0x'||substr(md5(g),1,4) AS BIGINT) % nBuckets`).
+    */
+  def gramBucket(g: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(g), 1, 4), 16, 10).cast("long") % nBuckets
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023, "Data
+    * Selection for Language Models via Importance Resampling" —
+    * public): estimate how much more likely each document is under a
+    * TARGET domain than under the RAW corpus, using hashed word-bigram
+    * bag-of-ngrams models, and keep documents whose weight clears a
+    * threshold. The published estimator is
+    * `log w(x) = sum_grams [log p_target(h(g)) - log p_raw(h(g))]`;
+    * here each log2 is integer-approximated by `bitlen` exactly as in
+    * [[surprisalBuckets]], so with per-bucket add-one counts `t(b)+1`
+    * / `r(b)+1` and totals `Mt`/`Mr`:
+    * `weight_bits = sum bitlen(t+1) - sum bitlen(r+1)
+    *              + n_grams*(bitlen(Mr) - bitlen(Mt))`.
+    * `weight_bits >= minWeightBits` (0 = "more target-like than raw")
+    * is the keep verdict; composition with [[quotaSample]] gives the
+    * paper's resampling step.
+    *
+    * Scale shape — the hashing is WHY this runs at 100 TB: bucketed
+    * gram counts are bounded by `nBuckets` after map-side partial
+    * aggregation, so the raw-model pass over the whole corpus
+    * exchanges at most `nBuckets` rows per partition, the model join
+    * back onto corpus grams broadcasts `nBuckets` rows, and the only
+    * unbounded exchange is the map-side-combined per-doc aggregation.
+    * Zero-gram documents come back with zeros rather than vanishing.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, nBuckets: Int,
+      minWeightBits: Long): DataFrame = {
+    def bucketed(df: DataFrame, tcol: String, keep: Seq[org.apache.spark.sql.Column]) =
+      df.select(keep :+ explode(bigramsExpr(tcol)).as("g"): _*)
+        .select(keep :+ gramBucket(col("g"), nBuckets).as("b"): _*)
+    val corpusB = bucketed(
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol)),
+      textCol, Seq(col("doc_id")))
+    val rawCounts = corpusB.groupBy("b").agg(count(lit(1)).as("rc"))
+    val targetCounts = bucketed(target.select(col(targetTextCol)), targetTextCol, Nil)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val model = rawCounts.join(targetCounts, Seq("b"), "left")
+      .select(col("b"),
+        length(bin(coalesce(col("tc"), lit(0L)) + 1)).cast("long").as("tbits"),
+        length(bin(col("rc") + 1)).cast("long").as("rbits"),
+        coalesce(col("tc"), lit(0L)).as("tc"), col("rc"))
+    val (sumT, sumR) = model.agg(sum("tc"), sum("rc")).first() match {
+      case r => (if (r.isNullAt(0)) 0L else r.getLong(0),
+                 if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val mtBits = java.lang.Long.toBinaryString(sumT + 1).length.toLong
+    val mrBits = java.lang.Long.toBinaryString(sumR + 1).length.toLong
+    val perDoc = corpusB.join(broadcast(model.select("b", "tbits", "rbits")), Seq("b"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+        sum("tbits").as("target_bits"), sum("rbits").as("raw_bits"))
+    docs.select(col(idCol).cast("long").as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("target_bits"), lit(0L)).as("target_bits"),
+        coalesce(col("raw_bits"), lit(0L)).as("raw_bits"))
+      .withColumn("weight_bits",
+        col("target_bits") - col("raw_bits") + col("n_grams") * lit(mrBits - mtBits))
+      .withColumn("dsir_keep", col("weight_bits") >= minWeightBits)
+  }
+
   /** Cross-document duplicated-passage coverage — the k-gram
     * approximation of ExactSubstr dedup ("Deduplicating Training Data
     * Makes Language Models Better", Lee et al., ACL 2022, public). A

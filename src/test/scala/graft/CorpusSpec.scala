@@ -156,4 +156,111 @@ class CorpusSpec extends AnyFunSuite {
     val all = Corpus.commonWordStats(docs, "doc_id", "t", 10).collect()
     assert(all.forall(r => r.getLong(2) == r.getInt(1).toLong && r.getBoolean(4)))
   }
+
+  test("surprisalBuckets: hand-computed bit-surprisal and tertile assignment") {
+    import spark.implicits._
+    // model: a=3, b=1 → M = 5, bitlen(M) = 3
+    // bits: a → 3-bitlen(4)=0, b → 3-bitlen(2)=1, OOV → 3-bitlen(1)=2
+    val ref = Seq((99L, "a a a b")).toDF("doc_id", "t")
+    val docs = Seq(
+      (0L, "a a a a"),  // 0 bits, mean 0
+      (1L, "a b a b"),  // 2 bits / 4 → mean 500
+      (2L, "z z"),      // 4 bits / 2 → mean 2000
+      (3L, "b b b"),    // 3 bits / 3 → mean 1000
+      (4L, "a z")       // 2 bits / 2 → mean 1000 (ties doc 3; doc_id breaks)
+    ).toDF("doc_id", "t")
+    val out = Corpus.surprisalBuckets(docs, "doc_id", "t", ref, "t", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // n=5, nBuckets=2 → sizes 3,2; order d0,d1,d3,d4,d2
+    assert(out.toSeq == Seq(
+      (0L, 4L, 0L, 0L, 1),
+      (1L, 4L, 2L, 500L, 1),
+      (2L, 2L, 4L, 2000L, 2),
+      (3L, 3L, 3L, 1000L, 1),
+      (4L, 2L, 2L, 1000L, 2)))
+  }
+
+  test("surprisalBuckets: distributed ntile matches the naive rank derivation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 61L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(12))("w" + rnd.nextInt(9)).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "t")
+    val ref = df.filter(col("doc_id") % 4 === 0)
+    for (nb <- Seq(1, 3, 7, 61, 100)) {
+      val out = Corpus.surprisalBuckets(df, "doc_id", "t", ref, "t", nb)
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getInt(4))).toSeq
+      // naive ntile: sort by (mean, id), first (n % nb) buckets get an
+      // extra row on top of n / nb
+      val ordered = out.sortBy(t => (t._2, t._1))
+      val n = ordered.size; val size = n / nb; val rem = n % nb
+      val naive = ordered.zipWithIndex.map { case ((id, _, _), i) =>
+        val rank = i + 1
+        val b = if (rank <= rem * (size + 1)) (rank - 1) / (size + 1) + 1
+                else rem + (rank - rem * (size + 1) - 1) / math.max(size, 1) + 1
+        id -> b
+      }.toMap
+      // the closed form above is itself pinned by the hand case and the
+      // DuckDB built-in ntile oracle; here it must agree per document
+      assert(out.forall { case (id, _, b) => b == naive(id) })
+      assert(out.map(_._3).distinct.sorted == (1 to math.min(nb, n)).toSeq)
+    }
+  }
+
+  test("dsirWeights matches a naive independent derivation and ranks target-like docs higher") {
+    import spark.implicits._
+    def md5bucket(g: String, nb: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      val hex = d.take(2).map(b => f"$b%02x").mkString // first 4 hex chars
+      java.lang.Long.parseLong(hex, 16) % nb
+    }
+    def bigrams(t: String): Seq[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 2) Seq.empty
+      else (0 until ws.length - 1).map(i => ws(i) + " " + ws(i + 1))
+    }
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val rnd = new scala.util.Random(31)
+    val corpus = (0L until 50L).map { id =>
+      val vocab = if (id % 5 == 0) "t" else "u" // t-docs resemble the target
+      (id, Seq.fill(rnd.nextInt(10))(vocab + rnd.nextInt(4)).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "t")
+    val target = df.filter(col("doc_id") % 5 === 0)
+    val nb = 64 // small bucket count → real collisions exercised
+    val out = Corpus.dsirWeights(df, "doc_id", "t", target, "t", nb, 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq.sortBy(_._1)
+    // naive twin: rebuild both hashed models and every per-doc sum
+    val rawB = corpus.flatMap(d => bigrams(d._2)).map(md5bucket(_, nb))
+    val tgtB = corpus.filter(_._1 % 5 == 0).flatMap(d => bigrams(d._2))
+      .map(md5bucket(_, nb))
+    val rc = rawB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tc = tgtB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val const = bitlen(rawB.size + 1L) - bitlen(tgtB.size + 1L)
+    val naive = corpus.map { case (id, t) =>
+      val bs = bigrams(t).map(md5bucket(_, nb))
+      val tb = bs.map(b => bitlen(tc.getOrElse(b, 0L) + 1)).sum
+      val rb = bs.map(b => bitlen(rc(b) + 1)).sum
+      val w = tb - rb + bs.size * const
+      (id, bs.size.toLong, tb, rb, w, w >= 0L)
+    }
+    assert(out == naive)
+    // semantic direction: target-like docs must outrank alien docs of
+    // comparable length (their grams carry real target counts)
+    val byId = out.map(t => t._1 -> t).toMap
+    val tMax = out.filter(t => t._1 % 5 == 0 && t._2 > 0).map(_._5).max
+    val uMax = out.filter(t => t._1 % 5 != 0 && t._2 > 0).map(_._5).max
+    assert(tMax > uMax)
+    // zero-gram docs come back with zeros, not dropped
+    assert(out.size == corpus.size)
+    out.filter(_._2 == 0L).foreach { t =>
+      assert((t._3, t._4, t._5) == ((0L, 0L, 0L)))
+    }
+    assert(byId.nonEmpty)
+  }
 }
