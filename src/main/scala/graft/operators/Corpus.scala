@@ -258,13 +258,19 @@ object Corpus {
   def surprisalBuckets(docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String, nBuckets: Int): DataFrame = {
     val spark = docs.sparkSession
-    val model = ref.select(explode(split(col(refTextCol), " ")).as("w"))
+    // The model is bounded driver state by construction (it is
+    // broadcast below, so it must fit regardless) — collect it ONCE so
+    // the reference scan/aggregation runs a single time and the total
+    // mass comes from the same pass, then rebuild it as a literal DF.
+    val modelRows = ref.select(explode(split(col(refTextCol), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("mc"))
-    val totalM = model.agg(sum(col("mc"))).first() match {
-      case r if r.isNullAt(0) => 1L
-      case r                  => r.getLong(0) + 1L
-    }
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totalM = modelRows.map(_._2).sum + 1L
     val totBits = java.lang.Long.toBinaryString(totalM).length
+    val model = spark.createDataFrame(modelRows.toSeq).toDF("w", "mc")
+    // localCheckpoint: perDoc feeds BOTH the histogram collect and the
+    // final join — materialize the explode/join/aggregate exchange once
+    // instead of repeating it (the Dedup.components precedent).
     val perDoc = docs
       .select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("w"))
@@ -276,6 +282,7 @@ object Corpus {
       .agg(count(lit(1)).as("n_words"), sum("bits").as("total_bits"))
       .select(col("doc_id"), col("n_words"), col("total_bits"),
         expr("(total_bits * 1000) div n_words").as("mean_millibits"))
+      .localCheckpoint()
     // Exact distributed ntile: histogram of the (bounded) score values
     // -> broadcast cumulative counts -> parallel per-value rank window.
     val hist = perDoc.groupBy("mean_millibits").agg(count(lit(1)).as("c"))
@@ -297,14 +304,17 @@ object Corpus {
           .cast("int").as("ppl_bucket"))
   }
 
-  /** Word-bigram expression under split-by-single-space semantics,
-    * empty for texts with fewer than two words (guarded: Spark's
-    * `sequence(1, 0)` is DESCENDING, never produce it).
+  /** Word bigrams of an already-split words ARRAY column — split once,
+    * never inside the lambda (Spark does not hoist loop-invariant
+    * subexpressions out of higher-order functions, so `split` in the
+    * lambda body would re-tokenize the text per gram). Empty for
+    * arrays of fewer than two words (guarded: Spark's `sequence(1, 0)`
+    * is DESCENDING, never produce it).
     */
-  def bigramsExpr(textCol: String): org.apache.spark.sql.Column =
-    expr(s"CASE WHEN size(split($textCol, ' ')) >= 2 " +
-      s"THEN transform(sequence(1, size(split($textCol, ' ')) - 1), " +
-      s"i -> concat(split($textCol, ' ')[i-1], ' ', split($textCol, ' ')[i])) " +
+  def bigramsOfWords(wsCol: String): org.apache.spark.sql.Column =
+    expr(s"CASE WHEN size($wsCol) >= 2 " +
+      s"THEN transform(sequence(1, size($wsCol) - 1), " +
+      s"i -> concat($wsCol[i-1], ' ', $wsCol[i])) " +
       s"ELSE array() END")
 
   /** Hash a gram string to `[0, nBuckets)` via the first 4 hex chars
@@ -341,27 +351,36 @@ object Corpus {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, nBuckets: Int,
       minWeightBits: Long): DataFrame = {
+    val spark = docs.sparkSession
     def bucketed(df: DataFrame, tcol: String, keep: Seq[org.apache.spark.sql.Column]) =
-      df.select(keep :+ explode(bigramsExpr(tcol)).as("g"): _*)
+      df.select(keep :+ split(col(tcol), " ").as("__ws"): _*)
+        .select(keep :+ explode(bigramsOfWords("__ws")).as("g"): _*)
         .select(keep :+ gramBucket(col("g"), nBuckets).as("b"): _*)
     val corpusB = bucketed(
       docs.select(col(idCol).cast("long").as("doc_id"), col(textCol)),
       textCol, Seq(col("doc_id")))
-    val rawCounts = corpusB.groupBy("b").agg(count(lit(1)).as("rc"))
-    val targetCounts = bucketed(target.select(col(targetTextCol)), targetTextCol, Nil)
+    // Both bucketed count tables are <= nBuckets rows after map-side
+    // combine — bounded driver state (the IVF-centroid precedent).
+    // Collect each ONCE: the total masses come from the same arrays
+    // (the target mass must include buckets with zero raw grams — a
+    // raw-left-joined aggregate would silently drop them whenever the
+    // target is not a subset of the corpus), and the per-bucket model
+    // is rebuilt as a literal DF for the broadcast join. The corpus
+    // bigram explode deliberately runs twice (raw-count pass + weight
+    // pass) — it is map-only off the scan; the alternative persists a
+    // corpus-sized intermediate (the dupSpanCoverage precedent).
+    val rawArr = corpusB.groupBy("b").agg(count(lit(1)).as("rc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tgtMap = bucketed(target.select(col(targetTextCol)), targetTextCol, Nil)
       .groupBy("b").agg(count(lit(1)).as("tc"))
-    val model = rawCounts.join(targetCounts, Seq("b"), "left")
-      .select(col("b"),
-        length(bin(coalesce(col("tc"), lit(0L)) + 1)).cast("long").as("tbits"),
-        length(bin(col("rc") + 1)).cast("long").as("rbits"),
-        coalesce(col("tc"), lit(0L)).as("tc"), col("rc"))
-    val (sumT, sumR) = model.agg(sum("tc"), sum("rc")).first() match {
-      case r => (if (r.isNullAt(0)) 0L else r.getLong(0),
-                 if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    val mtBits = java.lang.Long.toBinaryString(sumT + 1).length.toLong
-    val mrBits = java.lang.Long.toBinaryString(sumR + 1).length.toLong
-    val perDoc = corpusB.join(broadcast(model.select("b", "tbits", "rbits")), Seq("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val mtBits = bitlen(tgtMap.values.sum + 1)
+    val mrBits = bitlen(rawArr.map(_._2).sum + 1)
+    val model = spark.createDataFrame(rawArr.toSeq.map { case (b, rc) =>
+      (b, bitlen(tgtMap.getOrElse(b, 0L) + 1), bitlen(rc + 1))
+    }).toDF("b", "tbits", "rbits")
+    val perDoc = corpusB.join(broadcast(model), Seq("b"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
         sum("tbits").as("target_bits"), sum("rbits").as("raw_bits"))
     docs.select(col(idCol).cast("long").as("doc_id")).join(perDoc, Seq("doc_id"), "left")

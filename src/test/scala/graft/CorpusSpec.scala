@@ -262,5 +262,21 @@ class CorpusSpec extends AnyFunSuite {
       assert((t._3, t._4, t._5) == ((0L, 0L, 0L)))
     }
     assert(byId.nonEmpty)
+
+    // regression: the target need NOT be a subset of the corpus (the
+    // published use is an external curated domain). Target grams in
+    // buckets with zero raw grams must still count toward the target
+    // total mass Mt — a raw-left-joined mass would silently drop them
+    // and flip keep verdicts.
+    val corpus2 = Seq((0L, "a b")).toDF("doc_id", "t")
+    val target2 = Seq((9L, "c d e")).toDF("doc_id", "t") // 2 grams, disjoint
+    val o2 = Corpus.dsirWeights(corpus2, "doc_id", "t", target2, "t", 4096, 0L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val b2 = md5bucket("a b", 4096)
+    val tc2 = Seq("c d", "d e").map(md5bucket(_, 4096)).count(_ == b2).toLong
+    val tb2 = bitlen(tc2 + 1); val rb2 = bitlen(1L + 1)
+    val w2 = tb2 - rb2 + 1L * (bitlen(1L + 1) - bitlen(2L + 1)) // Mr=1+1, Mt=2+1
+    assert(o2.toSeq == Seq((1L, tb2, rb2, w2, w2 >= 0L)))
   }
 }
