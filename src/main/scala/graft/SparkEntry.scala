@@ -856,6 +856,35 @@ object SparkEntry {
         d.filter(col("lang") === "en"), "text", 4096, 0L).orderBy("doc_id")
     }),
 
+    // Near-dup SURVIVOR selection — the step after cluster resolution:
+    // same planted corpus+copies and LSH pairs as q_dedup_components,
+    // then keep the (n_chars DESC, id ASC) argmax per component.
+    // Copies tie the original on weight, so the lower id (the
+    // original) must be the canonical one. The oracle re-derives the
+    // clusters with the recursive-CTE closure and the argmax with a
+    // window row_number — both independent derivations.
+    "q_dedup_survivors" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200)
+        .select("doc_id", "text", "n_chars")
+      val all = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+      val pairs = Dedup.minhashLshExactPairs(all, "doc_id", "text")
+      Dedup.canonicalSurvivors(
+        all.select(col("doc_id").as("id"), col("n_chars").as("weight")),
+        pairs).orderBy("id")
+    }),
+
+    // Token-budget prefix: order by (n_chars DESC, doc_id), keep while
+    // the inclusive running token total fits HALF the corpus's tokens
+    // (budget derived from the data so the query is scale-free). The
+    // running total is the distributed range-partition + offset-stamp
+    // prefix sum; the oracle re-derives it with a SQL window running
+    // sum — an independent formulation.
+    "q_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val budget = d.agg(sum(size(split(col("text"), " ")))).first().getLong(0) / 2
+      Corpus.budgetPrefix(d, "doc_id", "n_chars", "text", budget).orderBy("doc_id")
+    }),
+
     // End-to-end training-data pipeline COMPOSITION: plant PII keyed on
     // the pre-copy id (so exact copies stay byte-identical), then chain
     // quality gate -> exact dedup (first-occurrence via one md5-keyed
@@ -1852,6 +1881,61 @@ object SparkEntry {
                >= 0 AS dsir_keep
            FROM documents d LEFT JOIN perdoc p USING (doc_id)
            ORDER BY d.doc_id""",
+
+      // survivor selection: recursive-CTE closure for the clusters (as
+      // q_dedup_components) + window row_number for the per-cluster
+      // (weight DESC, id ASC) argmax — both sides independent of the
+      // Spark label propagation / struct-min
+      "q_dedup_survivors" ->
+        """WITH RECURSIVE d AS (
+             SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 200
+             UNION ALL
+             SELECT doc_id + 10000, text, n_chars FROM documents WHERE doc_id < 200),
+           sh AS (
+             SELECT doc_id AS id, list_distinct(list_transform(
+               range(1, greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 2, 1) + 1),
+               i -> substring(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 3))) AS s
+             FROM d),
+           p AS (
+             SELECT a.id AS id_a, b.id AS id_b
+             FROM sh a JOIN sh b ON a.id < b.id
+             WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   length(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+           e AS (SELECT id_a AS a, id_b AS b FROM p
+                 UNION ALL SELECT id_b, id_a FROM p),
+           reach(node, lab) AS (
+             SELECT id, id FROM sh
+             UNION
+             SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node),
+           comp AS (
+             SELECT node AS id, CAST(min(lab) AS BIGINT) AS label
+             FROM reach GROUP BY node),
+           w AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight FROM d),
+           ranked AS (
+             SELECT c.id, c.label, w.weight,
+               row_number() OVER (PARTITION BY c.label
+                                  ORDER BY w.weight DESC, c.id ASC) AS rn
+             FROM comp c JOIN w ON c.id = w.id)
+           SELECT id, label, weight, rn = 1 AS is_canonical
+           FROM ranked ORDER BY id""",
+
+      // token budget: window running sum vs Spark's distributed
+      // prefix-sum stamping; budget = half the corpus tokens, derived
+      // identically on both sides
+      "q_token_budget" ->
+        """WITH meta AS (
+             SELECT doc_id, CAST(n_chars AS BIGINT) AS priority,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents),
+           budget AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS b FROM meta),
+           cum AS (
+             SELECT doc_id, priority, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY priority DESC, doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             FROM meta)
+           SELECT doc_id, priority, n_tokens, cum_tokens,
+             cum_tokens <= (SELECT b FROM budget) AS in_budget
+           FROM cum ORDER BY doc_id""",
 
       // e2e pipeline: rebuild the planted corpus, then the whole chain
       // in SQL — dedup grouped by the RAW text (not md5), gopher via

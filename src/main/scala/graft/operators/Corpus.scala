@@ -393,6 +393,34 @@ object Corpus {
       .withColumn("dsir_keep", col("weight_bits") >= minWeightBits)
   }
 
+  /** Token-budget prefix selection — fill a training-token budget with
+    * the best documents: order the corpus by (priority DESC, id ASC)
+    * and keep each document while the INCLUSIVE running token total
+    * still fits the budget (token counts are positive, so the running
+    * total is strictly increasing and `in_budget` marks an exact
+    * prefix). The mixture-building step after quality scoring: "take
+    * the highest-quality documents up to 1 T tokens".
+    *
+    * Scale shape: the running total is [[Positional.withRunningTotal]]
+    * — range partition + per-partition sums + offset stamping, fully
+    * parallel, over a projected 3-column metadata table (never the
+    * text). The oracle re-derives it with a SQL window running sum —
+    * an independent formulation of the same prefix.
+    *
+    * Emits `(doc_id, priority, n_tokens, cum_tokens, in_budget)` for
+    * every document.
+    */
+  def budgetPrefix(docs: DataFrame, idCol: String, priorityCol: String,
+      textCol: String, budgetTokens: Long): DataFrame = {
+    val meta = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(priorityCol).cast("long").as("priority"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("__negp", -col("priority"))
+    Positional.withRunningTotal(meta, Seq("__negp", "doc_id"), "n_tokens", "cum_tokens")
+      .select(col("doc_id"), col("priority"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budgetTokens).as("in_budget"))
+  }
+
   /** Cross-document duplicated-passage coverage — the k-gram
     * approximation of ExactSubstr dedup ("Deduplicating Training Data
     * Makes Language Models Better", Lee et al., ACL 2022, public). A

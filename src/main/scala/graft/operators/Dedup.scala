@@ -367,6 +367,34 @@ object Dedup {
   def components(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame =
     componentsWithRounds(nodes, pairs, maxIter)._1
 
+  /** Near-dup SURVIVOR selection — the step a dedup pipeline runs after
+    * cluster resolution: per connected component keep exactly one
+    * canonical document, the argmax by (weight DESC, id ASC) (weight =
+    * whatever "best" means upstream: byte length, quality score,
+    * recency). Emits one row per input document — `(id, label, weight,
+    * is_canonical)` — so removal is a filter, not a join, downstream.
+    *
+    * Scale shape: [[components]] does the heavy lifting; the argmax is
+    * one groupBy(label) with an orderable-struct min (exact tie-break,
+    * no encoding tricks — the lineDedup first-occurrence precedent)
+    * plus one hash join back on the same label key.
+    *
+    * @param nodes (id, weight) — every document, including singletons
+    * @param pairs (id_a, id_b) near-dup pairs
+    */
+  def canonicalSurvivors(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val withW = components(nodes.select("id"), pairs, maxIter)
+      .join(nodes.select(col("id").cast("long").as("id"),
+        col("weight").cast("long").as("weight")), Seq("id"))
+    val best = withW.groupBy("label")
+      .agg(min(struct((-col("weight")).as("nw"), col("id").as("bid"))).as("b"))
+      .select(col("label"), col("b.bid").as("best_id"))
+    withW.join(best, Seq("label"))
+      .select(col("id"), col("label"), col("weight"),
+        (col("id") === col("best_id")).as("is_canonical"))
+  }
+
   /** [[components]] plus the number of propagation rounds taken —
     * Bench measures round growth on adversarial chain graphs.
     */

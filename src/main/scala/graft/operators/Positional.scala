@@ -56,6 +56,39 @@ object Positional {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Exact running (inclusive prefix) total of long column `valueCol`
+    * in `ORDER BY sortCols` order, attached as `totalName` — the same
+    * two-job architecture as [[withGlobalIndex]] generalized from
+    * counts to sums: range-partition + sort, one metadata job collects
+    * per-partition sums (one long each), the second stamps
+    * `offset + running`. Both jobs run on the SAME RDD lineage, so the
+    * DAG scheduler reuses the completed range-shuffle map stage and the
+    * sampled partitioning cannot diverge between them (see the
+    * object-level note on why two plan branches would be wrong).
+    */
+  def withRunningTotal(df: DataFrame, sortCols: Seq[String], valueCol: String,
+      totalName: String = "running_total",
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = numPartitions match {
+      case Some(n) => df.repartitionByRange(n, sortCols.map(col): _*)
+      case None    => df.repartitionByRange(sortCols.map(col): _*) // AQE-sized
+    }
+    val sorted = ranged.sortWithinPartitions(sortCols.map(col): _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val schema = sorted.schema.add(totalName, LongType, nullable = false)
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((pi, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val stamped = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var s = offsets(pi)
+      it.map { r => s += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ s) }
+    }
+    spark.createDataFrame(stamped, schema)
+  }
+
   /** `JoinData` positional zip: row i of `left` joined to row i of
     * `right` (in the given per-side orders); stops at the shorter side,
     * like the reference's zip.

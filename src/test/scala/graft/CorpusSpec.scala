@@ -279,4 +279,46 @@ class CorpusSpec extends AnyFunSuite {
     val w2 = tb2 - rb2 + 1L * (bitlen(1L + 1) - bitlen(2L + 1)) // Mr=1+1, Mt=2+1
     assert(o2.toSeq == Seq((1L, tb2, rb2, w2, w2 >= 0L)))
   }
+
+  test("withRunningTotal: distributed prefix sum equals the naive cumulative sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // duplicate sort keys exercised — ties must not double-count
+    val rows = (0L until 200L).map(id => (id, rnd.nextInt(8).toLong, 1L + rnd.nextInt(50)))
+    val df = rows.toDF("doc_id", "k", "v")
+    for (np <- Seq(None, Some(1), Some(7), Some(64))) {
+      val out = graft.operators.Positional
+        .withRunningTotal(df, Seq("k", "doc_id"), "v", "cum", np)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      var s = 0L
+      rows.sortBy(t => (t._2, t._1)).foreach { case (id, _, v) =>
+        s += v
+        assert(out(id) == s, s"doc $id at np=$np")
+      }
+    }
+  }
+
+  test("budgetPrefix: exact prefix under (priority DESC, id ASC), budget boundary inclusive") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, 10L, "a b c"),     // 3 tokens, priority 10 → first
+      (1L, 10L, "d e"),       // 2 tokens, ties priority, id orders second
+      (2L, 7L, "f g h i"),    // 4 tokens
+      (3L, 1L, "j")           // 1 token, last
+    ).toDF("doc_id", "prio", "t")
+    // order 0,1,2,3 → cums 3,5,9,10
+    val out = Corpus.budgetPrefix(docs, "doc_id", "prio", "t", 9L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (0L, 10L, 3L, 3L, true),
+      (1L, 10L, 2L, 5L, true),
+      (2L, 7L, 4L, 9L, true),   // inclusive boundary
+      (3L, 1L, 1L, 10L, false)))
+    // budget below the first doc → nothing kept; huge budget → all kept
+    assert(Corpus.budgetPrefix(docs, "doc_id", "prio", "t", 2L)
+      .collect().forall(!_.getBoolean(4)))
+    assert(Corpus.budgetPrefix(docs, "doc_id", "prio", "t", 1000L)
+      .collect().forall(_.getBoolean(4)))
+  }
 }

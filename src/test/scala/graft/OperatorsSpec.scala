@@ -55,6 +55,23 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.forall(pairs.contains))
   }
 
+  test("canonicalSurvivors: per-cluster (weight DESC, id ASC) argmax, singletons survive") {
+    import spark.implicits._
+    val nodes = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L)).toDF("id", "weight")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.canonicalSurvivors(nodes, pairs)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // cluster {1,2,3} label 1: weights 5,9,9 → id 2 wins the tie on id
+    assert(out.toSeq == Seq(
+      (1L, 1L, 5L, false), (2L, 1L, 9L, true), (3L, 1L, 9L, false),
+      (4L, 4L, 2L, true)))
+    // exactly one canonical per cluster — the invariant downstream
+    // removal relies on
+    val perLabel = out.groupBy(_._2).view.mapValues(_.count(_._4))
+    assert(perLabel.values.forall(_ == 1))
+  }
+
   test("exact survivors keep lowest id") {
     val out = Dedup.exactSurvivors(docsWithDups, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
