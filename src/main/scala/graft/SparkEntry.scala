@@ -1390,6 +1390,35 @@ object SparkEntry {
     })
   )
 
+  /** Shared WITH RECURSIVE body for the three near-dup cluster oracles
+    * (`q_dedup_components`, `q_dedup_components_lss`,
+    * `q_dedup_survivors`): planted corpus+copies, 3-char shingles,
+    * exact-Jaccard pairs at 0.95, symmetric edges, transitive closure.
+    * Single-sourced so a threshold or normalization change cannot
+    * silently diverge between them (the Turns.CoreSql precedent).
+    */
+  private val ClosureCte =
+    """d AS (
+         SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 200
+         UNION ALL
+         SELECT doc_id + 10000, text, n_chars FROM documents WHERE doc_id < 200),
+       sh AS (
+         SELECT doc_id AS id, list_distinct(list_transform(
+           range(1, greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 2, 1) + 1),
+           i -> substring(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 3))) AS s
+         FROM d),
+       p AS (
+         SELECT a.id AS id_a, b.id AS id_b
+         FROM sh a JOIN sh b ON a.id < b.id
+         WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
+               length(list_distinct(list_concat(a.s, b.s))) >= 0.95),
+       e AS (SELECT id_a AS a, id_b AS b FROM p
+             UNION ALL SELECT id_b, id_a FROM p),
+       reach(node, lab) AS (
+         SELECT id, id FROM sh
+         UNION
+         SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node)"""
+
   def oracleSql: Map[String, String] = {
     val cte = Turns.TurnsCte
     Map(
@@ -1887,26 +1916,7 @@ object SparkEntry {
       // (weight DESC, id ASC) argmax — both sides independent of the
       // Spark label propagation / struct-min
       "q_dedup_survivors" ->
-        """WITH RECURSIVE d AS (
-             SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 200
-             UNION ALL
-             SELECT doc_id + 10000, text, n_chars FROM documents WHERE doc_id < 200),
-           sh AS (
-             SELECT doc_id AS id, list_distinct(list_transform(
-               range(1, greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 2, 1) + 1),
-               i -> substring(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 3))) AS s
-             FROM d),
-           p AS (
-             SELECT a.id AS id_a, b.id AS id_b
-             FROM sh a JOIN sh b ON a.id < b.id
-             WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
-                   length(list_distinct(list_concat(a.s, b.s))) >= 0.95),
-           e AS (SELECT id_a AS a, id_b AS b FROM p
-                 UNION ALL SELECT id_b, id_a FROM p),
-           reach(node, lab) AS (
-             SELECT id, id FROM sh
-             UNION
-             SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node),
+        s"""WITH RECURSIVE $ClosureCte,
            comp AS (
              SELECT node AS id, CAST(min(lab) AS BIGINT) AS label
              FROM reach GROUP BY node),
@@ -2192,50 +2202,14 @@ object SparkEntry {
       // connected components as a recursive transitive closure — an
       // INDEPENDENT algorithm from the Spark side's label propagation
       "q_dedup_components" ->
-        """WITH RECURSIVE d AS (
-             SELECT doc_id, text FROM documents WHERE doc_id < 200
-             UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200),
-           sh AS (
-             SELECT doc_id AS id, list_distinct(list_transform(
-               range(1, greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 2, 1) + 1),
-               i -> substring(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 3))) AS s
-             FROM d),
-           p AS (
-             SELECT a.id AS id_a, b.id AS id_b
-             FROM sh a JOIN sh b ON a.id < b.id
-             WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
-                   length(list_distinct(list_concat(a.s, b.s))) >= 0.95),
-           e AS (SELECT id_a AS a, id_b AS b FROM p
-                 UNION ALL SELECT id_b, id_a FROM p),
-           reach(node, lab) AS (
-             SELECT id, id FROM sh
-             UNION
-             SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node)
+        s"""WITH RECURSIVE $ClosureCte
            SELECT node AS id, CAST(min(lab) AS BIGINT) AS label
            FROM reach GROUP BY node ORDER BY id""",
 
       // identical closure oracle for the large-star/small-star path —
       // an independent THIRD derivation of the same cluster labels
       "q_dedup_components_lss" ->
-        """WITH RECURSIVE d AS (
-             SELECT doc_id, text FROM documents WHERE doc_id < 200
-             UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 200),
-           sh AS (
-             SELECT doc_id AS id, list_distinct(list_transform(
-               range(1, greatest(length(lower(regexp_replace(text, '\s+', ' ', 'g'))) - 2, 1) + 1),
-               i -> substring(lower(regexp_replace(text, '\s+', ' ', 'g')), i, 3))) AS s
-             FROM d),
-           p AS (
-             SELECT a.id AS id_a, b.id AS id_b
-             FROM sh a JOIN sh b ON a.id < b.id
-             WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) /
-                   length(list_distinct(list_concat(a.s, b.s))) >= 0.95),
-           e AS (SELECT id_a AS a, id_b AS b FROM p
-                 UNION ALL SELECT id_b, id_a FROM p),
-           reach(node, lab) AS (
-             SELECT id, id FROM sh
-             UNION
-             SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node)
+        s"""WITH RECURSIVE $ClosureCte
            SELECT node AS id, CAST(min(lab) AS BIGINT) AS label
            FROM reach GROUP BY node ORDER BY id""",
 

@@ -412,11 +412,18 @@ object Corpus {
     */
   def budgetPrefix(docs: DataFrame, idCol: String, priorityCol: String,
       textCol: String, budgetTokens: Long): DataFrame = {
+    // priority keeps its input type (no silent long truncation of
+    // fractional scores) and orders DESC via a SortOrder, not
+    // arithmetic negation (which would overflow Long.MinValue and bar
+    // non-numeric priorities); null text counts as "" (one empty
+    // token — the split convention everywhere else in this family),
+    // null priorities sort last.
     val meta = docs.select(col(idCol).cast("long").as("doc_id"),
-        col(priorityCol).cast("long").as("priority"),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-      .withColumn("__negp", -col("priority"))
-    Positional.withRunningTotal(meta, Seq("__negp", "doc_id"), "n_tokens", "cum_tokens")
+      col(priorityCol).as("priority"),
+      size(split(coalesce(col(textCol), lit("")), " ")).cast("long").as("n_tokens"))
+    Positional.withRunningTotal(meta,
+        Seq(col("priority").desc_nulls_last, col("doc_id").asc),
+        "n_tokens", "cum_tokens")
       .select(col("doc_id"), col("priority"), col("n_tokens"), col("cum_tokens"),
         (col("cum_tokens") <= budgetTokens).as("in_budget"))
   }

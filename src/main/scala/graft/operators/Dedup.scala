@@ -375,24 +375,24 @@ object Dedup {
     * is_canonical)` — so removal is a filter, not a join, downstream.
     *
     * Scale shape: [[components]] does the heavy lifting; the argmax is
-    * one groupBy(label) with an orderable-struct min (exact tie-break,
-    * no encoding tricks — the lineDedup first-occurrence precedent)
-    * plus one hash join back on the same label key.
+    * one window `row_number` partitioned by label — a single hash
+    * exchange on the cluster key, strictly cheaper than a
+    * groupBy+join-back pair. The weight keeps its input type (no
+    * silent long truncation of fractional quality scores; no
+    * arithmetic negation, so any orderable numeric works) and null
+    * weights sort LAST, never winning the argmax.
     *
     * @param nodes (id, weight) — every document, including singletons
     * @param pairs (id_a, id_b) near-dup pairs
     */
   def canonicalSurvivors(nodes: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val withW = components(nodes.select("id"), pairs, maxIter)
-      .join(nodes.select(col("id").cast("long").as("id"),
-        col("weight").cast("long").as("weight")), Seq("id"))
-    val best = withW.groupBy("label")
-      .agg(min(struct((-col("weight")).as("nw"), col("id").as("bid"))).as("b"))
-      .select(col("label"), col("b.bid").as("best_id"))
-    withW.join(best, Seq("label"))
-      .select(col("id"), col("label"), col("weight"),
-        (col("id") === col("best_id")).as("is_canonical"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      .orderBy(col("weight").desc_nulls_last, col("id").asc)
+    components(nodes.select("id"), pairs, maxIter)
+      .join(nodes.select(col("id").cast("long").as("id"), col("weight")), Seq("id"))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select("id", "label", "weight", "is_canonical")
   }
 
   /** [[components]] plus the number of propagation rounds taken —

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -30,61 +30,65 @@ import org.apache.spark.sql.types.LongType
   * can therefore split rows at different boundaries, and the offsets
   * would be computed against partitions that don't match the data —
   * silently corrupt indices once inputs are big enough for sampling
-  * to matter. `rdd.zipWithIndex()` anchors BOTH jobs (count + stamp)
-  * on one RDD lineage, where the DAG scheduler reuses the completed
-  * shuffle map stage — the one public-API mechanism that pins a
-  * single sampled partitioning. The price is one Row
-  * serialization boundary at the stamp; correctness wins.
+  * to matter. Running BOTH jobs (per-partition sums + stamp) on one
+  * RDD lineage — the same mechanism `rdd.zipWithIndex()` uses
+  * internally — lets the DAG scheduler reuse the completed shuffle
+  * map stage: the one public-API way to pin a single sampled
+  * partitioning. The price is one Row serialization boundary at the
+  * stamp; correctness wins.
   */
 object Positional {
 
   /** Global 1-based row index in `ORDER BY sortCols` order, attached as
     * `idxName` (long — positional ids overflow int at 10¹² rows).
+    * `sortCols` must TOTALLY order the rows (include a unique
+    * tie-break column): with ties, the reduce-side sort order — and so
+    * the stamped index — can differ between actions on the uncached
+    * result. Delegates to [[withRunningTotal]] over a constant-1 value
+    * column (a 1-based inclusive count IS that prefix sum).
     */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[String],
-      idxName: String = "rn", numPartitions: Option[Int] = None): DataFrame = {
-    val spark = df.sparkSession
-    val ranged = numPartitions match {
-      case Some(n) => df.repartitionByRange(n, sortCols.map(col): _*)
-      case None    => df.repartitionByRange(sortCols.map(col): _*) // AQE-sized
-    }
-    val sorted = ranged.sortWithinPartitions(sortCols.map(col): _*)
-    val schema = sorted.schema.add(idxName, LongType, nullable = false)
-    // RDD zipWithIndex = count-per-partition job + offset-stamped map;
-    // the second job skips the already-materialized range shuffle.
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    spark.createDataFrame(rdd, schema)
-  }
+      idxName: String = "rn", numPartitions: Option[Int] = None): DataFrame =
+    withRunningTotal(df.withColumn("__one", lit(1L)),
+      sortCols.map(col), "__one", idxName, numPartitions).drop("__one")
 
   /** Exact running (inclusive prefix) total of long column `valueCol`
-    * in `ORDER BY sortCols` order, attached as `totalName` — the same
-    * two-job architecture as [[withGlobalIndex]] generalized from
-    * counts to sums: range-partition + sort, one metadata job collects
-    * per-partition sums (one long each), the second stamps
-    * `offset + running`. Both jobs run on the SAME RDD lineage, so the
-    * DAG scheduler reuses the completed range-shuffle map stage and the
-    * sampled partitioning cannot diverge between them (see the
-    * object-level note on why two plan branches would be wrong).
+    * in `ORDER BY sortExprs` order, attached as `totalName`:
+    * range-partition + sort, one metadata job collects per-partition
+    * sums (one long each), the second stamps `offset + running`. Both
+    * jobs run on the SAME RDD lineage, so the DAG scheduler reuses the
+    * completed range-shuffle map stage and the sampled partitioning
+    * cannot diverge between them (see the object-level note on why two
+    * plan branches would be wrong).
+    *
+    * `sortExprs` may carry ordering directions (`col(...).desc`) and
+    * must TOTALLY order the rows — same caveat as [[withGlobalIndex]].
+    * Null `valueCol` cells contribute 0, like SQL `sum`.
     */
-  def withRunningTotal(df: DataFrame, sortCols: Seq[String], valueCol: String,
+  def withRunningTotal(df: DataFrame, sortExprs: Seq[Column], valueCol: String,
       totalName: String = "running_total",
       numPartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val ranged = numPartitions match {
-      case Some(n) => df.repartitionByRange(n, sortCols.map(col): _*)
-      case None    => df.repartitionByRange(sortCols.map(col): _*) // AQE-sized
+      case Some(n) => df.repartitionByRange(n, sortExprs: _*)
+      case None    => df.repartitionByRange(sortExprs: _*) // AQE-sized
     }
-    val sorted = ranged.sortWithinPartitions(sortCols.map(col): _*)
+    val sorted = ranged.sortWithinPartitions(sortExprs: _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val schema = sorted.schema.add(totalName, LongType, nullable = false)
     val rdd = sorted.rdd
     val partSums = rdd.mapPartitionsWithIndex { (pi, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((pi, s))
+      var s = 0L
+      it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
+      Iterator((pi, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
     val stamped = rdd.mapPartitionsWithIndex { (pi, it) =>
       var s = offsets(pi)
-      it.map { r => s += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ s) }
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) s += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ s)
+      }
     }
     spark.createDataFrame(stamped, schema)
   }

@@ -283,12 +283,14 @@ class CorpusSpec extends AnyFunSuite {
   test("withRunningTotal: distributed prefix sum equals the naive cumulative sum") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
-    // duplicate sort keys exercised — ties must not double-count
+    // k alone has heavy duplicates; (k, doc_id) is the required TOTAL
+    // order (the operator's documented precondition) — values under
+    // tied k still accumulate deterministically through the tie-break
     val rows = (0L until 200L).map(id => (id, rnd.nextInt(8).toLong, 1L + rnd.nextInt(50)))
     val df = rows.toDF("doc_id", "k", "v")
     for (np <- Seq(None, Some(1), Some(7), Some(64))) {
       val out = graft.operators.Positional
-        .withRunningTotal(df, Seq("k", "doc_id"), "v", "cum", np)
+        .withRunningTotal(df, Seq(col("k"), col("doc_id")), "v", "cum", np)
         .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
       var s = 0L
       rows.sortBy(t => (t._2, t._1)).foreach { case (id, _, v) =>
