@@ -323,4 +323,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.budgetPrefix(docs, "doc_id", "prio", "t", 1000L)
       .collect().forall(_.getBoolean(4)))
   }
+
+  test("plan shape: the corpus-selection family never funnels through one partition") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(id => (id, s"w${id % 7} w${id % 5} w${id % 3}")).toDF("doc_id", "t")
+    // surprisalBuckets: model join broadcast; the rank window is keyed
+    // by mean_millibits (parallel), never an empty partition spec
+    val ppl = Corpus.surprisalBuckets(docs, "doc_id", "t",
+      docs.filter(col("doc_id") % 3 === 0), "t", 3)
+      .queryExecution.executedPlan.toString
+    assert(!ppl.contains("SinglePartition"), ppl)
+    assert(ppl.contains("BroadcastHashJoin"), ppl)
+    // dsirWeights: per-bucket model broadcast onto corpus grams
+    val dsir = Corpus.dsirWeights(docs, "doc_id", "t",
+      docs.filter(col("doc_id") % 3 === 0), "t", 64, 0L)
+      .queryExecution.executedPlan.toString
+    assert(!dsir.contains("SinglePartition"), dsir)
+    assert(dsir.contains("BroadcastHashJoin"), dsir)
+    // canonicalSurvivors: the argmax window is keyed by the cluster
+    // label — one hash exchange, no global funnel
+    val surv = graft.operators.Dedup.canonicalSurvivors(
+      docs.select(col("doc_id").as("id"), col("doc_id").as("weight")),
+      Seq((0L, 1L)).toDF("id_a", "id_b"))
+      .queryExecution.executedPlan.toString
+    assert(!surv.contains("SinglePartition"), surv)
+    assert(surv.contains("hashpartitioning(label"), surv)
+    // budgetPrefix's shuffle lives in the RDD lineage by documented
+    // design (withRunningTotal) — its parallelism is pinned by the
+    // multi-partition parity test above, not by plan inspection
+  }
 }
