@@ -873,6 +873,25 @@ object SparkEntry {
         pairs).orderBy("id")
     }),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023) as a
+    // COMPOSITION of oracled operators: banded SRP-LSH embedding
+    // near-dup pairs -> connected components -> one canonical doc per
+    // cluster by (n_chars DESC, id ASC), weights joined from the
+    // documents table (planted copies map back via id % 10000, tie on
+    // weight, so the ORIGINAL survives). Oracle: unblocked all-pairs
+    // cosine + recursive closure + window argmax — every stage an
+    // independent derivation.
+    "q_semdedup" -> ((s, dir) => {
+      val (corpus, _) = plantedCorpus(s, dir, nSources = 300, levels = 1, idStep = 10000)
+      val pairs = Dedup.embeddingNearDupPairs(corpus, "vec_id", "v", threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val nodes = corpus.select(col("vec_id").as("id"))
+        .join(docs(s, dir).select(col("doc_id"), col("n_chars")),
+          col("id") % 10000 === col("doc_id"))
+        .select(col("id"), col("n_chars").as("weight"))
+      Dedup.canonicalSurvivors(nodes, pairs).orderBy("id")
+    }),
+
     // Token-budget prefix: order by (n_chars DESC, doc_id), keep while
     // the inclusive running token total fits HALF the corpus's tokens
     // (budget derived from the data so the query is scale-free). The
@@ -1921,6 +1940,35 @@ object SparkEntry {
              SELECT node AS id, CAST(min(lab) AS BIGINT) AS label
              FROM reach GROUP BY node),
            w AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight FROM d),
+           ranked AS (
+             SELECT c.id, c.label, w.weight,
+               row_number() OVER (PARTITION BY c.label
+                                  ORDER BY w.weight DESC, c.id ASC) AS rn
+             FROM comp c JOIN w ON c.id = w.id)
+           SELECT id, label, weight, rn = 1 AS is_canonical
+           FROM ranked ORDER BY id""",
+
+      // semantic dedup composition: unblocked all-pairs cosine (the
+      // Spark side goes through banded SRP-LSH), recursive-CTE
+      // closure, window argmax with weights from the documents table
+      "q_semdedup" ->
+        s"""WITH RECURSIVE ${plantedCorpusSql(300, 1, 10000)},
+           prs AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.v, b.v) >= 0.8),
+           e AS (SELECT id_a AS a, id_b AS b FROM prs
+                 UNION ALL SELECT id_b, id_a FROM prs),
+           reach(node, lab) AS (
+             SELECT vec_id, vec_id FROM corpus
+             UNION
+             SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node),
+           comp AS (
+             SELECT node AS id, CAST(min(lab) AS BIGINT) AS label
+             FROM reach GROUP BY node),
+           w AS (
+             SELECT c.vec_id AS id, CAST(d.n_chars AS BIGINT) AS weight
+             FROM corpus c JOIN documents d ON c.vec_id % 10000 = d.doc_id),
            ranked AS (
              SELECT c.id, c.label, w.weight,
                row_number() OVER (PARTITION BY c.label

@@ -66,6 +66,21 @@ object Stream {
       graft.operators.TextStats.langId(col("extractedText")).as("lang_id"),
       length(col("extractedText")).as("n_chars"))
 
+  /** Streaming ingest-quality gate over any streaming document frame:
+    * the full Gopher rule verdict, PII redaction and BPE token count
+    * as pure row-local Columns — the SAME kernels the batch
+    * `q_quality_gopher` / `q_redact` queries oracle — so the
+    * micro-batch plan carries NO state store and NO shuffle: the gate
+    * runs at ingest wire speed and scales linearly with executors.
+    */
+  def qualityStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g = graft.operators.TextStats.gopherCols(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      g.ok.as("gopher_ok"),
+      graft.operators.TextStats.redactPii(col(textCol)).as("redacted"),
+      graft.operators.TextStats.bpeTokenCount(col(textCol)).as("n_bpe_tokens"))
+  }
+
   /** Parquet sink with checkpointing (exactly-once file sink). */
   def toParquetSink(ds: Dataset[ExtractedTurn], outDir: String,
       checkpointDir: String): DataStreamWriter[ExtractedTurn] =

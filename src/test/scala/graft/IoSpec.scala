@@ -324,6 +324,38 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).sorted.toList == List("alpha", "beta", "gamma"))
   }
 
+  test("streaming quality gate equals batch and keeps no state store") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps with and that for his. more solid words here to pass"),
+      (2L, "contact me at a@b.co or 555-123-4567 please"),
+      (3L, "# # # # #"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.Stream
+      .qualityStream(mem.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("qgate").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._1)
+    // stateless: a map-only gate must not register a state operator
+    assert(q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+    val batch = graft.streaming.Stream
+      .qualityStream(rows.toDF("id", "text"), "id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(streamed.sameElements(batch))
+    // and the kernels behave: PII scrubbed, symbol-spam rejected
+    assert(streamed(1)._3.contains("<EMAIL>") && streamed(1)._3.contains("<PHONE>"))
+    assert(!streamed(2)._2)
+  }
+
   test("streaming language id over the extraction stream equals batch") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft_lang_in").toString
