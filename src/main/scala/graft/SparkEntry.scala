@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.model._
-import graft.operators.{Coco, Corpus, Dedup, Multimodal, Similarity, TextStats}
+import graft.operators.{Coco, Corpus, Dedup, Multimodal, Similarity, TextStats, TrainFormat}
 import graft.pipeline.Extract
 import graft.sources.Turns
 
@@ -934,6 +934,40 @@ object SparkEntry {
         .withColumn("kept",
           col("gopher_ok") && col("is_first") && col("lang") =!= "und")
         .orderBy("doc_id")
+    }),
+
+    // Chat-template rendering: each conversation rendered as ONE
+    // training string of `<|role|>\n<text>\n` pieces; per turn the
+    // character span of its text inside that string + the
+    // assistant-only loss mask; conv_md5 witnesses the whole rendered
+    // string, not just the offset arithmetic. The oracle re-derives
+    // offsets with a SQL window running sum and the string with
+    // string_agg ORDER BY — independent formulations of both.
+    "q_chat_render" -> ((s, dir) =>
+      TrainFormat.renderChat(Turns.synth(s, dir).toDF())),
+
+    // Greedy sequence packing: turns packed in conversation order into
+    // ≤60-whitespace-token samples (a turn alone over budget keeps its
+    // own sample). The oracle replays the greedy walk as a DuckDB
+    // recursive CTE — per-row recursion, an algorithm the Spark side
+    // (streaming per-partition walk) never runs.
+    "q_pack_samples" -> ((s, dir) =>
+      TrainFormat.packSamples(Turns.synth(s, dir).toDF(), budget = 60)),
+
+    // Incremental dedup of a new batch vs an already-ingested history
+    // corpus: Bloom prefilter (map-only over the batch, no false
+    // negatives) + exact confirm join on the positive slice only.
+    // History = the even docs, so every even doc is a planted dup; fpp
+    // is set high (0.2) so false positives actually reach — and are
+    // resolved by — the confirm join. The oracle decides membership on
+    // the RAW text, independent of both the md5 narrowing and the
+    // Bloom path.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalDedup(d.select("doc_id", "text"),
+          d.filter(col("doc_id") % 2 === 0).select("text"),
+          "doc_id", "text", fpp = 0.2)
+        .select("doc_id", "is_dup")
     }),
 
     // ---- dedup family ----
@@ -2025,6 +2059,63 @@ object SparkEntry {
               JOIN red r ON p.doc_id = r.doc_id)
             ORDER BY doc_id"""
       },
+
+      // chat-template rendering: window running sum for offsets,
+      // string_agg ORDER BY + md5 for the whole-string witness —
+      // independent derivations of the arithmetic AND the concat
+      "q_chat_render" ->
+        s"""$cte, p AS (
+             SELECT conv_id, turn_idx, role, text,
+               concat('<|', role, '|>', chr(10), text, chr(10)) AS piece
+             FROM turns),
+           o AS (
+             SELECT conv_id, turn_idx, role,
+               COALESCE(sum(length(piece)) OVER (PARTITION BY conv_id
+                 ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + length(role) + 5 AS tb,
+               length(text) AS tl
+             FROM p),
+           r AS (
+             SELECT conv_id,
+               md5(string_agg(piece, '' ORDER BY turn_idx)) AS conv_md5
+             FROM p GROUP BY conv_id)
+           SELECT o.conv_id, o.turn_idx, o.role,
+             CAST(o.tb AS BIGINT) AS t_begin,
+             CAST(o.tb + o.tl AS BIGINT) AS t_end,
+             CAST(CASE WHEN o.role = 'assistant' THEN 1 ELSE 0 END AS INT) AS mask,
+             r.conv_md5
+           FROM o JOIN r ON o.conv_id = r.conv_id""",
+
+      // greedy packing replayed as per-conversation linear recursion
+      // (join on turn_idx + 1 advances exactly one turn per step)
+      "q_pack_samples" ->
+        s"""WITH RECURSIVE turns AS (${Turns.CoreSql}),
+           t AS (SELECT conv_id, turn_idx,
+                   CAST(length(string_split(text, ' ')) AS INT) AS tok
+                 FROM turns),
+           walk AS (
+             SELECT conv_id, turn_idx, tok, 0 AS sample_idx,
+               CAST(tok AS BIGINT) AS acc
+             FROM t WHERE turn_idx = 0
+             UNION ALL
+             SELECT t.conv_id, t.turn_idx, t.tok,
+               CASE WHEN w.acc + t.tok > 60 THEN w.sample_idx + 1
+                    ELSE w.sample_idx END,
+               CASE WHEN w.acc + t.tok > 60 THEN CAST(t.tok AS BIGINT)
+                    ELSE w.acc + t.tok END
+             FROM walk w JOIN t
+               ON t.conv_id = w.conv_id AND t.turn_idx = w.turn_idx + 1)
+           SELECT conv_id, turn_idx, CAST(sample_idx AS INT) AS sample_idx,
+             tok
+           FROM walk""",
+
+      // incremental dedup: membership decided on the RAW text —
+      // independent of the md5 narrowing and of the Bloom prefilter
+      "q_dedup_incremental" ->
+        """SELECT d.doc_id,
+             (d.text IN (SELECT text FROM documents WHERE doc_id % 2 = 0)) AS is_dup
+           FROM documents d""",
 
       // quota sampling: identical integer Lehmer-hash arithmetic, CASE
       // rate table, row_number window for the exact-quota verdict

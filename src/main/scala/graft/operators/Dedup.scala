@@ -347,6 +347,57 @@ object Dedup {
       .groupBy("h").agg(min("id").as("keeper_id"), count(lit(1)).as("copies"))
       .select("keeper_id", "copies")
 
+  /** Incremental exact dedup of a NEW batch against an already-ingested
+    * HISTORY corpus — the production shape of dedup once a pipeline
+    * runs continuously: each arriving batch must be checked against
+    * everything ever kept, and re-shuffling the full history per batch
+    * is exactly the join that stops scaling at 100 TB.
+    *
+    * Two-stage design, exact output:
+    *  1. Bloom prefilter: the history's distinct content hashes are
+    *     folded into ONE Bloom filter (bounded bits, built by Spark's
+    *     `stat.bloomFilter` tree aggregation, broadcast once). The
+    *     batch is flagged MAP-ONLY — a Bloom miss is definitively new
+    *     (no false negatives by construction), so the bulk of a
+    *     mostly-novel batch never enters a shuffle.
+    *  2. Exact confirmation: only the Bloom-POSITIVE slice (true dups
+    *     + ~fpp of the batch) joins the history key set to resolve
+    *     false positives. The Bloom bounds WORK, never correctness.
+    *
+    * The membership probe is a Scala udf over the broadcast filter —
+    * Spark exposes `might_contain` only to its internal runtime-filter
+    * rewrite, and the probe guards a filter, not the hot aggregation
+    * path; the confirm join restores exactness regardless.
+    *
+    * @return every batch row + `bloom_hit` (probabilistic, spec-tested
+    *         superset of dups) + `is_dup` (exact, oracle-tested)
+    */
+  def incrementalDedup(batch: DataFrame, history: DataFrame, idCol: String,
+      textCol: String, fpp: Double = 0.03): DataFrame = {
+    val spark = batch.sparkSession
+    val histKeys = history.select(md5(col(textCol)).as("__h")).distinct()
+    // sizing pass: one count over distinct hashes (cheap vs a wrong
+    // filter size silently degrading fpp); empty history short-circuits
+    // — everything is new, and Spark's bloom_filter_agg yields null
+    // (NPE in readFrom) on zero rows
+    val expected = histKeys.count()
+    if (expected == 0L)
+      return batch.withColumn("bloom_hit", lit(false))
+        .withColumn("is_dup", lit(false))
+    val bloom = histKeys.stat.bloomFilter("__h", expected, fpp)
+    val bf = spark.sparkContext.broadcast(bloom)
+    val might = udf((h: String) => bf.value.mightContainString(h))
+    val keyed = batch
+      .withColumn("__h", md5(col(textCol)))
+      .withColumn("bloom_hit", might(col("__h")))
+    val misses = keyed.filter(!col("bloom_hit")).withColumn("is_dup", lit(false))
+    val hits = keyed.filter(col("bloom_hit"))
+      .join(histKeys.withColumn("__in_hist", lit(true)), Seq("__h"), "left")
+      .withColumn("is_dup", coalesce(col("__in_hist"), lit(false)))
+      .drop("__in_hist")
+    misses.unionByName(hits).drop("__h")
+  }
+
 
   /** Connected components over a near-dup pair graph → one canonical
     * keeper per cluster: the step a production dedup pipeline runs

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, TrainFormat}
+
+/** Training-sample formatting (chat-template rendering, greedy
+  * packing) and incremental history dedup. The driver oracle
+  * (q_chat_render / q_pack_samples / q_dedup_incremental) proves
+  * engine parity; these specs pin the kernel semantics on handcrafted
+  * fixtures and the invariants the relational oracle can't state:
+  * code-point (not UTF-16) offset arithmetic, partition-count
+  * invariance of the streaming packing walk, and the Bloom prefilter's
+  * no-false-negative superset property.
+  */
+class TrainFormatSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Local twin of the rendering: rendered string + per-turn
+    * (t_begin, t_end, mask) in CODE POINTS.
+    */
+  private def renderLocal(turns: Seq[(Int, String, String)])
+      : (String, Seq[(Int, Long, Long, Int)]) = {
+    val sb = new StringBuilder
+    var at = 0L
+    val spans = turns.sortBy(_._1).map { case (i, role, text) =>
+      val hdr = s"<|$role|>\n"
+      sb.append(hdr).append(text).append("\n")
+      val b = at + cp(hdr)
+      val e = b + cp(text)
+      at = e + 1
+      (i, b, e, if (role == "assistant") 1 else 0)
+    }
+    (sb.toString, spans)
+  }
+
+  test("renderChat matches the local rendering on a hand fixture") {
+    import spark.implicits._
+    val convA = Seq((0, "user", "hi there"), (1, "assistant", "hello"), (2, "tool", "x"))
+    val convB = Seq((0, "assistant", "solo"))
+    val df = (convA.map(t => ("a", t._1, t._2, t._3)) ++
+        convB.map(t => ("b", t._1, t._2, t._3)))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val got = TrainFormat.renderChat(df)
+      .select("conv_id", "turn_idx", "role", "t_begin", "t_end", "mask", "conv_md5")
+      .as[(String, Int, String, Long, Long, Int, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    for ((conv, turns) <- Seq("a" -> convA, "b" -> convB)) {
+      val (rendered, spans) = renderLocal(turns)
+      val rows = got.filter(_._1 == conv)
+      assert(rows.map(r => (r._2, r._4, r._5, r._6)).toSeq == spans)
+      assert(rows.forall(_._7 == md5hex(rendered)))
+      // the span really is the text region (all-BMP fixture, so
+      // String.substring indexes == code points)
+      for ((r, t) <- rows.zip(turns.sortBy(_._1)))
+        assert(rendered.substring(r._4.toInt, r._5.toInt) == t._3)
+    }
+  }
+
+  test("renderChat offsets count code points, not UTF-16 units") {
+    import spark.implicits._
+    // U+1F600 (non-BMP, 2 UTF-16 units, 1 code point) + combining é
+    val turns = Seq((0, "user", "😀 ok"), (1, "assistant", "éclair"))
+    val df = turns.map(t => ("c", t._1, t._2, t._3)).toDF("conv_id", "turn_idx", "role", "text")
+    val got = TrainFormat.renderChat(df)
+      .select("turn_idx", "t_begin", "t_end", "mask", "conv_md5")
+      .as[(Int, Long, Long, Int, String)].collect().sortBy(_._1)
+    val (rendered, spans) = renderLocal(turns)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq == spans)
+    // a UTF-16 implementation would report t_end = t_begin + 5 for the
+    // emoji turn; code points say 4
+    assert(got(0)._3 - got(0)._2 == 4)
+    assert(got.forall(_._5 == md5hex(rendered)))
+  }
+
+  test("packSamples: inclusive budget boundary and oversize turns") {
+    import spark.implicits._
+    def text(k: Int) = Seq.fill(k)("w").mkString(" ")
+    // conv a tokens [3,3,4] budget 6: 3+3 == 6 fits, the 4 overflows
+    // conv b tokens [10,2]: the oversize turn keeps its own sample
+    val df = Seq(
+      ("a", 0, text(3)), ("a", 1, text(3)), ("a", 2, text(4)),
+      ("b", 0, text(10)), ("b", 1, text(2)))
+      .toDF("conv_id", "turn_idx", "text")
+    val got = TrainFormat.packSamples(df, budget = 6)
+      .as[(String, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("a", 0, 0, 3), ("a", 1, 0, 3), ("a", 2, 1, 4),
+      ("b", 0, 0, 10), ("b", 1, 1, 2)))
+  }
+
+  test("packSamples is partition-count invariant and matches the naive walk") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      c <- 0 until 9
+      t <- 0 until (3 + rnd.nextInt(20))
+    } yield (s"conv-$c", t, Seq.fill(1 + rnd.nextInt(12))("w").mkString(" "))
+    val budget = 18
+    val naive: Map[(String, Int), Int] = rows.groupBy(_._1).flatMap {
+      case (c, ts) =>
+        var acc = 0L; var s = 0; var first = true
+        ts.sortBy(_._2).map { case (_, t, text) =>
+          val tok = text.split(" ", -1).length
+          if (first) { first = false; s = 0; acc = tok.toLong }
+          else if (acc + tok > budget) { s += 1; acc = tok.toLong }
+          else acc += tok
+          ((c, t), s)
+        }
+    }.toMap
+    for (nPart <- Seq(1, 7)) {
+      val df = rows.toDF("conv_id", "turn_idx", "text").repartition(nPart)
+      val got = TrainFormat.packSamples(df, budget)
+        .as[(String, Int, Int, Int)].collect()
+      assert(got.length == rows.length)
+      assert(got.forall(r => naive((r._1, r._2)) == r._3), s"nPart=$nPart")
+    }
+  }
+
+  test("incrementalDedup: exact flags, Bloom superset, empty history") {
+    import spark.implicits._
+    val batch = (0L until 300L).map(i => (i, s"doc text number ${i % 120}"))
+      .toDF("doc_id", "text")
+    val history = (0L until 120L).filter(_ % 3 == 0)
+      .map(i => s"doc text number $i").toDF("text")
+    val got = Dedup.incrementalDedup(batch, history, "doc_id", "text", fpp = 0.2)
+      .select("doc_id", "bloom_hit", "is_dup")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(got.length == 300)
+    val histSet = (0L until 120L).filter(_ % 3 == 0)
+      .map(i => s"doc text number $i").toSet
+    for ((id, hit, dup) <- got) {
+      assert(dup == histSet.contains(s"doc text number ${id % 120}"), s"id=$id")
+      assert(!dup || hit, s"Bloom false negative at id=$id")
+    }
+    // empty history: everything is new, nothing crashes on the
+    // degenerate filter
+    val none = Dedup.incrementalDedup(batch, history.limit(0), "doc_id", "text")
+      .select("is_dup").as[Boolean].collect()
+    assert(none.length == 300 && none.forall(_ == false))
+  }
+}
