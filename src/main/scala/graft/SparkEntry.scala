@@ -716,6 +716,21 @@ object SparkEntry {
     // (doc_id%13)*37 appended (broadcast join — both engines rebuild
     // the identical planted text). Corpus pass itself is map-only
     // against the broadcast benchmark gram set.
+    // SEMANTIC decontamination — embedding-space complement of
+    // q_decontaminate's n-gram overlap: benchmark = the 20 base
+    // vectors the planted corpus derives from, so the planted variants
+    // sit at data-derived cosine levels on both sides of the 0.97
+    // verdict boundary (margin asserted in SimilaritySpec). Oracle
+    // recomputes every cosine with DuckDB's own
+    // list_cosine_similarity over the same planted CTE.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val (corpus, base) = plantedCorpus(s, dir, nSources = 20, levels = 5, idStep = 1000)
+      Similarity.semanticDecontaminate(
+          corpus, base.filter(col("vec_id") < 20), "vec_id", "v", 0.97)
+        .select(col("doc_id"), col("bench_id"),
+          round(col("cos"), 4).as("cos"), col("contaminated"))
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
       val bench = d.filter(col("doc_id") % 37 === 0)
@@ -1739,6 +1754,24 @@ object SparkEntry {
       // an independent relational derivation — explode corpus 5-grams,
       // semi-join the distinct benchmark gram set, count positions and
       // distinct grams per doc
+      // semantic decontamination: DuckDB's own cosine over the same
+      // planted CTE; argmax via row_number, verdict at full precision
+      "q_decontaminate_semantic" ->
+        s"""WITH ${plantedCorpusSql(20, 5, 1000)},
+           b AS (SELECT vec_id AS bench_id, v AS bv FROM src WHERE vec_id < 20),
+           scored AS (
+             SELECT c.vec_id AS doc_id, b.bench_id,
+                    list_cosine_similarity(c.v, b.bv) AS cos
+             FROM corpus c, b),
+           best AS (
+             SELECT doc_id, bench_id, cos,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY cos DESC, bench_id) AS rk
+             FROM scored)
+           SELECT doc_id, bench_id, round(cos, 4) AS cos,
+             (cos >= 0.97) AS contaminated
+           FROM best WHERE rk = 1""",
+
       "q_decontaminate" ->
         """WITH bench AS (
              SELECT doc_id, string_split(text, ' ') AS ws

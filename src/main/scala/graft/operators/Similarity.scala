@@ -63,6 +63,64 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Semantic decontamination — the embedding-space complement of
+    * `Corpus.decontaminate`'s n-gram overlap: flag every corpus
+    * document whose embedding is within cosine `threshold` of ANY
+    * benchmark embedding (paraphrased eval leakage that no k-gram
+    * match catches).
+    *
+    * Scale shape mirrors the n-gram variant: eval benchmarks are tiny
+    * by construction, so the benchmark vectors are collected +
+    * broadcast (bounded driver state — the IVF-centroid precedent) and
+    * the corpus pass is ONE typed mapPartitions — ZERO corpus shuffle
+    * at 100 TB. Per document it reports the max cosine over the
+    * benchmark, the argmax benchmark id (ties → lowest id, the
+    * oracle's ORDER BY cos DESC, bench_id), and the contaminated
+    * verdict. The kernel computes dot/(√na·√nb) in index order with
+    * doubles — the same arithmetic as [[cosine]] and DuckDB's
+    * list_cosine_similarity, so the verdict threshold compares
+    * like-for-like values.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchArr = bench
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(benchArr.nonEmpty, "semanticDecontaminate: empty benchmark set")
+    val bcast = spark.sparkContext.broadcast(benchArr.map { case (id, v) =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      (id, v, math.sqrt(n))
+    })
+    corpus
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val bs = bcast.value
+        it.map { case (id, v) =>
+          var nv = 0.0; var i = 0
+          while (i < v.length) { nv += v(i) * v(i); i += 1 }
+          val nvs = math.sqrt(nv)
+          var bestId = -1L
+          var best = Double.NegativeInfinity
+          var b = 0
+          while (b < bs.length) {
+            val (bid, bv, bn) = bs(b)
+            var dot = 0.0; var j = 0
+            while (j < bv.length) { dot += v(j) * bv(j); j += 1 }
+            val cos = dot / (nvs * bn)
+            if (cos > best) { best = cos; bestId = bid }
+            b += 1
+          }
+          (id, bestId, best, best >= threshold)
+        }
+      }
+      .toDF("doc_id", "bench_id", "cos", "contaminated")
+  }
+
   /** Signed-random-projection buckets, one per hash table, computed in
     * ONE typed pass (the Column-space [[signBits]] nests an aggregate
     * per plane — `tables × planes` re-evaluations of the zip subtree,

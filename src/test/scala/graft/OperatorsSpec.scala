@@ -108,6 +108,45 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDecontaminate matches the Column-space cosine twin") {
+    import org.apache.spark.sql.expressions.Window
+    val bench = emb.filter(col("vec_id") < 10)
+    val threshold = 0.9
+    val got = Similarity
+      .semanticDecontaminate(emb, bench, "vec_id", "embedding", threshold)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    // naive twin: the PROVEN Column cosine (q_ann_topk parity) +
+    // window argmax — a different execution path over the same math
+    val c = emb.select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val b = bench.select(col("vec_id").as("bench_id"),
+      col("embedding").cast("array<double>").as("bv"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("cos"), col("bench_id"))
+    val naive = c.crossJoin(broadcast(b))
+      .select(col("doc_id"), col("bench_id"),
+        Similarity.cosine(col("cv"), col("bv")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .collect()
+    assert(naive.length == got.size)
+    for (r <- naive) {
+      val (bid, cos, flag) = got(r.getLong(0))
+      assert(bid == r.getLong(1), s"argmax mismatch at doc ${r.getLong(0)}")
+      assert(math.abs(cos - r.getDouble(2)) < 1e-12)
+      assert(flag == (cos >= threshold))
+    }
+    // benchmark members are their own nearest neighbor at cos 1.0, and
+    // no max-cos sits close enough to the threshold for engine ulp
+    // differences to flip the verdict
+    for (i <- 0L until 10L) {
+      val (bid, cos, flag) = got(i)
+      assert(bid == i && math.abs(cos - 1.0) < 1e-12 && flag)
+    }
+    assert(got.valuesIterator.forall(v => math.abs(v._2 - threshold) > 1e-6))
+    assert(got.valuesIterator.exists(!_._3))
+  }
+
   test("xxhash64 matches Spark's builtin (shared seed path)") {
     import spark.implicits._
     val strings = Seq("", "a", "hello world", "Zürich ünïcode", "x" * 100)
