@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Training-sample formatting over the transcript table — the last
@@ -44,13 +43,6 @@ import org.apache.spark.sql.functions._
   */
 object TrainFormat {
 
-  /** Rendered piece for one turn: `<|` + role + `|>` + '\n' + text +
-    * '\n'. Kept as a Column expression (and mirrored literally in the
-    * oracle SQL) so both engines hash the same bytes.
-    */
-  def pieceCol: Column =
-    concat(lit("<|"), col("role"), lit("|>\n"), col("text"), lit("\n"))
-
   /** Chat-template rendering with per-turn text spans and loss masks.
     *
     * Output per turn: `(conv_id, turn_idx, role, t_begin, t_end,
@@ -61,40 +53,51 @@ object TrainFormat {
     * rendered string — the cheap whole-string witness that the
     * concatenation itself (not just the arithmetic) is right.
     *
-    * The running offset is a window sum of piece lengths over
-    * `(conv_id, turn_idx)` — lengths count Unicode code points in
-    * both Spark and DuckDB, so combining-character payloads (template
-    * 10) stay in parity. The md5 hashes the UTF-8 bytes on both
-    * sides.
+    * One typed per-group kernel, ONE payload shuffle. The declarative
+    * alternative (window running sum for offsets + collect_list
+    * aggregation for the digest) shuffles the payload TWICE — Catalyst
+    * prunes the window out of the aggregation branch, so the two
+    * consumers never share an exchange — and buffers exactly the same
+    * per-conversation piece list inside ObjectHashAggregate that this
+    * kernel buffers directly; the kernel also renders and hashes each
+    * conversation once instead of re-deriving pieces per branch.
+    * Offsets count Unicode CODE POINTS (what `length()` means in both
+    * Spark and DuckDB), not UTF-16 units — `codePointCount`, pinned by
+    * the non-BMP spec case. The md5 hashes the UTF-8 bytes, same as
+    * both engines' md5(string).
     */
   def renderChat(turns: DataFrame): DataFrame = {
-    val withPiece = turns.select(
-      col("conv_id"), col("turn_idx"), col("role"), col("text"),
-      pieceCol.as("piece"))
-    val wPrev = Window.partitionBy("conv_id").orderBy("turn_idx")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // header "<|" + role + "|>\n" is length(role) + 5 code points
-    val tBegin = col("prev") + length(col("role")) + lit(5)
-    val offsets = withPiece
-      .withColumn("prev",
-        coalesce(sum(length(col("piece")).cast("long")).over(wPrev), lit(0L)))
-      .select(col("conv_id"), col("turn_idx"), col("role"),
-        tBegin.cast("long").as("t_begin"),
-        (tBegin + length(col("text"))).cast("long").as("t_end"),
-        when(col("role") === "assistant", 1).otherwise(0)
-          .cast("int").as("mask"))
-    // Whole-string witness: md5 of the pieces concatenated in turn
-    // order. collect_list buffers one conversation's pieces per group
-    // — bounded by the context-window ceiling discussed above; the
-    // offsets themselves never materialize the string.
-    val convHash = withPiece.groupBy("conv_id")
-      .agg(md5(array_join(
-        transform(
-          array_sort(collect_list(struct(col("turn_idx"), col("piece")))),
-          x => x.getField("piece")),
-        "")).as("conv_md5"))
-    // co-partitioned on conv_id with the window above — no extra shuffle
-    offsets.join(convHash, Seq("conv_id"))
+    val spark = turns.sparkSession
+    import spark.implicits._
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    turns
+      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
+        col("role"), col("text"))
+      .as[(String, Int, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (conv, it) =>
+        // buffers ONE conversation — bounded by the context-window
+        // ceiling (same bound the aggregate alternative needs)
+        val ts = it.toArray.sortBy(_._2)
+        val sb = new java.lang.StringBuilder
+        var at = 0L
+        val spans = ts.map { case (_, idx, role, text) =>
+          val hdr = s"<|$role|>\n"
+          sb.append(hdr).append(text).append('\n')
+          val b = at + cp(hdr)
+          val e = b + cp(text)
+          at = e + 1
+          (idx, role, b, e, if (role == "assistant") 1 else 0)
+        }
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        spans.iterator.map { case (idx, role, b, e, m) =>
+          (conv, idx, role, b, e, m, digest)
+        }
+      }
+      .toDF("conv_id", "turn_idx", "role", "t_begin", "t_end", "mask",
+        "conv_md5")
   }
 
   /** Greedy per-conversation sequence packing.

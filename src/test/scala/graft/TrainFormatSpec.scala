@@ -124,6 +124,26 @@ class TrainFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("plan shape: one conv_id exchange each, no global funnel") {
+    import spark.implicits._
+    val df = (0 until 40)
+      .map(i => (s"c${i % 5}", i / 5, if (i % 2 == 0) "user" else "assistant", s"text $i"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    // renderChat: the typed kernel shuffles the payload ONCE (the
+    // window+aggregate alternative shuffles it twice — see Scaladoc)
+    val render = TrainFormat.renderChat(df)
+      .queryExecution.executedPlan.toString
+    assert(!render.contains("SinglePartition"), render)
+    assert("Exchange hashpartitioning\\(".r
+      .findAllIn(render).length == 1, render)
+    // packSamples: one repartition exchange feeding the streaming walk
+    val pack = TrainFormat.packSamples(df, 10)
+      .queryExecution.executedPlan.toString
+    assert(!pack.contains("SinglePartition"), pack)
+    assert("Exchange hashpartitioning\\(".r
+      .findAllIn(pack).length == 1, pack)
+  }
+
   test("incrementalDedup: exact flags, Bloom superset, empty history") {
     import spark.implicits._
     val batch = (0L until 300L).map(i => (i, s"doc text number ${i % 120}"))
