@@ -709,13 +709,6 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Benchmark decontamination: benchmark = docs with doc_id%37==0,
-    // corpus = the rest. Natural 5-gram overlap in the synthetic corpus
-    // is thin, so contamination is PLANTED deterministically: corpus
-    // docs with doc_id%7==3 get the first 5 words of benchmark doc
-    // (doc_id%13)*37 appended (broadcast join — both engines rebuild
-    // the identical planted text). Corpus pass itself is map-only
-    // against the broadcast benchmark gram set.
     // SEMANTIC decontamination — embedding-space complement of
     // q_decontaminate's n-gram overlap: benchmark = the 20 base
     // vectors the planted corpus derives from, so the planted variants
@@ -731,6 +724,13 @@ object SparkEntry {
           round(col("cos"), 4).as("cos"), col("contaminated"))
     }),
 
+    // Benchmark decontamination: benchmark = docs with doc_id%37==0,
+    // corpus = the rest. Natural 5-gram overlap in the synthetic corpus
+    // is thin, so contamination is PLANTED deterministically: corpus
+    // docs with doc_id%7==3 get the first 5 words of benchmark doc
+    // (doc_id%13)*37 appended (broadcast join — both engines rebuild
+    // the identical planted text). Corpus pass itself is map-only
+    // against the broadcast benchmark gram set.
     "q_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
       val bench = d.filter(col("doc_id") % 37 === 0)
@@ -1749,11 +1749,6 @@ object SparkEntry {
            LEFT JOIN ba USING (doc_id) LEFT JOIN fa USING (doc_id)
            ORDER BY b.doc_id""",
 
-      // decontamination: rebuild the planted corpus (benchmark head
-      // 5-gram appended to doc_id%7==3 rows via the same join), then
-      // an independent relational derivation — explode corpus 5-grams,
-      // semi-join the distinct benchmark gram set, count positions and
-      // distinct grams per doc
       // semantic decontamination: DuckDB's own cosine over the same
       // planted CTE; argmax via row_number, verdict at full precision
       "q_decontaminate_semantic" ->
@@ -1772,6 +1767,11 @@ object SparkEntry {
              (cos >= 0.97) AS contaminated
            FROM best WHERE rk = 1""",
 
+      // decontamination: rebuild the planted corpus (benchmark head
+      // 5-gram appended to doc_id%7==3 rows via the same join), then
+      // an independent relational derivation — explode corpus 5-grams,
+      // semi-join the distinct benchmark gram set, count positions and
+      // distinct grams per doc
       "q_decontaminate" ->
         """WITH bench AS (
              SELECT doc_id, string_split(text, ' ') AS ws

@@ -369,33 +369,52 @@ object Dedup {
     * rewrite, and the probe guards a filter, not the hot aggregation
     * path; the confirm join restores exactness regardless.
     *
-    * @return every batch row + `bloom_hit` (probabilistic, spec-tested
-    *         superset of dups) + `is_dup` (exact, oracle-tested)
+    * @return `(idCol, bloom_hit, is_dup)` per batch row — `bloom_hit`
+    *         probabilistic (spec-tested superset of dups), `is_dup`
+    *         exact (oracle-tested); removal is a join-back filter on
+    *         the id downstream. Null text is definitively new.
     */
   def incrementalDedup(batch: DataFrame, history: DataFrame, idCol: String,
       textCol: String, fpp: Double = 0.03): DataFrame = {
     val spark = batch.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    // persisted: consumed by the sizing count, the Bloom build, AND the
+    // confirm join — without it the history is re-scanned and
+    // re-aggregated three times (MEMORY_AND_DISK: spills rather than
+    // evicts at extreme history cardinality; stays alive while the
+    // returned plan is, like the components edge cache)
     val histKeys = history.select(md5(col(textCol)).as("__h")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // sizing pass: one count over distinct hashes (cheap vs a wrong
     // filter size silently degrading fpp); empty history short-circuits
     // — everything is new, and Spark's bloom_filter_agg yields null
     // (NPE in readFrom) on zero rows
     val expected = histKeys.count()
-    if (expected == 0L)
-      return batch.withColumn("bloom_hit", lit(false))
-        .withColumn("is_dup", lit(false))
+    if (expected == 0L) {
+      histKeys.unpersist()
+      return batch.select(col(idCol), lit(false).as("bloom_hit"),
+        lit(false).as("is_dup"))
+    }
     val bloom = histKeys.stat.bloomFilter("__h", expected, fpp)
     val bf = spark.sparkContext.broadcast(bloom)
-    val might = udf((h: String) => bf.value.mightContainString(h))
+    // null-safe probe: null text → null md5 → definitively not in the
+    // history (sibling Column operators propagate the null; crashing
+    // the whole batch on one null row is the wrong failure mode)
+    val might = udf((h: String) => h != null && bf.value.mightContainString(h))
+    // narrow (id, hash, flag) projection — the two output branches each
+    // consume it, so persist to keep the batch scan + md5 + probe to
+    // one pass; payload columns never enter this plan (flags join back
+    // on idCol downstream, the canonicalSurvivors filter pattern)
     val keyed = batch
-      .withColumn("__h", md5(col(textCol)))
+      .select(col(idCol), md5(col(textCol)).as("__h"))
       .withColumn("bloom_hit", might(col("__h")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val misses = keyed.filter(!col("bloom_hit")).withColumn("is_dup", lit(false))
     val hits = keyed.filter(col("bloom_hit"))
       .join(histKeys.withColumn("__in_hist", lit(true)), Seq("__h"), "left")
       .withColumn("is_dup", coalesce(col("__in_hist"), lit(false)))
       .drop("__in_hist")
-    misses.unionByName(hits).drop("__h")
+    misses.unionByName(hits).select(col(idCol), col("bloom_hit"), col("is_dup"))
   }
 
 

@@ -89,6 +89,9 @@ object Similarity {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     require(benchArr.nonEmpty, "semanticDecontaminate: empty benchmark set")
+    val benchDim = benchArr.head._2.length
+    require(benchArr.forall(_._2.length == benchDim),
+      "semanticDecontaminate: benchmark vectors have mixed dimensions")
     val bcast = spark.sparkContext.broadcast(benchArr.map { case (id, v) =>
       var n = 0.0; var i = 0
       while (i < v.length) { n += v(i) * v(i); i += 1 }
@@ -101,6 +104,11 @@ object Similarity {
       .mapPartitions { it =>
         val bs = bcast.value
         it.map { case (id, v) =>
+          // fail loud, not AIOOBE / silently-deflated dot product (the
+          // Column twin would return a null cosine here)
+          require(v.length == bs.head._2.length,
+            s"semanticDecontaminate: corpus vector dim ${v.length} != " +
+              s"benchmark dim ${bs.head._2.length} at id $id")
           var nv = 0.0; var i = 0
           while (i < v.length) { nv += v(i) * v(i); i += 1 }
           val nvs = math.sqrt(nv)

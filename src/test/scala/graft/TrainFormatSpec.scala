@@ -165,5 +165,12 @@ class TrainFormatSpec extends AnyFunSuite {
     val none = Dedup.incrementalDedup(batch, history.limit(0), "doc_id", "text")
       .select("is_dup").as[Boolean].collect()
     assert(none.length == 300 && none.forall(_ == false))
+    // null text: definitively new (null-safe probe), never an NPE
+    val withNull = batch.unionByName(
+      Seq((300L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val nullRow = Dedup.incrementalDedup(withNull, history, "doc_id", "text")
+      .filter(col("doc_id") === 300L)
+      .select("bloom_hit", "is_dup").as[(Boolean, Boolean)].collect()
+    assert(nullRow.toSeq == Seq((false, false)))
   }
 }
