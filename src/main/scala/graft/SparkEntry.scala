@@ -969,6 +969,13 @@ object SparkEntry {
     "q_pack_samples" -> ((s, dir) =>
       TrainFormat.packSamples(Turns.synth(s, dir).toDF(), budget = 60)),
 
+    // Context-window truncation: keep the newest suffix of each
+    // conversation that fits 120 whitespace tokens (suffix-sum window
+    // in Spark; the oracle re-derives the suffix totals with a
+    // self-join aggregation — an algorithm the window plan never runs)
+    "q_context_trim" -> ((s, dir) =>
+      TrainFormat.contextTrim(Turns.synth(s, dir).toDF(), budget = 120)),
+
     // Incremental dedup of a new batch vs an already-ingested history
     // corpus: Bloom prefilter (map-only over the batch, no false
     // negatives) + exact confirm join on the positive slice only.
@@ -2142,6 +2149,23 @@ object SparkEntry {
            SELECT conv_id, turn_idx, CAST(sample_idx AS INT) AS sample_idx,
              tok
            FROM walk""",
+
+      // context trimming: suffix sums via self-join aggregation (the
+      // Spark side uses a window frame — independent formulations)
+      "q_context_trim" ->
+        s"""$cte, t AS (
+             SELECT conv_id, turn_idx,
+               CAST(length(string_split(text, ' ')) AS INT) AS tok
+             FROM turns),
+           s AS (
+             SELECT a.conv_id, a.turn_idx, sum(b.tok) AS st
+             FROM t a JOIN t b
+               ON b.conv_id = a.conv_id AND b.turn_idx >= a.turn_idx
+             GROUP BY a.conv_id, a.turn_idx)
+           SELECT t.conv_id, t.turn_idx, t.tok,
+             CAST(s.st AS BIGINT) AS suffix_tokens,
+             (s.st <= 120) AS kept
+           FROM t JOIN s ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx""",
 
       // incremental dedup: membership decided on the RAW text —
       // independent of the md5 narrowing and of the Bloom prefilter

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-sample formatting over the transcript table — the last
@@ -98,6 +99,31 @@ object TrainFormat {
       }
       .toDF("conv_id", "turn_idx", "role", "t_begin", "t_end", "mask",
         "conv_md5")
+  }
+
+  /** Context-window truncation: keep the SUFFIX of each conversation
+    * that fits `budget` tokens — the "most recent history first" rule
+    * every chat stack applies when a conversation outgrows the model's
+    * context (drop the oldest turns, never the newest). A turn is kept
+    * iff the token total from it through the end of its conversation
+    * is within budget; suffix sums are non-increasing in `turn_idx`,
+    * so the kept set is always a contiguous suffix.
+    *
+    * Declarative on purpose: ONE window (suffix running sum over the
+    * conv_id exchange) — unlike [[packSamples]] there is no
+    * reset-on-overflow state, so the plain window expresses it and
+    * Catalyst keeps it in one exchange. The oracle re-derives the
+    * suffix sums with a self-join aggregation, an algorithm this plan
+    * never runs.
+    */
+  def contextTrim(turns: DataFrame, budget: Int): DataFrame = {
+    val wSuf = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    turns
+      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
+        size(split(col("text"), " ")).as("tok"))
+      .withColumn("suffix_tokens", sum(col("tok").cast("long")).over(wSuf))
+      .withColumn("kept", col("suffix_tokens") <= budget)
   }
 
   /** Greedy per-conversation sequence packing.

@@ -124,6 +124,32 @@ class TrainFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("contextTrim keeps exactly the newest suffix that fits") {
+    import spark.implicits._
+    def text(k: Int) = Seq.fill(k)("w").mkString(" ")
+    // conv a tokens [50, 40, 30, 20]: suffixes 140/90/50/20, budget 90
+    // → turns 1..3 kept (inclusive boundary at 90)
+    // conv b tokens [200, 10]: newest fits alone, oldest never does
+    // conv c tokens [300]: single oversize turn → nothing kept
+    val df = Seq(
+      ("a", 0, text(50)), ("a", 1, text(40)), ("a", 2, text(30)), ("a", 3, text(20)),
+      ("b", 0, text(200)), ("b", 1, text(10)),
+      ("c", 0, text(300)))
+      .toDF("conv_id", "turn_idx", "text")
+    val got = TrainFormat.contextTrim(df, budget = 90)
+      .as[(String, Int, Int, Long, Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("a", 0, 50, 140L, false), ("a", 1, 40, 90L, true),
+      ("a", 2, 30, 50L, true), ("a", 3, 20, 20L, true),
+      ("b", 0, 200, 210L, false), ("b", 1, 10, 10L, true),
+      ("c", 0, 300, 300L, false)))
+    // invariant: the kept set is a contiguous suffix per conversation
+    for ((_, rows) <- got.groupBy(_._1)) {
+      val keptFlags = rows.sortBy(_._2).map(_._5)
+      assert(!keptFlags.zip(keptFlags.tail).exists { case (k, n) => k && !n })
+    }
+  }
+
   test("plan shape: one conv_id exchange each, no global funnel") {
     import spark.implicits._
     val df = (0 until 40)
@@ -142,6 +168,14 @@ class TrainFormatSpec extends AnyFunSuite {
     assert(!pack.contains("SinglePartition"), pack)
     assert("Exchange hashpartitioning\\(".r
       .findAllIn(pack).length == 1, pack)
+    // contextTrim: one window exchange, no join (the self-join lives
+    // only in the oracle)
+    val trim = TrainFormat.contextTrim(df, 10)
+      .queryExecution.executedPlan.toString
+    assert(!trim.contains("SinglePartition"), trim)
+    assert("Exchange hashpartitioning\\(".r
+      .findAllIn(trim).length == 1, trim)
+    assert(!trim.contains("Join"), trim)
   }
 
   test("incrementalDedup: exact flags, Bloom superset, empty history") {
