@@ -969,6 +969,31 @@ object SparkEntry {
     "q_pack_samples" -> ((s, dir) =>
       TrainFormat.packSamples(Turns.synth(s, dir).toDF(), budget = 60)),
 
+    // Transcript linting over the synthesized conversations PLUS four
+    // planted pathological ones both engines rebuild literally: a
+    // gapped index sequence, a duplicate index (same role at the tie,
+    // so first-turn picks agree), an empty turn, a tool payload on a
+    // non-tool role. The oracle proves contiguity by the
+    // arithmetic-series sum (Spark: min/max/distinct) and counts
+    // assistant runs by a self-join (Spark: lag window) — independent
+    // derivations of every flag.
+    "q_transcript_lint" -> ((s, dir) => {
+      import s.implicits._
+      val bad = Seq(
+        ("lint-gap", 0, "user", "hello there", ""),
+        ("lint-gap", 2, "assistant", "hi again", ""),
+        ("lint-dup", 1, "user", "first copy", ""),
+        ("lint-dup", 1, "user", "second copy", ""),
+        ("lint-empty", 0, "user", "", ""),
+        ("lint-tool", 0, "user", "call it", "{\"name\":\"x\"}"),
+        ("lint-tool", 1, "assistant", "ok", ""))
+        .toDF("conv_id", "turn_idx", "role", "text", "tool")
+      TrainFormat.lintConversations(
+        Turns.synth(s, dir).toDF()
+          .select("conv_id", "turn_idx", "role", "text", "tool")
+          .unionByName(bad))
+    }),
+
     // Context-window truncation: keep the newest suffix of each
     // conversation that fits 120 whitespace tokens (suffix-sum window
     // in Spark; the oracle re-derives the suffix totals with a
@@ -2149,6 +2174,46 @@ object SparkEntry {
            SELECT conv_id, turn_idx, CAST(sample_idx AS INT) AS sample_idx,
              tok
            FROM walk""",
+
+      // transcript linting: contiguity via the arithmetic-series sum,
+      // assistant runs via self-join — Spark derives both differently
+      "q_transcript_lint" ->
+        s"""$cte, t AS (
+             SELECT conv_id, turn_idx, role, text, tool FROM turns
+             UNION ALL
+             SELECT * FROM (VALUES
+               ('lint-gap', 0, 'user', 'hello there', ''),
+               ('lint-gap', 2, 'assistant', 'hi again', ''),
+               ('lint-dup', 1, 'user', 'first copy', ''),
+               ('lint-dup', 1, 'user', 'second copy', ''),
+               ('lint-empty', 0, 'user', '', ''),
+               ('lint-tool', 0, 'user', 'call it', '{"name":"x"}'),
+               ('lint-tool', 1, 'assistant', 'ok', ''))
+               v(conv_id, turn_idx, role, text, tool)),
+           runs AS (
+             SELECT a.conv_id, count(*) AS ar FROM t a JOIN t b
+               ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+              AND a.role = 'assistant' AND b.role = 'assistant'
+             GROUP BY a.conv_id),
+           agg AS (
+             SELECT conv_id, count(*) AS n,
+               CAST(sum(turn_idx) AS BIGINT) AS s,
+               max(turn_idx) AS mx, count(DISTINCT turn_idx) AS nd,
+               arg_min(role, turn_idx) AS fr,
+               min(length(text)) AS mintl,
+               min(CASE WHEN tool = '' OR role = 'tool' THEN 1 ELSE 0 END) AS tk
+             FROM t GROUP BY conv_id)
+           SELECT a.conv_id, CAST(a.n AS INT) AS n_turns,
+             (a.fr IN ('user', 'system')) AS starts_ok,
+             (a.nd = a.n AND a.mx = a.n - 1
+              AND a.s = a.n * (a.n - 1) // 2) AS contiguous_ok,
+             (a.mintl > 0) AS no_empty_text,
+             (a.tk = 1) AS tool_ok,
+             CAST(COALESCE(r.ar, 0) AS INT) AS assistant_runs,
+             (a.fr IN ('user', 'system') AND a.nd = a.n AND a.mx = a.n - 1
+              AND a.s = a.n * (a.n - 1) // 2 AND a.mintl > 0
+              AND a.tk = 1) AS lint_ok
+           FROM agg a LEFT JOIN runs r USING (conv_id)""",
 
       // context trimming: suffix sums via self-join aggregation (the
       // Spark side uses a window frame — independent formulations)

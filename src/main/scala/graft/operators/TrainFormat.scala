@@ -101,6 +101,53 @@ object TrainFormat {
         "conv_md5")
   }
 
+  /** Transcript linting — conversation-STRUCTURE validation, the gate
+    * an ingest pipeline runs before any content-quality scoring:
+    *
+    *  - `starts_ok`: the first turn (lowest `turn_idx`) is `user` or
+    *    `system` — a transcript opening with an assistant reply lost
+    *    its head upstream.
+    *  - `contiguous_ok`: turn indices are exactly `0..n-1` (no gaps,
+    *    no duplicates — a gap means turns were dropped mid-export).
+    *  - `no_empty_text`: no turn has empty text.
+    *  - `tool_ok`: tool payloads appear only on `tool`-role turns.
+    *  - `assistant_runs`: count of ADJACENT (`turn_idx`, `turn_idx+1`)
+    *    assistant→assistant pairs — doubled replies from retry bugs.
+    *  - `lint_ok`: all of the above (with `assistant_runs` reported,
+    *    not gating — some products legitimately stream multi-part
+    *    replies).
+    *
+    * One conv_id exchange: the lag window and the groupBy share the
+    * partitioning. Contiguity here is the (min=0, max=n-1,
+    * n distinct) characterization; the oracle re-derives it via the
+    * arithmetic-series sum — different proofs of the same property.
+    * Adjacency is by `turn_idx` value (lag + explicit prev_idx check),
+    * NOT by sort position, so a gapped conversation can't fake a run.
+    */
+  def lintConversations(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val withPrev = turns
+      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
+        col("role"), col("text"), col("tool"))
+      .withColumn("prev_role", lag("role", 1).over(w))
+      .withColumn("prev_idx", lag("turn_idx", 1).over(w))
+    val n = count(lit(1))
+    withPrev.groupBy("conv_id").agg(
+      n.cast("int").as("n_turns"),
+      min_by(col("role"), col("turn_idx")).isin("user", "system").as("starts_ok"),
+      (min("turn_idx") === 0 && max("turn_idx") === n.cast("int") - 1 &&
+        countDistinct("turn_idx") === n).as("contiguous_ok"),
+      (min(length(col("text"))) > 0).as("no_empty_text"),
+      (min(when(col("tool") === "" || col("role") === "tool", 1).otherwise(0)) === 1)
+        .as("tool_ok"),
+      sum(when(col("role") === "assistant" && col("prev_role") === "assistant" &&
+        col("prev_idx") === col("turn_idx") - 1, 1).otherwise(0))
+        .cast("int").as("assistant_runs"))
+      .withColumn("lint_ok",
+        col("starts_ok") && col("contiguous_ok") && col("no_empty_text") &&
+          col("tool_ok"))
+  }
+
   /** Context-window truncation: keep the SUFFIX of each conversation
     * that fits `budget` tokens — the "most recent history first" rule
     * every chat stack applies when a conversation outgrows the model's

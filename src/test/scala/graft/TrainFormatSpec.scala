@@ -150,6 +150,36 @@ class TrainFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("lintConversations flags each pathology exactly once") {
+    import spark.implicits._
+    val df = Seq(
+      // clean: user→assistant→assistant(adjacent run)→tool w/ payload
+      ("ok", 0, "user", "hi", ""), ("ok", 1, "assistant", "a", ""),
+      ("ok", 2, "assistant", "b", ""), ("ok", 3, "tool", "r", "{\"x\":1}"),
+      // starts with assistant
+      ("headless", 0, "assistant", "reply", ""),
+      // gap: run NOT counted across the gap (adjacency is by value)
+      ("gapped", 0, "assistant", "a", ""), ("gapped", 2, "assistant", "b", ""),
+      // duplicate turn_idx
+      ("dup", 1, "user", "x", ""), ("dup", 1, "user", "y", ""),
+      // does not start at zero
+      ("offset", 1, "user", "x", ""), ("offset", 2, "assistant", "y", ""),
+      // empty text / tool payload on a user turn
+      ("empty", 0, "user", "", ""),
+      ("badtool", 0, "user", "q", "{\"t\":1}"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val got = TrainFormat.lintConversations(df)
+      .as[(String, Int, Boolean, Boolean, Boolean, Boolean, Int, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("ok") == (("ok", 4, true, true, true, true, 1, true)))
+    assert(got("headless") == (("headless", 1, false, true, true, true, 0, false)))
+    assert(got("gapped") == (("gapped", 2, false, false, true, true, 0, false)))
+    assert(got("dup") == (("dup", 2, true, false, true, true, 0, false)))
+    assert(got("offset") == (("offset", 2, true, false, true, true, 0, false)))
+    assert(got("empty") == (("empty", 1, true, true, false, true, 0, false)))
+    assert(got("badtool") == (("badtool", 1, true, true, true, false, 0, false)))
+  }
+
   test("plan shape: one conv_id exchange each, no global funnel") {
     import spark.implicits._
     val df = (0 until 40)
