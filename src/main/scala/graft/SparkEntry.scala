@@ -385,6 +385,21 @@ object SparkEntry {
           FROM src, range(1, ${levels + 1}) t(c) WHERE vec_id < $nSources),
         corpus AS (SELECT * FROM src UNION ALL SELECT * FROM planted)"""
 
+  /** Planted pathological conversations for `q_transcript_lint` — ONE
+    * row-list literal interpolated into BOTH engines' VALUES clause
+    * (Spark `FROM VALUES … AS v(…)`, DuckDB `FROM (VALUES …) v(…)`),
+    * so the planted input cannot desynchronize (the Turns.CoreSql
+    * lock-step convention).
+    */
+  private val LintBadRows: String =
+    """('lint-gap', 0, 'user', 'hello there', ''),
+       ('lint-gap', 2, 'assistant', 'hi again', ''),
+       ('lint-dup', 1, 'user', 'first copy', ''),
+       ('lint-dup', 1, 'user', 'second copy', ''),
+       ('lint-empty', 0, 'user', '', ''),
+       ('lint-tool', 0, 'user', 'call it', '{"name":"x"}'),
+       ('lint-tool', 1, 'assistant', 'ok', '')"""
+
   /** Flagship: the full extraction pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -970,29 +985,20 @@ object SparkEntry {
       TrainFormat.packSamples(Turns.synth(s, dir).toDF(), budget = 60)),
 
     // Transcript linting over the synthesized conversations PLUS four
-    // planted pathological ones both engines rebuild literally: a
-    // gapped index sequence, a duplicate index (same role at the tie,
-    // so first-turn picks agree), an empty turn, a tool payload on a
-    // non-tool role. The oracle proves contiguity by the
+    // planted pathological ones rebuilt from the SAME VALUES literal
+    // in both engines ([[LintBadRows]] — lock-step by construction):
+    // a gapped index sequence, a duplicate index (same role at the
+    // tie, so first-turn picks agree), an empty turn, a tool payload
+    // on a non-tool role. The oracle proves contiguity by the
     // arithmetic-series sum (Spark: min/max/distinct) and counts
-    // assistant runs by a self-join (Spark: lag window) — independent
-    // derivations of every flag.
-    "q_transcript_lint" -> ((s, dir) => {
-      import s.implicits._
-      val bad = Seq(
-        ("lint-gap", 0, "user", "hello there", ""),
-        ("lint-gap", 2, "assistant", "hi again", ""),
-        ("lint-dup", 1, "user", "first copy", ""),
-        ("lint-dup", 1, "user", "second copy", ""),
-        ("lint-empty", 0, "user", "", ""),
-        ("lint-tool", 0, "user", "call it", "{\"name\":\"x\"}"),
-        ("lint-tool", 1, "assistant", "ok", ""))
-        .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    // assistant runs by a distinct self-join (Spark: index-set
+    // intersection) — independent derivations of every flag.
+    "q_transcript_lint" -> ((s, dir) =>
       TrainFormat.lintConversations(
         Turns.synth(s, dir).toDF()
           .select("conv_id", "turn_idx", "role", "text", "tool")
-          .unionByName(bad))
-    }),
+          .unionByName(s.sql(
+            s"SELECT * FROM VALUES $LintBadRows AS v(conv_id, turn_idx, role, text, tool)")))),
 
     // Context-window truncation: keep the newest suffix of each
     // conversation that fits 120 whitespace tokens (suffix-sum window
@@ -2181,17 +2187,11 @@ object SparkEntry {
         s"""$cte, t AS (
              SELECT conv_id, turn_idx, role, text, tool FROM turns
              UNION ALL
-             SELECT * FROM (VALUES
-               ('lint-gap', 0, 'user', 'hello there', ''),
-               ('lint-gap', 2, 'assistant', 'hi again', ''),
-               ('lint-dup', 1, 'user', 'first copy', ''),
-               ('lint-dup', 1, 'user', 'second copy', ''),
-               ('lint-empty', 0, 'user', '', ''),
-               ('lint-tool', 0, 'user', 'call it', '{"name":"x"}'),
-               ('lint-tool', 1, 'assistant', 'ok', ''))
+             SELECT * FROM (VALUES $LintBadRows)
                v(conv_id, turn_idx, role, text, tool)),
            runs AS (
-             SELECT a.conv_id, count(*) AS ar FROM t a JOIN t b
+             SELECT a.conv_id, count(DISTINCT a.turn_idx) AS ar
+             FROM t a JOIN t b
                ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
               AND a.role = 'assistant' AND b.role = 'assistant'
              GROUP BY a.conv_id),

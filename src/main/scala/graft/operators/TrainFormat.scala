@@ -111,38 +111,43 @@ object TrainFormat {
     *    no duplicates — a gap means turns were dropped mid-export).
     *  - `no_empty_text`: no turn has empty text.
     *  - `tool_ok`: tool payloads appear only on `tool`-role turns.
-    *  - `assistant_runs`: count of ADJACENT (`turn_idx`, `turn_idx+1`)
-    *    assistant→assistant pairs — doubled replies from retry bugs.
+    *  - `assistant_runs`: count of distinct indices `i` where an
+    *    assistant turn at `i` is directly followed (at `i+1`) by an
+    *    assistant turn — doubled replies from retry bugs. Existence
+    *    semantics by VALUE, so neither sort-position ties under
+    *    duplicate indices nor gaps can fake or split a run (a lag
+    *    window would count tie groups shuffle-order-dependently).
     *  - `lint_ok`: all of the above (with `assistant_runs` reported,
     *    not gating — some products legitimately stream multi-part
     *    replies).
     *
-    * One conv_id exchange: the lag window and the groupBy share the
-    * partitioning. Contiguity here is the (min=0, max=n-1,
-    * n distinct) characterization; the oracle re-derives it via the
-    * arithmetic-series sum — different proofs of the same property.
-    * Adjacency is by `turn_idx` value (lag + explicit prev_idx check),
-    * NOT by sort position, so a gapped conversation can't fake a run.
+    * ONE pure groupBy = one conv_id exchange (no window): the index
+    * sets are `collect_set` columns bounded by conversation length —
+    * the same bound every per-conversation operator here carries —
+    * and runs fall out as `|aset ∩ (aset+1)|`. Contiguity is the
+    * (min=0, max=n-1, n distinct) characterization; the oracle
+    * re-derives it via the arithmetic-series sum and the runs via a
+    * self-join — different proofs of every flag. Under duplicate
+    * MINIMAL indices with conflicting roles the first-turn pick is
+    * tie-nondeterministic (as is any argmin) — such conversations
+    * already fail `contiguous_ok`.
     */
   def lintConversations(turns: DataFrame): DataFrame = {
-    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    val withPrev = turns
-      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
-        col("role"), col("text"), col("tool"))
-      .withColumn("prev_role", lag("role", 1).over(w))
-      .withColumn("prev_idx", lag("turn_idx", 1).over(w))
+    val t = turns.select(col("conv_id"),
+      col("turn_idx").cast("int").as("turn_idx"),
+      col("role"), col("text"), col("tool"))
     val n = count(lit(1))
-    withPrev.groupBy("conv_id").agg(
+    val aset = collect_set(when(col("role") === "assistant", col("turn_idx")))
+    t.groupBy("conv_id").agg(
       n.cast("int").as("n_turns"),
       min_by(col("role"), col("turn_idx")).isin("user", "system").as("starts_ok"),
       (min("turn_idx") === 0 && max("turn_idx") === n.cast("int") - 1 &&
-        countDistinct("turn_idx") === n).as("contiguous_ok"),
+        size(collect_set(col("turn_idx"))) === n).as("contiguous_ok"),
       (min(length(col("text"))) > 0).as("no_empty_text"),
       (min(when(col("tool") === "" || col("role") === "tool", 1).otherwise(0)) === 1)
         .as("tool_ok"),
-      sum(when(col("role") === "assistant" && col("prev_role") === "assistant" &&
-        col("prev_idx") === col("turn_idx") - 1, 1).otherwise(0))
-        .cast("int").as("assistant_runs"))
+      size(array_intersect(aset, transform(aset, i => i + 1)))
+        .as("assistant_runs"))
       .withColumn("lint_ok",
         col("starts_ok") && col("contiguous_ok") && col("no_empty_text") &&
           col("tool_ok"))
@@ -159,13 +164,22 @@ object TrainFormat {
     * Declarative on purpose: ONE window (suffix running sum over the
     * conv_id exchange) — unlike [[packSamples]] there is no
     * reset-on-overflow state, so the plain window expresses it and
-    * Catalyst keeps it in one exchange. The oracle re-derives the
-    * suffix sums with a self-join aggregation, an algorithm this plan
-    * never runs.
+    * Catalyst keeps it in one exchange. The frame is a DESCENDING
+    * RANGE running sum, not `(currentRow, unboundedFollowing)` over
+    * ascending rows: Spark evaluates an unbounded-FOLLOWING frame by
+    * recomputing the aggregate from scratch at every row (rows leave
+    * the frame's front) — O(n²) inside the giant-conversation
+    * partition this repo deliberately plants — while the
+    * unbounded-PRECEDING frame is incremental O(n); and RANGE (not
+    * ROWS) makes duplicate turn_idx values share one suffix total,
+    * the same `b.turn_idx >= a.turn_idx` semantics as the oracle's
+    * self-join instead of a shuffle-order-dependent split. The oracle
+    * re-derives the suffix sums with that self-join aggregation, an
+    * algorithm this plan never runs.
     */
   def contextTrim(turns: DataFrame, budget: Int): DataFrame = {
-    val wSuf = Window.partitionBy("conv_id").orderBy("turn_idx")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wSuf = Window.partitionBy("conv_id").orderBy(col("turn_idx").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     turns
       .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
         size(split(col("text"), " ")).as("tok"))

@@ -134,15 +134,20 @@ class TrainFormatSpec extends AnyFunSuite {
     val df = Seq(
       ("a", 0, text(50)), ("a", 1, text(40)), ("a", 2, text(30)), ("a", 3, text(20)),
       ("b", 0, text(200)), ("b", 1, text(10)),
-      ("c", 0, text(300)))
+      ("c", 0, text(300)),
+      // duplicate index: RANGE frame gives both tie rows the SAME
+      // suffix total (a ROWS frame would split it by shuffle order)
+      ("d", 0, text(85)), ("d", 1, text(3)), ("d", 1, text(2)))
       .toDF("conv_id", "turn_idx", "text")
     val got = TrainFormat.contextTrim(df, budget = 90)
-      .as[(String, Int, Int, Long, Boolean)].collect().sortBy(r => (r._1, r._2))
+      .as[(String, Int, Int, Long, Boolean)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
     assert(got.toSeq == Seq(
       ("a", 0, 50, 140L, false), ("a", 1, 40, 90L, true),
       ("a", 2, 30, 50L, true), ("a", 3, 20, 20L, true),
       ("b", 0, 200, 210L, false), ("b", 1, 10, 10L, true),
-      ("c", 0, 300, 300L, false)))
+      ("c", 0, 300, 300L, false),
+      ("d", 0, 85, 90L, true), ("d", 1, 2, 5L, true), ("d", 1, 3, 5L, true)))
     // invariant: the kept set is a contiguous suffix per conversation
     for ((_, rows) <- got.groupBy(_._1)) {
       val keptFlags = rows.sortBy(_._2).map(_._5)
@@ -164,6 +169,11 @@ class TrainFormatSpec extends AnyFunSuite {
       ("dup", 1, "user", "x", ""), ("dup", 1, "user", "y", ""),
       // does not start at zero
       ("offset", 1, "user", "x", ""), ("offset", 2, "assistant", "y", ""),
+      // duplicate assistant indices: existence semantics count the
+      // 0→1 adjacency ONCE (a pair-multiplicity join would say 2, a
+      // lag window would depend on shuffle tie order)
+      ("dupasst", 0, "assistant", "a", ""), ("dupasst", 1, "assistant", "b", ""),
+      ("dupasst", 1, "assistant", "c", ""),
       // empty text / tool payload on a user turn
       ("empty", 0, "user", "", ""),
       ("badtool", 0, "user", "q", "{\"t\":1}"))
@@ -176,6 +186,7 @@ class TrainFormatSpec extends AnyFunSuite {
     assert(got("gapped") == (("gapped", 2, false, false, true, true, 0, false)))
     assert(got("dup") == (("dup", 2, true, false, true, true, 0, false)))
     assert(got("offset") == (("offset", 2, true, false, true, true, 0, false)))
+    assert(got("dupasst") == (("dupasst", 3, false, false, true, true, 1, false)))
     assert(got("empty") == (("empty", 1, true, true, false, true, 0, false)))
     assert(got("badtool") == (("badtool", 1, true, true, true, false, 0, false)))
   }
@@ -199,13 +210,24 @@ class TrainFormatSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(".r
       .findAllIn(pack).length == 1, pack)
     // contextTrim: one window exchange, no join (the self-join lives
-    // only in the oracle)
+    // only in the oracle), and the frame must be the incremental
+    // unbounded-PRECEDING range sum — an unbounded-FOLLOWING frame is
+    // recomputed from scratch per row, O(n²) in the giant conversation
     val trim = TrainFormat.contextTrim(df, 10)
       .queryExecution.executedPlan.toString
     assert(!trim.contains("SinglePartition"), trim)
     assert("Exchange hashpartitioning\\(".r
       .findAllIn(trim).length == 1, trim)
     assert(!trim.contains("Join"), trim)
+    assert(!trim.contains("unboundedfollowing"), trim)
+    // lintConversations: a single pure groupBy — one exchange (no
+    // window, no distinct-aggregate expand adding a second one)
+    val lint = TrainFormat.lintConversations(
+      df.withColumn("tool", lit("")))
+      .queryExecution.executedPlan.toString
+    assert(!lint.contains("SinglePartition"), lint)
+    assert("Exchange hashpartitioning\\(".r
+      .findAllIn(lint).length == 1, lint)
   }
 
   test("incrementalDedup: exact flags, Bloom superset, empty history") {
