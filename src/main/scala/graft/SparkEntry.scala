@@ -724,6 +724,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic mixture interleave: en (w=3) / de (w=2) / other
+    // (w=1) strata of the documents table stride-scheduled into one
+    // training order. The oracle derives per-source sequence numbers
+    // and global positions with window row_number — Spark uses the
+    // distributed range-partition zipWithIndex twice; identical double
+    // division k/w and (source, id) tie-breaks keep the orders equal.
+    "q_mixture_interleave" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Corpus.mixtureInterleave(Seq(
+        ("en", d.filter(col("lang") === "en"), 3.0),
+        ("de", d.filter(col("lang") === "de"), 2.0),
+        ("other", d.filter(col("lang") =!= "en" && col("lang") =!= "de"), 1.0)),
+        "doc_id")
+    }),
+
     // SEMANTIC decontamination — embedding-space complement of
     // q_decontaminate's n-gram overlap: benchmark = the 20 base
     // vectors the planted corpus derives from, so the planted variants
@@ -1786,6 +1801,28 @@ object SparkEntry {
            FROM base b JOIN la USING (doc_id)
            LEFT JOIN ba USING (doc_id) LEFT JOIN fa USING (doc_id)
            ORDER BY b.doc_id""",
+
+      // mixture interleave: window row_number per source + global —
+      // vs Spark's two distributed zipWithIndex passes
+      "q_mixture_interleave" ->
+        """WITH s AS (
+             SELECT doc_id AS id,
+               CASE WHEN lang = 'en' THEN 'en'
+                    WHEN lang = 'de' THEN 'de' ELSE 'other' END AS source,
+               CASE WHEN lang = 'en' THEN CAST(3.0 AS DOUBLE)
+                    WHEN lang = 'de' THEN CAST(2.0 AS DOUBLE)
+                    ELSE CAST(1.0 AS DOUBLE) END AS w
+             FROM documents),
+           k AS (
+             SELECT id, source, w,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY id)
+                 AS BIGINT) AS k
+             FROM s),
+           key AS (SELECT id, source, k, k / w AS sk FROM k)
+           SELECT CAST(row_number() OVER (ORDER BY sk, source, id) AS BIGINT)
+                    AS pos,
+             source, id, k, round(sk, 6) AS stride_key
+           FROM key""",
 
       // semantic decontamination: DuckDB's own cosine over the same
       // planted CTE; argmax via row_number, verdict at full precision

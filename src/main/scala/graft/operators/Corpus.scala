@@ -35,6 +35,44 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Deterministic weighted mixture interleave — stride scheduling
+    * (weighted fair queuing) over N corpora: blend the sources into
+    * ONE reproducible training order whose every prefix contains each
+    * source in ≈weight proportion (the property epoch-level "sample
+    * source s with probability w_s" only gives in expectation). The
+    * k-th document of source s (1-based, ordered by id) gets stride
+    * key `k / w_s`; the global order is `(key, source, id)` — up to
+    * any key cut K, source s has contributed exactly `floor(K · w_s)`
+    * documents.
+    *
+    * Scale shape: producing a total training order IS a global sort —
+    * both the per-source sequence numbers and the final positions go
+    * through [[Positional.withGlobalIndex]] (range partition +
+    * per-partition offsets on one RDD lineage), never a
+    * single-partition window. Doubles divide identically in Spark and
+    * DuckDB, and ties (`k1/w1 == k2/w2` exactly) break on
+    * `(source, id)` in both engines.
+    *
+    * @param sources (name, docs, weight>0); `idCol` must be unique
+    *                within each source
+    * @return (pos, source, id, k, stride_key) in mixture order
+    */
+  def mixtureInterleave(sources: Seq[(String, DataFrame, Double)],
+      idCol: String): DataFrame = {
+    require(sources.nonEmpty && sources.forall(_._3 > 0),
+      "mixtureInterleave: need at least one source, all weights > 0")
+    val keyed = sources.map { case (name, df, w) =>
+      Positional.withGlobalIndex(
+        df.select(col(idCol).cast("long").as("id"),
+          lit(name).as("source")),
+        Seq("id"), "k")
+        .withColumn("stride_key", col("k") / lit(w))
+    }.reduce(_ unionByName _)
+    Positional.withGlobalIndex(keyed, Seq("stride_key", "source", "id"), "pos")
+      .select(col("pos"), col("source"), col("id"), col("k"),
+        round(col("stride_key"), 6).as("stride_key"))
+  }
+
   /** Word k-grams of `text` under split-by-single-space semantics —
     * identical to `string_split(text, ' ')` + slicing in SQL. Empty
     * when the text has fewer than k words.

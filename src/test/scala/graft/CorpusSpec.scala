@@ -324,6 +324,31 @@ class CorpusSpec extends AnyFunSuite {
       .collect().forall(_.getBoolean(4)))
   }
 
+  test("mixtureInterleave: exact stride order and prefix proportionality") {
+    import spark.implicits._
+    val a = (1L to 6L).toDF("doc_id")
+    val b = (101L to 103L).toDF("doc_id")
+    val got = Corpus.mixtureInterleave(Seq(("A", a, 2.0), ("B", b, 1.0)), "doc_id")
+      .orderBy("pos")
+      .select("pos", "source", "id", "k")
+      .as[(Long, String, Long, Long)].collect()
+    // keys: A .5,1,1.5,2,2.5,3 / B 1,2,3; ties (1.0, 2.0, 3.0) break
+    // A before B → perfect A A B repetition
+    assert(got.map(_._2).toSeq ==
+      Seq("A", "A", "B", "A", "A", "B", "A", "A", "B"))
+    assert(got.map(_._1).toSeq == (1L to 9L))
+    assert(got.map(_._3).toSeq ==
+      Seq(1L, 2L, 101L, 3L, 4L, 102L, 5L, 6L, 103L))
+    // stride guarantee: every prefix stays within one stride of the
+    // 2:1 weight proportion
+    for (m <- 1 to 9) {
+      val prefix = got.take(m)
+      val nA = prefix.count(_._2 == "A").toDouble
+      val nB = prefix.count(_._2 == "B").toDouble
+      assert(math.abs(nA - 2 * nB) <= 2, s"prefix $m: $nA vs $nB")
+    }
+  }
+
   test("plan shape: the corpus-selection family never funnels through one partition") {
     import spark.implicits._
     val docs = (0L until 40L)
