@@ -732,10 +732,13 @@ object SparkEntry {
     // division k/w and (source, id) tie-breaks keep the orders equal.
     "q_mixture_interleave" -> ((s, dir) => {
       val d = docs(s, dir)
+      // null-safe stratum split: a NULL lang routes to 'other' exactly
+      // like the oracle's CASE ... ELSE (a bare =!= filter would
+      // silently drop it from every stratum)
       Corpus.mixtureInterleave(Seq(
         ("en", d.filter(col("lang") === "en"), 3.0),
         ("de", d.filter(col("lang") === "de"), 2.0),
-        ("other", d.filter(col("lang") =!= "en" && col("lang") =!= "de"), 1.0)),
+        ("other", d.filter(!coalesce(col("lang"), lit("")).isin("en", "de")), 1.0)),
         "doc_id")
     }),
 
@@ -1821,7 +1824,7 @@ object SparkEntry {
            key AS (SELECT id, source, k, k / w AS sk FROM k)
            SELECT CAST(row_number() OVER (ORDER BY sk, source, id) AS BIGINT)
                     AS pos,
-             source, id, k, round(sk, 6) AS stride_key
+             source, id, k, sk AS stride_key
            FROM key""",
 
       // semantic decontamination: DuckDB's own cosine over the same

@@ -53,24 +53,36 @@ object Corpus {
     * DuckDB, and ties (`k1/w1 == k2/w2` exactly) break on
     * `(source, id)` in both engines.
     *
-    * @param sources (name, docs, weight>0); `idCol` must be unique
-    *                within each source
-    * @return (pos, source, id, k, stride_key) in mixture order
+    * @param sources (name, docs, weight>0), names unique; `idCol` must
+    *                be unique and non-null (long-castable) within each
+    *                source — a null id would silently tie the total
+    *                order `withGlobalIndex` depends on, so it fails
+    *                loud per row instead
+    * @return (pos, source, id, k, stride_key) in mixture order;
+    *         `stride_key` is the raw double (rounding for display or
+    *         comparison belongs to the caller — per-row round() halves
+    *         diverge between decimal- and binary-rounding engines)
     */
   def mixtureInterleave(sources: Seq[(String, DataFrame, Double)],
       idCol: String): DataFrame = {
     require(sources.nonEmpty && sources.forall(_._3 > 0),
       "mixtureInterleave: need at least one source, all weights > 0")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "mixtureInterleave: duplicate source names would collide in the " +
+        "(source, id) tie-break")
     val keyed = sources.map { case (name, df, w) =>
+      val id = col(idCol).cast("long")
       Positional.withGlobalIndex(
-        df.select(col(idCol).cast("long").as("id"),
+        df.select(
+          when(id.isNull, raise_error(lit(
+            s"mixtureInterleave: null/non-numeric $idCol in source '$name'")))
+            .otherwise(id).as("id"),
           lit(name).as("source")),
         Seq("id"), "k")
         .withColumn("stride_key", col("k") / lit(w))
     }.reduce(_ unionByName _)
     Positional.withGlobalIndex(keyed, Seq("stride_key", "source", "id"), "pos")
-      .select(col("pos"), col("source"), col("id"), col("k"),
-        round(col("stride_key"), 6).as("stride_key"))
+      .select("pos", "source", "id", "k", "stride_key")
   }
 
   /** Word k-grams of `text` under split-by-single-space semantics —

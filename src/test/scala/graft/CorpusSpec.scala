@@ -347,6 +347,15 @@ class CorpusSpec extends AnyFunSuite {
       val nB = prefix.count(_._2 == "B").toDouble
       assert(math.abs(nA - 2 * nB) <= 2, s"prefix $m: $nA vs $nB")
     }
+    // guards: duplicate source names and null ids would silently break
+    // the (source, id) total order — both fail loud instead
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureInterleave(Seq(("A", a, 1.0), ("A", b, 1.0)), "doc_id")
+    }
+    val withNull = Seq(Some(1L), None).toDF("doc_id")
+    intercept[Exception] {
+      Corpus.mixtureInterleave(Seq(("N", withNull, 1.0)), "doc_id").collect()
+    }
   }
 
   test("plan shape: the corpus-selection family never funnels through one partition") {
