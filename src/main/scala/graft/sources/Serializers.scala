@@ -23,6 +23,81 @@ object Serializers {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Sharded training-data export: `df` written as `shard=0..n-1`
+    * JSONL directories with DETERMINISTIC shard assignment
+    * (`pmod(xxhash64(idCol), n)` — stable across runs, cluster sizes
+    * and row order, unlike round-robin repartition), plus a
+    * `_MANIFEST.json` at the root recording per-shard row counts and
+    * byte sizes. One hash exchange on the shard key; the manifest's
+    * counts come from a map-side-combined aggregation over the same
+    * data and its byte sizes from the filesystem listing after the
+    * write — so a reader can verify integrity without re-counting.
+    *
+    * @return (shard, rows, bytes) as written to the manifest
+    */
+  def writeShardedJsonl(df: DataFrame, idCol: String, outDir: String,
+      nShards: Int): Seq[(Int, Long, Long)] = {
+    require(nShards > 0, "writeShardedJsonl: nShards must be positive")
+    val spark = df.sparkSession
+    val sharded = df.withColumn("shard",
+      pmod(xxhash64(col(idCol)), lit(nShards)).cast("int"))
+    sharded.repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").json(outDir)
+    val counts = sharded.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = (0 until nShards).map { s =>
+      val dir = new org.apache.hadoop.fs.Path(outDir, s"shard=$s")
+      val bytes =
+        if (!fs.exists(dir)) 0L
+        else fs.listStatus(dir).filter(st => st.isFile &&
+          st.getPath.getName.startsWith("part-")).map(_.getLen).sum
+      (s, counts.getOrElse(s, 0L), bytes)
+    }
+    val json = entries.map { case (s, r, b) =>
+      s"""{"shard":$s,"rows":$r,"bytes":$b}""" }
+      .mkString("[", ",", "]")
+    val out = fs.create(new org.apache.hadoop.fs.Path(outDir, "_MANIFEST.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    entries
+  }
+
+  /** Load a [[writeShardedJsonl]] export and VERIFY it against its
+    * manifest: per-shard row counts must match exactly — a missing or
+    * truncated shard fails loud at load (the checkpoint
+    * adoption-guard convention), never trains on silently partial
+    * data. Returns the rows with their `shard` column.
+    */
+  def readShardedJsonl(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(dir, "_MANIFEST.json")
+    require(fs.exists(mPath), s"readShardedJsonl: no _MANIFEST.json in $dir")
+    val manifest = {
+      val in = fs.open(mPath)
+      val raw = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      // minimal parse of our own fixed-shape writer output
+      """\{"shard":(\d+),"rows":(\d+),"bytes":(\d+)\}""".r
+        .findAllMatchIn(raw)
+        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    }
+    val df = spark.read.schema(schema)
+      .option("basePath", dir).json(s"$dir/shard=*")
+    val actual = df.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expected = manifest.filter(_._2 > 0)
+    if (actual != expected)
+      throw new IllegalStateException(
+        s"readShardedJsonl: shard counts $actual do not match manifest " +
+          s"$expected in $dir — refusing to train on partial data")
+    df
+  }
+
   /** `SerializerTabsepFiles` (custom_serialize.py:187): one row per
     * line, tab-separated columns.
     */

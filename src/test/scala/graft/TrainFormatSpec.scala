@@ -124,6 +124,60 @@ class TrainFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("renderChat matches the local render on random adversarial corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = Array("a", "b c", "\n", "é", "😀", "|>", "<|", "", "\t x")
+    val rows = for {
+      c <- 0 until 7
+      t <- 0 until (1 + rnd.nextInt(9))
+    } yield (s"c$c", t,
+      if (rnd.nextBoolean()) "assistant" else "user",
+      Seq.fill(rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val got = TrainFormat.renderChat(
+      rows.toDF("conv_id", "turn_idx", "role", "text").repartition(5))
+      .select("conv_id", "turn_idx", "role", "t_begin", "t_end", "mask", "conv_md5")
+      .as[(String, Int, String, Long, Long, Int, String)]
+      .collect().groupBy(_._1)
+    for ((conv, turns) <- rows.groupBy(_._1)) {
+      val (rendered, spans) = renderLocal(turns.map(t => (t._2, t._3, t._4)))
+      val rs = got(conv).sortBy(_._2)
+      assert(rs.map(r => (r._2, r._4, r._5, if (r._3 == "assistant") 1 else 0))
+        .toSeq == spans.map(s => (s._1, s._2, s._3, s._4)))
+      assert(rs.forall(_._7 == md5hex(rendered)))
+      assert(rs.forall(r => r._6 == (if (r._3 == "assistant") 1 else 0)))
+    }
+  }
+
+  test("packSamples invariants: coverage, monotone ids, fit, greedy maximality") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val budget = 15
+    val rows = for {
+      c <- 0 until 11
+      t <- 0 until (1 + rnd.nextInt(25))
+    } yield (s"c$c", t, Seq.fill(1 + rnd.nextInt(24))("w").mkString(" "))
+    val got = TrainFormat.packSamples(
+      rows.toDF("conv_id", "turn_idx", "text").repartition(4), budget)
+      .as[(String, Int, Int, Int)].collect()
+    assert(got.length == rows.length)
+    for ((conv, rs0) <- got.groupBy(_._1)) {
+      val rs = rs0.sortBy(_._2)
+      // sample ids start at 0 and advance by at most 1, never backward
+      assert(rs.head._3 == 0)
+      assert(rs.zip(rs.tail).forall { case (a, b) =>
+        b._3 == a._3 || b._3 == a._3 + 1 })
+      val bySample = rs.groupBy(_._3).toSeq.sortBy(_._1)
+      for ((_, sTurns) <- bySample)
+        // a sample fits the budget unless it is one oversize turn
+        assert(sTurns.map(_._4).sum <= budget || sTurns.length == 1)
+      for (((_, prev), (_, cur)) <- bySample.zip(bySample.tail))
+        // greedy maximality: the turn that opened this sample would
+        // have overflowed the previous one
+        assert(prev.map(_._4).sum + cur.head._4 > budget)
+    }
+  }
+
   test("contextTrim keeps exactly the newest suffix that fits") {
     import spark.implicits._
     def text(k: Int) = Seq.fill(k)("w").mkString(" ")
