@@ -28,22 +28,33 @@ object Serializers {
     * (`pmod(xxhash64(idCol), n)` — stable across runs, cluster sizes
     * and row order, unlike round-robin repartition), plus a
     * `_MANIFEST.json` at the root recording per-shard row counts and
-    * byte sizes. One hash exchange on the shard key; the manifest's
-    * counts come from a map-side-combined aggregation over the same
-    * data and its byte sizes from the filesystem listing after the
-    * write — so a reader can verify integrity without re-counting.
+    * byte sizes.
+    *
+    * The manifest describes DISK TRUTH: counts come from one cheap
+    * line-count pass over the files just written (JSONL = one record
+    * per line), never from re-evaluating the input lineage — a
+    * non-deterministic upstream (`sample()`, `rand()` filters,
+    * shuffle-order-tied `dropDuplicates`) would make a recomputed
+    * count disagree with the files and poison every future load.
     *
     * @return (shard, rows, bytes) as written to the manifest
     */
   def writeShardedJsonl(df: DataFrame, idCol: String, outDir: String,
       nShards: Int): Seq[(Int, Long, Long)] = {
     require(nShards > 0, "writeShardedJsonl: nShards must be positive")
+    require(!df.columns.contains("shard"),
+      "writeShardedJsonl: input already has a 'shard' column — rename " +
+        "it first; the export uses 'shard' as its partition key and " +
+        "withColumn would silently clobber the caller's data")
     val spark = df.sparkSession
-    val sharded = df.withColumn("shard",
-      pmod(xxhash64(col(idCol)), lit(nShards)).cast("int"))
-    sharded.repartition(nShards, col("shard"))
+    df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(nShards)).cast("int"))
+      .repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").json(outDir)
-    val counts = sharded.groupBy("shard").count()
+    import spark.implicits._
+    val counts = spark.read.textFile(s"$outDir/shard=*/part-*")
+      .select(regexp_extract(input_file_name(), "shard=(\\d+)", 1)
+        .cast("int").as("shard"))
+      .groupBy("shard").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -64,37 +75,64 @@ object Serializers {
     entries
   }
 
-  /** Load a [[writeShardedJsonl]] export and VERIFY it against its
-    * manifest: per-shard row counts must match exactly — a missing or
-    * truncated shard fails loud at load (the checkpoint
-    * adoption-guard convention), never trains on silently partial
-    * data. Returns the rows with their `shard` column.
+  /** Load a [[writeShardedJsonl]] export, VERIFYING it against its
+    * manifest before returning (the checkpoint adoption-guard
+    * convention — never train on silently partial data):
+    *
+    *  - default gate, O(#files): every non-empty manifest shard must
+    *    exist with EXACTLY the recorded part-file bytes. This catches
+    *    missing shards AND in-place truncation/corruption — which a
+    *    row-count under PERMISSIVE JSON parsing would MISS (a torn
+    *    last line still yields one all-null row) — at listing cost,
+    *    no data scan.
+    *  - `recount = true` additionally replays the per-shard row-count
+    *    comparison (one full read) for belt-and-braces loads.
     */
   def readShardedJsonl(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame = {
+      schema: StructType, recount: Boolean = false): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mPath = new org.apache.hadoop.fs.Path(dir, "_MANIFEST.json")
     require(fs.exists(mPath), s"readShardedJsonl: no _MANIFEST.json in $dir")
-    val manifest = {
+    val manifest: Seq[(Int, Long, Long)] = {
       val in = fs.open(mPath)
-      val raw = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in),
+      val raw = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      // minimal parse of our own fixed-shape writer output
-      """\{"shard":(\d+),"rows":(\d+),"bytes":(\d+)\}""".r
-        .findAllMatchIn(raw)
-        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+      // real JSON parse (Jackson ships with Spark) — a regex over the
+      // writer's byte layout would silently drop entries on any
+      // format evolution instead of erroring
+      import scala.jdk.CollectionConverters._
+      val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+      require(tree.isArray, s"readShardedJsonl: malformed manifest in $dir")
+      tree.elements().asScala.map(n =>
+        (n.get("shard").asInt, n.get("rows").asLong, n.get("bytes").asLong))
+        .toSeq
     }
+    def refuse(problems: Seq[String]): Nothing =
+      throw new IllegalStateException(
+        s"readShardedJsonl: ${problems.mkString("; ")} in $dir — " +
+          "refusing to train on partial data")
+    val byteProblems = manifest.filter(_._2 > 0).flatMap { case (s, _, bytes) =>
+      val p = new org.apache.hadoop.fs.Path(dir, s"shard=$s")
+      if (!fs.exists(p)) Some(s"shard=$s missing")
+      else {
+        val actual = fs.listStatus(p).filter(st => st.isFile &&
+          st.getPath.getName.startsWith("part-")).map(_.getLen).sum
+        if (actual != bytes) Some(s"shard=$s has $actual bytes, manifest says $bytes")
+        else None
+      }
+    }
+    if (byteProblems.nonEmpty) refuse(byteProblems)
     val df = spark.read.schema(schema)
       .option("basePath", dir).json(s"$dir/shard=*")
-    val actual = df.groupBy("shard").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val expected = manifest.filter(_._2 > 0)
-    if (actual != expected)
-      throw new IllegalStateException(
-        s"readShardedJsonl: shard counts $actual do not match manifest " +
-          s"$expected in $dir — refusing to train on partial data")
+    if (recount) {
+      val actual = df.groupBy("shard").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val expected = manifest.filter(_._2 > 0)
+        .map(e => e._1 -> e._2).toMap
+      if (actual != expected)
+        refuse(Seq(s"shard counts $actual do not match manifest $expected"))
+    }
     df
   }
 

@@ -24,7 +24,9 @@ class SinkSpec extends AnyFunSuite {
       assert(manifest.map(_._2).sum == 300L)
       assert(manifest.forall { case (_, rows, bytes) =>
         (rows == 0) == (bytes == 0) })
-      // verified round-trip: counts gate passes, all rows come back
+      // verified round-trip (byte gate + the optional recount gate):
+      // all rows come back
+      Serializers.readShardedJsonl(spark, dir, schema, recount = true).count()
       val back = Serializers.readShardedJsonl(spark, dir, schema)
       assert(back.count() == 300L)
       assert(back.select("doc_id", "text").as[(Long, String)].collect().toSet ==
@@ -54,14 +56,33 @@ class SinkSpec extends AnyFunSuite {
     try {
       val docs = (0L until 120L).map(i => (i, s"d $i")).toDF("doc_id", "text")
       Serializers.writeShardedJsonl(docs, "doc_id", dir, 4)
+      // an input that already carries a 'shard' column is rejected
+      // instead of silently clobbered
+      intercept[IllegalArgumentException] {
+        Serializers.writeShardedJsonl(
+          docs.withColumn("shard", lit(0)), "doc_id", dir + "_x", 4)
+      }
+      // truncate a part file IN PLACE → byte gate refuses (a PERMISSIVE
+      // row count would still see a row for the torn line)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      val part = shardDirs.head.listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val raw = java.nio.file.Files.readAllBytes(part.toPath)
+      java.nio.file.Files.write(part.toPath,
+        java.util.Arrays.copyOf(raw, raw.length - 3))
+      val t = intercept[IllegalStateException] {
+        Serializers.readShardedJsonl(spark, dir, schema)
+      }
+      assert(t.getMessage.contains("refusing"))
+      java.nio.file.Files.write(part.toPath, raw) // restore
+      Serializers.readShardedJsonl(spark, dir, schema) // green again
       // drop one whole shard directory → load must fail loud
-      val victim = new java.io.File(dir).listFiles()
-        .filter(_.getName.startsWith("shard=")).head
-      org.apache.commons.io.FileUtils.deleteDirectory(victim)
+      org.apache.commons.io.FileUtils.deleteDirectory(shardDirs.last)
       val e = intercept[IllegalStateException] {
         Serializers.readShardedJsonl(spark, dir, schema).count()
       }
-      assert(e.getMessage.contains("manifest"))
+      assert(e.getMessage.contains("refusing"))
       // no manifest at all → refused up front
       val bare = java.nio.file.Files.createTempDirectory("graft_sink4").toString
       try intercept[IllegalArgumentException] {
