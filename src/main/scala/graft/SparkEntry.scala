@@ -385,6 +385,37 @@ object SparkEntry {
           FROM src, range(1, ${levels + 1}) t(c) WHERE vec_id < $nSources),
         corpus AS (SELECT * FROM src UNION ALL SELECT * FROM planted)"""
 
+  /** Chat-render oracle body over any `base(conv_id, turn_idx, role,
+    * text)` CTE: window running sum for offsets, string_agg ORDER BY
+    * + md5 for the whole-string witness — independent derivations of
+    * the arithmetic AND the concatenation, shared verbatim by
+    * `q_chat_render` (raw turns) and `q_train_e2e` (extracted text).
+    */
+  private def renderOracleSql(baseCte: String): String =
+    s"""$baseCte,
+       p AS (
+         SELECT conv_id, turn_idx, role, text,
+           concat('<|', role, '|>', chr(10), text, chr(10)) AS piece
+         FROM base),
+       o AS (
+         SELECT conv_id, turn_idx, role,
+           COALESCE(sum(length(piece)) OVER (PARTITION BY conv_id
+             ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + length(role) + 5 AS tb,
+           length(text) AS tl
+         FROM p),
+       r AS (
+         SELECT conv_id,
+           md5(string_agg(piece, '' ORDER BY turn_idx)) AS conv_md5
+         FROM p GROUP BY conv_id)
+       SELECT o.conv_id, o.turn_idx, o.role,
+         CAST(o.tb AS BIGINT) AS t_begin,
+         CAST(o.tb + o.tl AS BIGINT) AS t_end,
+         CAST(CASE WHEN o.role = 'assistant' THEN 1 ELSE 0 END AS INT) AS mask,
+         r.conv_md5
+       FROM o JOIN r ON o.conv_id = r.conv_id"""
+
   /** Planted pathological conversations for `q_transcript_lint` — ONE
     * row-list literal interpolated into BOTH engines' VALUES clause
     * (Spark `FROM VALUES … AS v(…)`, DuckDB `FROM (VALUES …) v(…)`),
@@ -993,6 +1024,20 @@ object SparkEntry {
     // string_agg ORDER BY — independent formulations of both.
     "q_chat_render" -> ((s, dir) =>
       TrainFormat.renderChat(Turns.synth(s, dir).toDF())),
+
+    // Extraction → formatting composition: the full document-AI
+    // pipeline's extracted text rendered into training samples with
+    // spans + masks + whole-string digests — the oracle replays the
+    // render arithmetic over the closed-form expected extraction
+    // (ExpectedExtractedSql), so a regression in EITHER layer, or in
+    // how they hand off, hash-mismatches
+    "q_train_e2e" -> ((s, dir) => {
+      import s.implicits._
+      TrainFormat.renderChat(
+        Extract.run(Turns.synth(s, dir))
+          .select($"conv_id", $"turn_idx", $"role",
+            $"extractedText".as("text")).toDF())
+    }),
 
     // Greedy sequence packing: turns packed in conversation order into
     // ≤60-whitespace-token samples (a turn alone over budget keeps its
@@ -2174,29 +2219,18 @@ object SparkEntry {
       // chat-template rendering: window running sum for offsets,
       // string_agg ORDER BY + md5 for the whole-string witness —
       // independent derivations of the arithmetic AND the concat
-      "q_chat_render" ->
-        s"""$cte, p AS (
-             SELECT conv_id, turn_idx, role, text,
-               concat('<|', role, '|>', chr(10), text, chr(10)) AS piece
-             FROM turns),
-           o AS (
-             SELECT conv_id, turn_idx, role,
-               COALESCE(sum(length(piece)) OVER (PARTITION BY conv_id
-                 ORDER BY turn_idx
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 + length(role) + 5 AS tb,
-               length(text) AS tl
-             FROM p),
-           r AS (
-             SELECT conv_id,
-               md5(string_agg(piece, '' ORDER BY turn_idx)) AS conv_md5
-             FROM p GROUP BY conv_id)
-           SELECT o.conv_id, o.turn_idx, o.role,
-             CAST(o.tb AS BIGINT) AS t_begin,
-             CAST(o.tb + o.tl AS BIGINT) AS t_end,
-             CAST(CASE WHEN o.role = 'assistant' THEN 1 ELSE 0 END AS INT) AS mask,
-             r.conv_md5
-           FROM o JOIN r ON o.conv_id = r.conv_id""",
+      "q_chat_render" -> renderOracleSql(
+        s"$cte, base AS (SELECT conv_id, turn_idx, role, text FROM turns)"),
+
+      // extraction → formatting composition: the SAME render oracle
+      // over the closed-form EXTRACTED text (ExpectedExtractedSql —
+      // the x1_extract invariant), so the document-AI layer and the
+      // training-format layer are proven to compose end-to-end
+      "q_train_e2e" -> renderOracleSql(
+        s"""$cte, base AS (
+              SELECT conv_id, turn_idx, role,
+                (${Turns.ExpectedExtractedSql}) AS text
+              FROM turns)"""),
 
       // greedy packing replayed as per-conversation linear recursion
       // (join on turn_idx + 1 advances exactly one turn per step)
