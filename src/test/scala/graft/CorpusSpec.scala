@@ -347,6 +347,25 @@ class CorpusSpec extends AnyFunSuite {
       val nB = prefix.count(_._2 == "B").toDouble
       assert(math.abs(nA - 2 * nB) <= 2, s"prefix $m: $nA vs $nB")
     }
+    // local-twin parity on random sources/weights: the distributed
+    // double zipWithIndex must reproduce the locally computed
+    // (k/w, source, id) total order exactly
+    val rnd = new scala.util.Random(31)
+    val srcs = (0 until 4).map { s =>
+      val ids = (0 until 10 + rnd.nextInt(40))
+        .map(_ => rnd.nextLong().abs % 10000).distinct.map(i => i + s * 100000L)
+      (s"s$s", ids, Array(0.5, 1.0, 2.0, 3.0)(rnd.nextInt(4)))
+    }
+    val gotRnd = Corpus.mixtureInterleave(
+      srcs.map { case (n, ids, w) => (n, ids.toDF("doc_id").repartition(3), w) },
+      "doc_id")
+      .orderBy("pos").select("source", "id")
+      .as[(String, Long)].collect().toSeq
+    val local = srcs.flatMap { case (n, ids, w) =>
+      ids.sorted.zipWithIndex.map { case (id, i) => ((i + 1) / w, n, id) }
+    }.sortBy(identity).map(t => (t._2, t._3))
+    assert(gotRnd == local)
+
     // guards: duplicate source names and null ids would silently break
     // the (source, id) total order — both fail loud instead
     intercept[IllegalArgumentException] {

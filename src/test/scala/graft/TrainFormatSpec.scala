@@ -209,6 +209,53 @@ class TrainFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("contextTrim and lintConversations match local twins on random pathological corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val roles = Array("user", "assistant", "tool", "system")
+    // random conversations WITH gaps, duplicate indices, empty texts,
+    // and misplaced tool payloads
+    val rows = for {
+      c <- 0 until 13
+      t <- 0 until (1 + rnd.nextInt(12))
+    } yield (s"c$c",
+      t + (if (rnd.nextInt(5) == 0) 1 else 0) + (if (c % 4 == 0) 0 else rnd.nextInt(2)),
+      roles(rnd.nextInt(4)),
+      if (rnd.nextInt(7) == 0) "" else Seq.fill(1 + rnd.nextInt(9))("w").mkString(" "),
+      if (rnd.nextInt(6) == 0) "{\"p\":1}" else "")
+    val df = rows.toDF("conv_id", "turn_idx", "role", "text", "tool").repartition(5)
+
+    val trim = TrainFormat.contextTrim(df, budget = 20)
+      .as[(String, Int, Int, Long, Boolean)].collect()
+    for ((conv, t, _, suffix, kept) <- trim) {
+      // suffix total is by VALUE: sum of toks at index >= t, shared by
+      // duplicate-index rows
+      val expectSuffix = rows.filter(r => r._1 == conv && r._2 >= t)
+        .map(r => r._4.split(" ", -1).length.toLong).sum
+      assert(suffix == expectSuffix, s"($conv,$t)")
+      assert(kept == (suffix <= 20))
+    }
+
+    val lint = TrainFormat.lintConversations(df)
+      .as[(String, Int, Boolean, Boolean, Boolean, Boolean, Int, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    for ((conv, ts) <- rows.groupBy(_._1)) {
+      val idxs = ts.map(_._2)
+      val minIdxRoles = ts.filter(_._2 == idxs.min).map(_._3).distinct
+      val aset = ts.filter(_._3 == "assistant").map(_._2).toSet
+      val got = lint(conv)
+      assert(got._2 == ts.length)
+      // first-turn pick is only asserted when unambiguous
+      if (minIdxRoles.length == 1)
+        assert(got._3 == Set("user", "system").contains(minIdxRoles.head))
+      assert(got._4 == (idxs.min == 0 && idxs.max == ts.length - 1 &&
+        idxs.distinct.length == ts.length))
+      assert(got._5 == ts.forall(_._4.nonEmpty))
+      assert(got._6 == ts.forall(t => t._5 == "" || t._3 == "tool"))
+      assert(got._7 == aset.count(i => aset.contains(i + 1)), s"$conv")
+    }
+  }
+
   test("lintConversations flags each pathology exactly once") {
     import spark.implicits._
     val df = Seq(
