@@ -1492,19 +1492,33 @@ object Pdf {
       if (o.stream.isDefined) LengthEntryRe.replaceAllIn(o.dict, " ") else o.dict
     val ordered = ArrayBuffer.empty[Int]
     val seen = scala.collection.mutable.HashSet[Int](page.num)
-    def visitRefs(dict: String): Unit =
-      // literal-string contents are data, not references — blank them
-      // before the scan so '(… 12 0 R …)' text can't drag object 12
-      // (or anything behind it) into the closure
-      for (m <- RefTokenRe.findAllMatchIn(mapOutsideStrings(dict, keepStrings = false)(identity));
-           n <- m.group(1).toIntOption if !seen.contains(n)) {
-        byNum.get(n).foreach { o =>
+    // explicit work stack, NOT recursion: the reference-chain length is
+    // attacker-controlled (a crafted PDF with thousands of tiny
+    // chained objects), and a StackOverflowError is fatal to the Spark
+    // task — the same no-recursion contract as Teds.TNode. Each stack
+    // frame is the dict's REMAINING ref-match iterator, so the walk
+    // reproduces the recursive pre-order exactly (descend into each
+    // ref before scanning the rest of its dict) — the renumbering,
+    // and therefore the committed fixture bytes, depend on that order.
+    // Literal-string contents are data, not references — blank them
+    // before the scan so '(… 12 0 R …)' text can't drag object 12
+    // (or anything behind it) into the closure.
+    def refMatches(dict: String): Iterator[Int] =
+      RefTokenRe.findAllMatchIn(mapOutsideStrings(dict, keepStrings = false)(identity))
+        .flatMap(_.group(1).toIntOption)
+    val work = scala.collection.mutable.Stack[Iterator[Int]](refMatches(pageDict))
+    while (work.nonEmpty) {
+      val it = work.top
+      if (!it.hasNext) work.pop()
+      else {
+        val n = it.next()
+        if (!seen.contains(n)) byNum.get(n).foreach { o =>
           seen += n
           ordered += n
-          visitRefs(scanDict(o))
+          work.push(refMatches(scanDict(o)))
         }
       }
-    visitRefs(pageDict)
+    }
     // renumber: 1 catalog, 2 pages, 3 the page, 4+ closure in order;
     // DANGLING refs (target object absent — freed by an incremental
     // update) rewrite to a dedicated null object instead of keeping

@@ -445,23 +445,34 @@ object Dedup {
     * is_canonical)` — so removal is a filter, not a join, downstream.
     *
     * Scale shape: [[components]] does the heavy lifting; the argmax is
-    * one window `row_number` partitioned by label — a single hash
-    * exchange on the cluster key, strictly cheaper than a
-    * groupBy+join-back pair. The weight keeps its input type (no
-    * silent long truncation of fractional quality scores; no
-    * arithmetic negation, so any orderable numeric works) and null
-    * weights sort LAST, never winning the argmax.
+    * aggregations + a join-back, NEVER a window partitioned by label.
+    * A window partition is one task: one giant near-dup cluster —
+    * exactly what web boilerplate produces at 100 TB — would serialize
+    * its whole cluster into a single sort task. `groupBy(label)`
+    * aggregations instead combine map-side (each input partition
+    * collapses to one row per label before the exchange), so a
+    * billion-row cluster costs each task one accumulator. Two
+    * aggregation passes keep the weight in its input type with no
+    * arithmetic negation (any orderable numeric works, fractional
+    * quality scores survive untruncated): pass 1 takes `max(weight)`
+    * per label (nulls ignored, so null weights never win unless the
+    * whole cluster is null-weighted), pass 2 takes `min(id)` among the
+    * rows tying that max (null-safe `<=>` so the all-null cluster
+    * still elects its min id). All three exchanges hash on `label`.
     *
     * @param nodes (id, weight) — every document, including singletons
     * @param pairs (id_a, id_b) near-dup pairs
     */
   def canonicalSurvivors(nodes: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
-      .orderBy(col("weight").desc_nulls_last, col("id").asc)
-    components(nodes.select("id"), pairs, maxIter)
+    val labeled = components(nodes.select("id"), pairs, maxIter)
       .join(nodes.select(col("id").cast("long").as("id"), col("weight")), Seq("id"))
-      .withColumn("is_canonical", row_number().over(w) === 1)
+    val wMax = labeled.groupBy("label").agg(max(col("weight")).as("w_max"))
+    val winner = labeled.join(wMax, Seq("label"))
+      .where(col("weight") <=> col("w_max"))
+      .groupBy("label").agg(min(col("id")).as("win_id"))
+    labeled.join(winner, Seq("label"))
+      .withColumn("is_canonical", col("id") === col("win_id"))
       .select("id", "label", "weight", "is_canonical")
   }
 

@@ -182,7 +182,10 @@ object TrainFormat {
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     turns
       .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
-        size(split(col("text"), " ")).as("tok"))
+        // null text counts as ONE empty token (the Corpus.budgetPrefix
+        // convention): without the coalesce the null tok silently
+        // leaves the window sum, undercounting every suffix above it
+        size(split(coalesce(col("text"), lit("")), " ")).as("tok"))
       .withColumn("suffix_tokens", sum(col("tok").cast("long")).over(wSuf))
       .withColumn("kept", col("suffix_tokens") <= budget)
   }
@@ -212,7 +215,10 @@ object TrainFormat {
     import spark.implicits._
     turns
       .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
-        size(split(col("text"), " ")).as("tok"))
+        // same null convention as contextTrim — and here a null tok
+        // would crash the task outright (non-nullable Int in the
+        // tuple encoder), not just miscount
+        size(split(coalesce(col("text"), lit("")), " ")).as("tok"))
       .repartition(col("conv_id"))
       .sortWithinPartitions("conv_id", "turn_idx")
       .as[(String, Int, Int)]

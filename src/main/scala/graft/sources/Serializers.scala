@@ -51,13 +51,22 @@ object Serializers {
       .repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").json(outDir)
     import spark.implicits._
-    val counts = spark.read.textFile(s"$outDir/shard=*/part-*")
-      .select(regexp_extract(input_file_name(), "shard=(\\d+)", 1)
-        .cast("int").as("shard"))
-      .groupBy("shard").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an EMPTY input writes no shard=* directories at all — the glob
+    // read below would then throw "Path does not exist" instead of
+    // producing the legitimate all-zero manifest. Probe with the
+    // FileSystem API first and skip the count pass when nothing was
+    // written.
+    val anyShardDir = fs
+      .globStatus(new org.apache.hadoop.fs.Path(outDir, "shard=*"))
+    val counts: Map[Int, Long] =
+      if (anyShardDir == null || anyShardDir.isEmpty) Map.empty
+      else spark.read.textFile(s"$outDir/shard=*/part-*")
+        .select(regexp_extract(input_file_name(), "shard=(\\d+)", 1)
+          .cast("int").as("shard"))
+        .groupBy("shard").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val entries = (0 until nShards).map { s =>
       val dir = new org.apache.hadoop.fs.Path(outDir, s"shard=$s")
       val bytes =
@@ -123,6 +132,14 @@ object Serializers {
       }
     }
     if (byteProblems.nonEmpty) refuse(byteProblems)
+    // an all-zero manifest (legitimate empty export) has no shard=*
+    // directories on disk — globbing them would throw, so synthesize
+    // the empty result with the same shape (data schema + the shard
+    // partition column) instead
+    if (manifest.forall(_._2 == 0L))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add("shard", org.apache.spark.sql.types.IntegerType))
     val df = spark.read.schema(schema)
       .option("basePath", dir).json(s"$dir/shard=*")
     if (recount) {

@@ -394,14 +394,18 @@ class CorpusSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!dsir.contains("SinglePartition"), dsir)
     assert(dsir.contains("BroadcastHashJoin"), dsir)
-    // canonicalSurvivors: the argmax window is keyed by the cluster
-    // label — one hash exchange, no global funnel
+    // canonicalSurvivors: the argmax is map-side-combinable groupBy
+    // aggregations keyed by the cluster label + join-backs — NO window
+    // partitioned by label (a giant near-dup cluster would serialize
+    // into one sort task) and no global funnel
     val surv = graft.operators.Dedup.canonicalSurvivors(
       docs.select(col("doc_id").as("id"), col("doc_id").as("weight")),
       Seq((0L, 1L)).toDF("id_a", "id_b"))
       .queryExecution.executedPlan.toString
     assert(!surv.contains("SinglePartition"), surv)
     assert(surv.contains("hashpartitioning(label"), surv)
+    assert(!surv.contains("Window"), surv)
+    assert(surv.contains("partial_max") || surv.contains("partial_min"), surv)
     // budgetPrefix's shuffle lives in the RDD lineage by documented
     // design (withRunningTotal) — its parallelism is pinned by the
     // multi-partition parity test above, not by plan inspection

@@ -72,6 +72,19 @@ class DedupSpec extends AnyFunSuite {
     assert(perLabel.values.forall(_ == 1))
   }
 
+  test("canonicalSurvivors: null weights lose to any value; all-null cluster elects min id") {
+    import spark.implicits._
+    val nodes = Seq((1L, Some(5L)), (2L, None), (3L, None), (4L, None))
+      .toDF("id", "weight")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.canonicalSurvivors(nodes, pairs)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    // cluster {1,2}: non-null 5 beats null → 1 wins; cluster {3,4}
+    // all-null → min id 3 wins (the null-safe tie path)
+    assert(out.toSeq == Seq((1L, true), (2L, false), (3L, true), (4L, false)))
+  }
+
   test("exact survivors keep lowest id") {
     val out = Dedup.exactSurvivors(docsWithDups, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -52,6 +52,28 @@ class PdfEmitSpec extends AnyFunSuite {
     assert(!s2.contains("first page") && !s2.contains("third page"))
   }
 
+  test("a 50k-deep object-reference chain emits without stack overflow") {
+    // attacker-shaped input: the page references object 5, which
+    // references 6, which references 7, … — a recursive closure walk
+    // dies with StackOverflowError (fatal to a Spark task); the
+    // explicit-stack walk must survive and still emit a page that
+    // re-parses to the right text
+    val depth = 50000
+    val content = "BT /F1 12 Tf (deep chain) Tj ET"
+    val out = new java.io.ByteArrayOutputStream(depth * 40)
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R /PieceInfo 5 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    for (i <- 5 until (5 + depth))
+      put(s"$i 0 obj << /Next ${i + 1} 0 R >> endobj\n")
+    put(s"${5 + depth} 0 obj << >> endobj\n%%EOF\n")
+    val emitted = Pdf.emitPages(out.toByteArray)
+    assert(emitted.map(_._1) == Seq(1))
+    assert(Pdf.splitPages(emitted.head._2).map(_.text) == Seq("deep chain"))
+  }
+
   test("the reference closure carries fonts and CMaps: a CID page round-trips") {
     // Type0 font + Flate-compressed ToUnicode CMap referenced from
     // /Resources — the closure must drag font object AND cmap stream

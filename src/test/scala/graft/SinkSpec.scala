@@ -50,6 +50,20 @@ class SinkSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("writeShardedJsonl on an empty input writes an all-zero manifest, and it loads back") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_empty").toString
+    try {
+      // an empty DataFrame writes no shard=* directories at all — the
+      // count pass must not glob a non-existent path and throw
+      val manifest = Serializers.writeShardedJsonl(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", dir, 4)
+      assert(manifest == (0 until 4).map(s => (s, 0L, 0L)))
+      assert(Serializers.readShardedJsonl(spark, dir, schema).count() == 0L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("readShardedJsonl refuses partial data and missing manifests") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink3").toString

@@ -292,6 +292,29 @@ class TrainFormatSpec extends AnyFunSuite {
     assert(got("badtool") == (("badtool", 1, true, true, true, false, 0, false)))
   }
 
+  test("null text counts as one empty token in contextTrim and packSamples") {
+    import spark.implicits._
+    // the budgetPrefix convention: null text ≡ "" ≡ ONE token. Without
+    // the coalesce, contextTrim's window sum silently skipped the null
+    // tok (undercounting every suffix above it) and packSamples crashed
+    // the task (null in a non-nullable Int encoder field).
+    val df = Seq(
+      ("c", 0, Some("a b")), ("c", 1, None: Option[String]), ("c", 2, Some("x")))
+      .toDF("conv_id", "turn_idx", "text")
+    val trim = TrainFormat.contextTrim(df, 2)
+      .orderBy("turn_idx")
+      .select("turn_idx", "suffix_tokens", "kept")
+      .as[(Int, Long, Boolean)].collect().toSeq
+    // suffix sums: turn2=1, turn1=1+1(null→one token)=2, turn0=4
+    assert(trim == Seq((0, 4L, false), (1, 2L, true), (2, 1L, true)))
+    val pack = TrainFormat.packSamples(df, 2)
+      .orderBy("turn_idx")
+      .select("turn_idx", "sample_idx", "tok")
+      .as[(Int, Int, Int)].collect().toSeq
+    // toks 2,1,1 → sample 0 holds turn0 (acc 2), turn1 overflows → sample 1
+    assert(pack == Seq((0, 0, 2), (1, 1, 1), (2, 1, 1)))
+  }
+
   test("plan shape: one conv_id exchange each, no global funnel") {
     import spark.implicits._
     val df = (0 until 40)
