@@ -222,6 +222,54 @@ object SparkEntry {
     * marker structure to find the payload end). Pure function of
     * (variant, w, h).
     */
+  /** One-page positioned-text PDF: `content` verbatim, /F1 a simple
+    * font with /Widths PINNED to `400 + (code % 5) * 50` for codes
+    * 32–126 (so every glyph advance is closed-form integer millipoints
+    * at size 12: `width × 12`), MediaBox [0 0 612 792]. Shared
+    * scaffolding of the q_pdf_words / q_pdf_reading_order fixtures
+    * and their specs — the DuckDB oracles re-derive the same width
+    * arithmetic independently.
+    */
+  private[graft] def positionedPdf(content: String): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val widths = (32 to 126).map(c => 400 + (c % 5) * 50).mkString(" ")
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    sb.append("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >> endobj\n")
+    sb.append("3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    sb.append(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    sb.append("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      s"/FirstChar 32 /Widths [$widths] >> endobj\n")
+    sb.append("%%EOF\n")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  /** q_pdf_words fixture: two TJ lines (gaps −300 = 3.6 pt > the 3 pt
+    * x-tolerance, so words split) advanced by T* with TL 16, plus a
+    * footer placed by Tm — the Td family, TJ adjustments, T* with TL,
+    * and Tm are all on the oracle path. Pure function of `id`.
+    */
+  private[graft] def synthPdfWords(id: Long): Array[Byte] =
+    positionedPdf(
+      "BT /F1 12 Tf 16 TL 50 700 Td " +
+        s"[(lorem) -300 (ipsum$id) -300 (dolor)] TJ T* " +
+        s"[(sit) -300 (amet$id) -300 (word)] TJ " +
+        s"1 0 0 1 50 100 Tm (fin$id) Tj ET")
+
+  /** q_pdf_reading_order fixture: a two-column page (left column walks
+    * Td/T*, right column three absolute Tm placements at x=320, same
+    * baselines 700/684/668). Reading order must visit the whole left
+    * column before the right one. Pure function of `id`.
+    */
+  private[graft] def synthPdfTwoColumn(id: Long): Array[Byte] =
+    positionedPdf(
+      "BT /F1 12 Tf 16 TL 50 700 Td " +
+        s"(alpha) Tj T* (beta$id) Tj T* (gamma) Tj " +
+        "1 0 0 1 320 700 Tm (delta) Tj " +
+        s"1 0 0 1 320 684 Tm (eps$id) Tj " +
+        "1 0 0 1 320 668 Tm (zeta) Tj ET")
+
   /** One-page PDF whose single content stream is `content` verbatim
     * (the inline-image variants' shared scaffolding).
     */
@@ -1339,6 +1387,51 @@ object SparkEntry {
         }
         .toDF("doc_id", "page_no", "text")
         .orderBy("doc_id", "page_no")
+    }),
+
+    // positioned words under the driver gate: the §9.4 text state
+    // machine (Td/TD/T*/TL/Tm, TJ adjustments, /Widths advances) on a
+    // pinned-widths fixture; every coordinate is a closed-form integer
+    // in millipoints, re-derived by the DuckDB oracle from the same
+    // layout arithmetic (width = 400 + (code%5)*50, size 12, gaps
+    // −300/1000·12 = 3.6 pt)
+    "q_pdf_words" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          graft.kernels.Pdf.splitPagesWords(synthPdfWords(id)).map(w =>
+            (id, w.pageNo, w.wordNo, w.text,
+              math.round(w.x0 * 1000), math.round(w.top * 1000),
+              math.round(w.x1 * 1000), math.round(w.bottom * 1000)))
+        }
+        .toDF("doc_id", "page_no", "word_no", "text", "x0_mil", "top_mil", "x1_mil", "bot_mil")
+        .orderBy("doc_id", "word_no")
+    }),
+
+    // the geometric pipeline on REAL parsed PDF words (the reference's
+    // core chain, extern/pdftext.py words → order.py): a two-column
+    // page is parsed by splitPagesWords, grouped into text lines
+    // (group_words_into_lines), and ordered by TextOrderService's
+    // column logic — the left column must read out fully before the
+    // right despite the rows interleaving in parse order
+    "q_pdf_reading_order" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { id =>
+          val ws = graft.kernels.Pdf.splitPagesWords(synthPdfTwoColumn(id))
+          val anns = ws.map(w => w.wordNo.toString ->
+            graft.model.BBox(w.x0, w.top, w.x1, w.bottom, absCoords = true))
+          val byId = ws.map(w => w.wordNo.toString -> w.text).toMap
+          val lineOf = graft.kernels.Order.groupWordsIntoLines(anns)
+            .map { case (_, line, wid) => wid -> line }.toMap
+          graft.kernels.Order.orderBlocks(anns, 612.0, 792.0).map { case (ord, wid) =>
+            (id, ord, lineOf(wid), byId(wid))
+          }
+        }
+        .toDF("doc_id", "reading_order", "line_no", "text")
+        .orderBy("doc_id", "reading_order")
     }),
 
     // image extraction under the driver gate: per doc, a one-page PDF
@@ -2783,6 +2876,52 @@ object SparkEntry {
                          CAST(doc_id AS BIGINT)) AS text
            FROM documents, (VALUES (1), (2)) p(p)
            WHERE doc_id < 200 ORDER BY doc_id, page_no""",
+
+      // word boxes re-derived from the fixture's layout arithmetic:
+      // per-char advance (400 + ascii%5·50)·12 millipoints, TJ gaps
+      // 3600, line 0 baseline 700 / line 1 684 (TL 16) / footer Tm at
+      // 100; top = (792 − baseline − 12)·1000, bottom = (792 −
+      // baseline)·1000 — fully independent of the Scala walker
+      "q_pdf_words" ->
+        """WITH w(word_no, line_no, idx_in_line, base) AS (VALUES
+             (0, 0, 0, 'lorem'), (1, 0, 1, 'ipsum#'), (2, 0, 2, 'dolor'),
+             (3, 1, 0, 'sit'),   (4, 1, 1, 'amet#'),  (5, 1, 2, 'word'),
+             (6, 2, 0, 'fin#')),
+           words AS (
+             SELECT d.doc_id, w.word_no, w.line_no, w.idx_in_line,
+                    replace(w.base, '#', CAST(CAST(d.doc_id AS BIGINT) AS VARCHAR)) AS text
+             FROM documents d, w WHERE d.doc_id < 200),
+           adv AS (
+             SELECT *, CAST(list_sum(list_transform(regexp_extract_all(text, '.'),
+                    c -> (400 + (ascii(c) % 5) * 50) * 12)) AS BIGINT) AS advance
+             FROM words),
+           pos AS (
+             SELECT *, 50000 + CAST(COALESCE(SUM(advance + 3600) OVER (
+                    PARTITION BY doc_id, line_no ORDER BY idx_in_line
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS x0_mil
+             FROM adv)
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(1 AS INT) AS page_no,
+                  CAST(word_no AS INT) AS word_no, text,
+                  CAST(x0_mil AS BIGINT) AS x0_mil,
+                  CAST(CASE line_no WHEN 0 THEN 80000 WHEN 1 THEN 96000 ELSE 680000 END AS BIGINT) AS top_mil,
+                  CAST(x0_mil + advance AS BIGINT) AS x1_mil,
+                  CAST(CASE line_no WHEN 0 THEN 92000 WHEN 1 THEN 108000 ELSE 692000 END AS BIGINT) AS bot_mil
+           FROM pos ORDER BY doc_id, word_no""",
+
+      // reading order stated closed-form: the two-column fixture must
+      // read the left column fully (top to bottom) before the right;
+      // line_no carries group_words_into_lines' reference-inverted
+      // numbering (top row = numberRows = 3)
+      "q_pdf_reading_order" ->
+        """WITH w(ord, line_no, base) AS (VALUES
+             (1, 3, 'alpha'), (2, 2, 'beta#'), (3, 1, 'gamma'),
+             (4, 3, 'delta'), (5, 2, 'eps#'),  (6, 1, 'zeta'))
+           SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                  CAST(w.ord AS INT) AS reading_order,
+                  CAST(w.line_no AS INT) AS line_no,
+                  replace(w.base, '#', CAST(CAST(d.doc_id AS BIGINT) AS VARCHAR)) AS text
+           FROM documents d, w WHERE d.doc_id < 200
+           ORDER BY doc_id, reading_order""",
 
       // image dims stated closed-form: the JPEG round-trip (ImageIO
       // encode in the generator, kernel DCT decode in extraction)

@@ -541,7 +541,8 @@ object Pdf {
   final case class PdfFont(isType0: Boolean,
       toUnicode: Option[Map[Int, String]], differences: Map[Int, String],
       baseEncoding: Map[Int, String] = Map.empty,
-      suppressUnmapped: Boolean = false)
+      suppressUnmapped: Boolean = false,
+      metrics: PdfFontMetrics = PdfFontMetrics())
 
   /** High-half (0x80–0xFF) tables for the Annex D base encodings,
     * derived from the JDK charsets (windows-1252 / x-MacRoman) —
@@ -804,7 +805,7 @@ object Pdf {
     // unmapped codes suppress instead (Differences/ToUnicode still
     // decode the codes they cover)
     val suppress = encName.contains("/MacExpertEncoding")
-    PdfFont(isType0, toUni, diffs, base, suppress)
+    PdfFont(isType0, toUni, diffs, base, suppress, parseMetrics(fdict, byNum, isType0))
   }
 
   /** Walk a page's `/Parent` ancestor chain (§7.7.3.4 inheritable
@@ -2238,61 +2239,17 @@ object Pdf {
     while (i < n) {
       val c = stream.charAt(i)
       if (c == '(') {
-        val sb = new StringBuilder
-        i += 1
-        var depth = 1
-        while (i < n && depth > 0) {
-          val ch = stream.charAt(i)
-          if (ch == '\\' && i + 1 < n) {
-            val e = stream.charAt(i + 1)
-            e match {
-              case 'n' => sb.append('\n'); i += 2
-              case 't' => sb.append('\t'); i += 2
-              case 'r' => sb.append('\r'); i += 2
-              case '(' | ')' | '\\' => sb.append(e); i += 2
-              case '\n' => i += 2 // \-EOL line continuation: no char
-              case '\r' =>
-                i += 2
-                if (i < n && stream.charAt(i) == '\n') i += 1
-              case d if d >= '0' && d <= '7' =>
-                var j = i + 1
-                var v = 0
-                while (j < n && j < i + 4 && stream.charAt(j) >= '0' && stream.charAt(j) <= '7') {
-                  v = v * 8 + (stream.charAt(j) - '0'); j += 1
-                }
-                sb.append(v.toChar); i = j
-              case _ => sb.append(e); i += 2
-            }
-          } else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
-          else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
-          else if (ch == '\r') {
-            // unescaped EOL in a literal reads as ONE LINE FEED
-            // (§7.3.4.2) — CR and CRLF both normalize
-            sb.append('\n'); i += 1
-            if (i < n && stream.charAt(i) == '\n') i += 1
-          } else { sb.append(ch); i += 1 }
-        }
-        push(sb.toString)
+        val (s, ni) = scanLiteralString(stream, i)
+        push(s)
+        i = ni
       } else if (c == '<') {
         // hex string <4A6F> (or dict open <<): consume wholesale so its
         // hex letters can't parse as operators and clear pending
         if (i + 1 < n && stream.charAt(i + 1) == '<') i += 2
         else {
-          val s = i + 1
-          i += 1
-          while (i < n && stream.charAt(i) != '>') i += 1
-          val hex = stream.substring(s, math.min(i, n)).filterNot(_.isWhitespace)
-          if (i < n) i += 1 // consume '>'
-          if (hex.nonEmpty && hex.forall(ch => Character.digit(ch, 16) >= 0)) {
-            val padded = if (hex.length % 2 == 1) hex + "0" else hex
-            val sb = new StringBuilder(padded.length / 2)
-            var h = 0
-            while (h < padded.length) {
-              sb.append(Integer.parseInt(padded.substring(h, h + 2), 16).toChar)
-              h += 2
-            }
-            push(sb.toString)
-          }
+          val (so, ni) = scanHexString(stream, i)
+          so.foreach(push)
+          i = ni
         }
       } else if (c == '\'' || c == '"') {
         // single-char show-text operators (move-and-show)
@@ -2315,5 +2272,525 @@ object Pdf {
       } else i += 1 // numbers, brackets, whitespace: skip
     }
     out.toString
+  }
+
+  /** Scan a literal string whose `(` is at `start`; returns (decoded
+    * chars, index after the closing paren). §7.3.4.2 escapes: named
+    * escapes, octal (≤3 digits), `\`-EOL continuation; unescaped
+    * CR/CRLF normalize to ONE line feed. Shared by the plain text
+    * walker and the positioned walker so escape semantics can't drift.
+    */
+  private def scanLiteralString(stream: String, start: Int): (String, Int) = {
+    val n = stream.length
+    val sb = new StringBuilder
+    var i = start + 1
+    var depth = 1
+    while (i < n && depth > 0) {
+      val ch = stream.charAt(i)
+      if (ch == '\\' && i + 1 < n) {
+        val e = stream.charAt(i + 1)
+        e match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case '(' | ')' | '\\' => sb.append(e); i += 2
+          case '\n' => i += 2 // \-EOL line continuation: no char
+          case '\r' =>
+            i += 2
+            if (i < n && stream.charAt(i) == '\n') i += 1
+          case d if d >= '0' && d <= '7' =>
+            var j = i + 1
+            var v = 0
+            while (j < n && j < i + 4 && stream.charAt(j) >= '0' && stream.charAt(j) <= '7') {
+              v = v * 8 + (stream.charAt(j) - '0'); j += 1
+            }
+            sb.append(v.toChar); i = j
+          case _ => sb.append(e); i += 2
+        }
+      } else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
+      else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
+      else if (ch == '\r') {
+        // unescaped EOL in a literal reads as ONE LINE FEED
+        // (§7.3.4.2) — CR and CRLF both normalize
+        sb.append('\n'); i += 1
+        if (i < n && stream.charAt(i) == '\n') i += 1
+      } else { sb.append(ch); i += 1 }
+    }
+    (sb.toString, i)
+  }
+
+  /** Scan a hex string whose `<` is at `start` (caller has excluded
+    * `<<`); returns (decoded chars if the payload is valid hex, index
+    * after the closing `>`). Odd length pads with 0 (§7.3.4.3).
+    */
+  private def scanHexString(stream: String, start: Int): (Option[String], Int) = {
+    val n = stream.length
+    val s = start + 1
+    var i = s
+    while (i < n && stream.charAt(i) != '>') i += 1
+    val hex = stream.substring(s, math.min(i, n)).filterNot(_.isWhitespace)
+    if (i < n) i += 1 // consume '>'
+    if (hex.nonEmpty && hex.forall(ch => Character.digit(ch, 16) >= 0)) {
+      val padded = if (hex.length % 2 == 1) hex + "0" else hex
+      val sb = new StringBuilder(padded.length / 2)
+      var h = 0
+      while (h < padded.length) {
+        sb.append(Integer.parseInt(padded.substring(h, h + 2), 16).toChar)
+        h += 2
+      }
+      (Some(sb.toString), i)
+    } else (None, i)
+  }
+
+  // ---------------------------------------------------------------
+  // Positioned text (round 7): per-word bounding boxes from the
+  // content-stream text state machine (ISO 32000-1 §9.4), the missing
+  // half of the reference's core extraction path — its
+  // `PdfPlumberTextDetector` (extern/pdftext.py:90-107) emits words
+  // WITH boxes via pdfplumber `extract_words(x_tolerance,
+  // y_tolerance)` and feeds them to MatchingService/TextOrderService.
+  // Here: track Tm/Td/TD/T*/TL/Tf/Tc/Tw/Tz/Ts, advance the cursor by
+  // glyph widths (/Widths, Type0 /W, or the documented defaults),
+  // group chars into words pdfplumber-style, flip to top-origin page
+  // coordinates so the output feeds graft's BBox geometry directly.
+  // ---------------------------------------------------------------
+
+  /** Glyph widths of a font, in glyph space (1000 units per em).
+    * Simple fonts: `/Widths` indexed from `/FirstChar`; codes outside
+    * the array take `defaultWidth` (500 — the Helvetica average,
+    * documented: this subset has no font-program metrics). Type0:
+    * `/W` CID ranges with `/DW` default (spec default 1000).
+    */
+  final case class PdfFontMetrics(
+      firstChar: Int = 0,
+      widths: Vector[Double] = Vector.empty,
+      cidWidths: Map[Int, Double] = Map.empty,
+      defaultWidth: Double = 500.0)
+
+  /** Balanced `[ … ]` substring starting at `open` (Type0 `/W` nests
+    * one bracket level); None if unterminated.
+    */
+  private def balancedArr(s: String, open: Int): Option[String] = {
+    var i = open
+    var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '[') depth += 1
+      else if (c == ']') {
+        depth -= 1
+        if (depth == 0) return Some(s.substring(open, i + 1))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** The ARRAY VALUE of `/Key`: inline `[ … ]` or an indirect ref to
+    * an array-bodied object (`12 0 obj [ … ] endobj`).
+    */
+  private def arrValue(body: String, key: String, byNum: Map[Int, PdfObj]): Option[String] = {
+    val k = keyIndex(body, key)
+    if (k < 0) return None
+    var i = k + key.length
+    while (i < body.length && Character.isWhitespace(body.charAt(i))) i += 1
+    if (i < body.length && body.charAt(i) == '[') balancedArr(body, i)
+    else
+      AnchoredRefRe.findFirstMatchIn(body.substring(i, math.min(body.length, i + 24)))
+        .flatMap(_.group(1).toIntOption).flatMap(byNum.get).flatMap { o =>
+          val open = o.dict.indexOf('[')
+          if (open < 0) None else balancedArr(o.dict, open)
+        }
+  }
+
+  private val PdfNumRe = """[-+]?(?:\d+\.?\d*|\.\d+)""".r
+
+  /** The NUMBER VALUE of `/Key` in `body` (direct only). */
+  private def numValueOf(body: String, key: String): Option[Double] = {
+    val k = keyIndex(body, key)
+    if (k < 0) return None
+    var i = k + key.length
+    while (i < body.length && Character.isWhitespace(body.charAt(i))) i += 1
+    PdfNumRe.findPrefixOf(body.substring(i, math.min(body.length, i + 24)))
+      .flatMap(_.toDoubleOption)
+  }
+
+  /** §9.7.4.3 `/W` array: `c [w1 … wn]` assigns consecutive CIDs from
+    * c; `c1 c2 w` assigns the range. Later entries win on overlap.
+    */
+  private def parseCidWidths(arr: String): Map[Int, Double] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+    // outer-level tokens: numbers and bracket groups, in order
+    val toks = ArrayBuffer.empty[Either[Double, Vector[Double]]]
+    var i = 1 // past the opening [
+    val end = arr.length - 1
+    while (i < end) {
+      val c = arr.charAt(i)
+      if (c == '[') {
+        balancedArr(arr, i) match {
+          case Some(g) =>
+            toks += Right(PdfNumRe.findAllIn(g).flatMap(_.toDoubleOption).toVector)
+            i += g.length
+          case None => i = end
+        }
+      } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+        PdfNumRe.findPrefixOf(arr.substring(i, math.min(end, i + 24))) match {
+          case Some(m) =>
+            m.toDoubleOption.foreach(v => toks += Left(v))
+            i += m.length
+          case None => i += 1
+        }
+      } else i += 1
+    }
+    var k = 0
+    while (k < toks.length) {
+      toks(k) match {
+        case Left(c0) if k + 1 < toks.length =>
+          toks(k + 1) match {
+            case Right(ws) =>
+              ws.zipWithIndex.foreach { case (w, j) => out.put(c0.toInt + j, w) }
+              k += 2
+            case Left(c1) =>
+              if (k + 2 < toks.length) toks(k + 2) match {
+                case Left(w) =>
+                  // bounded: a corrupt range can't allocate the int space
+                  var c = c0.toInt
+                  val hi = math.min(c1.toInt, c0.toInt + 65535)
+                  while (c <= hi) { out.put(c, w); c += 1 }
+                case Right(_) => ()
+              }
+              k += 3
+          }
+        case _ => k += 1
+      }
+    }
+    out.toMap
+  }
+
+  /** Width metrics of a font dict (see [[PdfFontMetrics]]). Type0
+    * metrics live on the single descendant CIDFont
+    * (`/DescendantFonts [N 0 R]`, §9.7.6).
+    */
+  private def parseMetrics(fdict: String, byNum: Map[Int, PdfObj], isType0: Boolean): PdfFontMetrics =
+    if (isType0) {
+      val desc: Option[String] = arrValue(fdict, "/DescendantFonts", byNum).flatMap { arr =>
+        val inner = arr.substring(1, arr.length - 1)
+        val open = inner.indexOf("<<")
+        if (open >= 0) balancedDict(inner, open)
+        else RefRe.findFirstMatchIn(inner).flatMap(_.group(1).toIntOption)
+          .flatMap(byNum.get).map(_.dict)
+      }
+      PdfFontMetrics(
+        cidWidths = desc.flatMap(arrValue(_, "/W", byNum)).map(parseCidWidths).getOrElse(Map.empty),
+        defaultWidth = desc.flatMap(numValueOf(_, "/DW")).getOrElse(1000.0))
+    } else {
+      PdfFontMetrics(
+        firstChar = numValueOf(fdict, "/FirstChar").map(_.toInt).getOrElse(0),
+        widths = arrValue(fdict, "/Widths", byNum)
+          .map(a => PdfNumRe.findAllIn(a).flatMap(_.toDoubleOption).toVector)
+          .getOrElse(Vector.empty),
+        defaultWidth = 500.0)
+    }
+
+  /** One positioned glyph in DEVICE space (PDF y-up, origin bottom
+    * left); box = the em square on the baseline (y from baseline to
+    * baseline+size — the approximation when no font-program
+    * ascent/descent exists, stated once here).
+    */
+  private[kernels] final case class PChar(text: String, x0: Double, y0: Double, x1: Double, y1: Double)
+
+  /** Positioned chars of a decoded content stream. Tracks the §9.4
+    * text state machine — `BT/ET`, `Tm`, `Td`, `TD`, `T*`, `TL`,
+    * `Tf` (font + size), `Tc`, `Tw`, `Tz`, `Ts`, `'`, `"` — with a
+    * real operand stack (numbers/names/strings/arrays in order, the
+    * plain walker's string-only pending list can't position). Cursor
+    * advance per glyph: `(w0·Tfs + Tc + Tw?)·Th` with `w0` from the
+    * font metrics; `TJ` number adjustments move `(−adj/1000·Tfs)·Th`.
+    * The CTM (`cm`) is NOT tracked: graft consumes page-space boxes
+    * and the writers this subset targets draw text in unscaled page
+    * space (pdfplumber's default page view reports the same frame).
+    * Suppressed codes (unmapped subset/symbolic fonts) still ADVANCE
+    * the cursor — their width is real even when their unicode isn't.
+    * Inline images (`BI…ID…EI`) skip wholesale so binary payloads
+    * can't masquerade as operators.
+    */
+  private[kernels] def positionedChars(stream: String, fonts: Map[String, PdfFont]): Vector[PChar] = {
+    sealed trait Tok
+    final case class TNum(v: Double) extends Tok
+    final case class TStr(s: String) extends Tok
+    final case class TName(n: String) extends Tok
+    final case class TArr(items: Vector[Tok]) extends Tok
+
+    val out = Vector.newBuilder[PChar]
+    // text state (§9.3); matrices as (a b c d e f) row-major 2x3
+    var tlm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    var tm = tlm.clone()
+    var tl = 0.0; var tfs = 0.0; var tc = 0.0; var tw = 0.0
+    var th = 1.0; var trise = 0.0
+    var curFont: Option[PdfFont] = None
+
+    def td(tx: Double, ty: Double): Unit = {
+      // Tlm ← translate(tx,ty) × Tlm; Tm ← Tlm
+      val e = tx * tlm(0) + ty * tlm(2) + tlm(4)
+      val f = tx * tlm(1) + ty * tlm(3) + tlm(5)
+      tlm = Array(tlm(0), tlm(1), tlm(2), tlm(3), e, f)
+      tm = tlm.clone()
+    }
+    def advance(tx: Double): Unit = {
+      val e = tx * tm(0) + tm(4)
+      val f = tx * tm(1) + tm(5)
+      tm(4) = e; tm(5) = f
+    }
+    def widthOf(code: Int): Double = curFont match {
+      case None => 500.0
+      case Some(ft) =>
+        val m = ft.metrics
+        if (ft.isType0) m.cidWidths.getOrElse(code, m.defaultWidth)
+        else {
+          val idx = code - m.firstChar
+          if (idx >= 0 && idx < m.widths.length) m.widths(idx) else m.defaultWidth
+        }
+    }
+    // unicode of one code — the same decode rules as extractText's
+    // string mapper, applied per glyph; "" = suppressed (still advances)
+    def textOf(code: Int): String = curFont match {
+      case None => (code.toChar).toString
+      case Some(f) if f.isType0 =>
+        f.toUnicode.flatMap(_.get(code)).getOrElse("")
+      case Some(f) =>
+        f.toUnicode.flatMap(_.get(code)).orElse(f.differences.get(code))
+          .orElse(f.baseEncoding.get(code)).getOrElse {
+            if (f.toUnicode.isEmpty && !f.suppressUnmapped) code.toChar.toString else ""
+          }
+    }
+    def emitGlyph(code: Int, isSpaceByte: Boolean): Unit = {
+      val w0 = widthOf(code) / 1000.0
+      val txt = textOf(code)
+      if (txt.nonEmpty) {
+        val gw = w0 * tfs * th
+        var x0 = Double.MaxValue; var y0 = Double.MaxValue
+        var x1 = -Double.MaxValue; var y1 = -Double.MaxValue
+        var ci = 0
+        while (ci < 4) {
+          val x = if ((ci & 1) == 0) 0.0 else gw
+          val y = trise + (if ((ci & 2) == 0) 0.0 else tfs)
+          val dx = x * tm(0) + y * tm(2) + tm(4)
+          val dy = x * tm(1) + y * tm(3) + tm(5)
+          if (dx < x0) x0 = dx
+          if (dx > x1) x1 = dx
+          if (dy < y0) y0 = dy
+          if (dy > y1) y1 = dy
+          ci += 1
+        }
+        out += PChar(txt, x0, y0, x1, y1)
+      }
+      advance((w0 * tfs + tc + (if (isSpaceByte) tw else 0.0)) * th)
+    }
+    def show(raw: String): Unit =
+      if (curFont.exists(_.isType0)) {
+        var k = 0
+        while (k + 1 < raw.length) {
+          emitGlyph(((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff), isSpaceByte = false)
+          k += 2
+        }
+      } else {
+        var k = 0
+        while (k < raw.length) {
+          val code = raw.charAt(k) & 0xff
+          emitGlyph(code, isSpaceByte = code == 32)
+          k += 1
+        }
+      }
+
+    val stack = ArrayBuffer.empty[Tok]
+    var arrBuf: ArrayBuffer[Tok] = null // non-null while inside [ … ]
+    def pushTok(t: Tok): Unit = if (arrBuf ne null) arrBuf += t else stack += t
+    def popNums(k: Int): Array[Double] = {
+      // the LAST k numeric operands before the operator, in order
+      val vs = stack.collect { case TNum(v) => v }
+      if (vs.length >= k) vs.takeRight(k).toArray else null
+    }
+    def lastStr: Option[String] = stack.reverseIterator.collectFirst { case TStr(s) => s }
+    def op(name: String): Unit = {
+      name match {
+        case "BT" => tlm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0); tm = tlm.clone()
+        case "ET" => ()
+        case "Tf" =>
+          (stack.lastOption, stack.lift(stack.length - 2)) match {
+            case (Some(TNum(sz)), Some(TName(nm))) => curFont = fonts.get(nm); tfs = sz
+            case _ => ()
+          }
+        case "Td" => val v = popNums(2); if (v != null) td(v(0), v(1))
+        case "TD" => val v = popNums(2); if (v != null) { tl = -v(1); td(v(0), v(1)) }
+        case "Tm" =>
+          val v = popNums(6)
+          if (v != null) { tlm = v.clone(); tm = v.clone() }
+        case "T*" => td(0.0, -tl)
+        case "TL" => val v = popNums(1); if (v != null) tl = v(0)
+        case "Tc" => val v = popNums(1); if (v != null) tc = v(0)
+        case "Tw" => val v = popNums(1); if (v != null) tw = v(0)
+        case "Tz" => val v = popNums(1); if (v != null) th = v(0) / 100.0
+        case "Ts" => val v = popNums(1); if (v != null) trise = v(0)
+        case "Tj" => lastStr.foreach(show)
+        case "'" => td(0.0, -tl); lastStr.foreach(show)
+        case "\"" =>
+          val v = popNums(2)
+          if (v != null) { tw = v(0); tc = v(1) }
+          td(0.0, -tl)
+          lastStr.foreach(show)
+        case "TJ" =>
+          stack.lastOption match {
+            case Some(TArr(items)) =>
+              items.foreach {
+                case TStr(s) => show(s)
+                case TNum(adj) => advance((-adj / 1000.0) * tfs * th)
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => () // graphics operators: operands consumed, no effect
+      }
+      stack.clear()
+    }
+
+    def isDelim(c: Char): Boolean =
+      Character.isWhitespace(c) || "()<>[]{}/%".indexOf(c) >= 0
+    var i = 0
+    val n = stream.length
+    while (i < n) {
+      val c = stream.charAt(i)
+      if (c == '(') {
+        val (s, ni) = scanLiteralString(stream, i)
+        pushTok(TStr(s)); i = ni
+      } else if (c == '<') {
+        if (i + 1 < n && stream.charAt(i + 1) == '<') {
+          // dict operand (BDC/DP property lists): skip balanced
+          i = balancedDict(stream, i).map(d => i + d.length).getOrElse(n)
+        } else {
+          val (so, ni) = scanHexString(stream, i)
+          so.foreach(s => pushTok(TStr(s)))
+          i = ni
+        }
+      } else if (c == '[') { arrBuf = ArrayBuffer.empty[Tok]; i += 1 }
+      else if (c == ']') {
+        if (arrBuf ne null) { stack += TArr(arrBuf.toVector); arrBuf = null }
+        i += 1
+      } else if (c == '/') {
+        val s = i + 1
+        i += 1
+        while (i < n && !isDelim(stream.charAt(i))) i += 1
+        pushTok(TName(stream.substring(s, i)))
+      } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+        PdfNumRe.findPrefixOf(stream.substring(i, math.min(n, i + 32))) match {
+          case Some(m) =>
+            m.toDoubleOption.foreach(v => pushTok(TNum(v)))
+            i += m.length
+          case None => i += 1
+        }
+      } else if (c == '\'' || c == '"') {
+        op(c.toString); i += 1
+      } else if (c.isLetter) {
+        val s = i
+        while (i < n && (stream.charAt(i).isLetter || stream.charAt(i) == '*')) i += 1
+        val w = stream.substring(s, i)
+        if (w == "BI") {
+          // inline image: skip past the next whitespace-delimited EI
+          var j = stream.indexOf("EI", i)
+          while (j >= 0 && !(j > 0 && Character.isWhitespace(stream.charAt(j - 1)) &&
+              (j + 2 >= n || isDelim(stream.charAt(j + 2))))) j = stream.indexOf("EI", j + 1)
+          i = if (j < 0) n else j + 2
+          stack.clear()
+        } else op(w)
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** One extracted word with its box in TOP-ORIGIN page coordinates
+    * (uly < lry, y growing downward — graft's BBox convention).
+    * `wordNo` is the page-local reading-stream index (lines top to
+    * bottom, words left to right).
+    */
+  final case class PdfWord(pageNo: Int, wordNo: Int, text: String,
+      x0: Double, top: Double, x1: Double, bottom: Double)
+
+  /** pdfplumber `extract_words` grouping (defaults x/y tolerance 3,
+    * blank chars dropped): chars cluster into lines by their TOP edge
+    * (greedy chain over the sorted tops, gap > `yTol` starts a line —
+    * pdfplumber's `cluster_objects`), then within a line (sorted by
+    * x0) a whitespace char or an x-gap > `xTol` ends the word. Word
+    * box = the union of its member char boxes. Device space in, device
+    * space out.
+    */
+  private def groupWordsDevice(chars: Seq[PChar], xTol: Double, yTol: Double): Vector[(String, Double, Double, Double, Double)] = {
+    if (chars.isEmpty) return Vector.empty
+    val sorted = chars.sortBy(c => (-c.y1, c.x0))
+    val lines = ArrayBuffer.empty[ArrayBuffer[PChar]]
+    var lastTop = Double.NaN
+    for (c <- sorted) {
+      if (lines.isEmpty || math.abs(c.y1 - lastTop) > yTol) lines += ArrayBuffer(c)
+      else lines.last += c
+      lastTop = c.y1
+    }
+    val words = Vector.newBuilder[(String, Double, Double, Double, Double)]
+    for (line <- lines) {
+      val lc = line.sortBy(_.x0)
+      val buf = ArrayBuffer.empty[PChar]
+      def flush(): Unit = if (buf.nonEmpty) {
+        words += ((buf.iterator.map(_.text).mkString,
+          buf.iterator.map(_.x0).min, buf.iterator.map(_.y0).min,
+          buf.iterator.map(_.x1).max, buf.iterator.map(_.y1).max))
+        buf.clear()
+      }
+      for (c <- lc) {
+        if (c.text.forall(_.isWhitespace)) flush()
+        else if (buf.nonEmpty && c.x0 - buf.last.x1 > xTol) { flush(); buf += c }
+        else buf += c
+      }
+      flush()
+    }
+    words.result()
+  }
+
+  private val MediaBoxRe =
+    """/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s*\]""".r
+
+  /** Positioned words of every page (reference `PdfPlumberTextDetector`,
+    * extern/pdftext.py:90-107): the [[positionedChars]] walk over the
+    * page's concatenated content streams (§7.8.2: the split into
+    * streams is arbitrary — text state carries across), grouped
+    * pdfplumber-style, flipped to top-origin with the page height from
+    * the inheritable `/MediaBox` (US Letter 792 when absent —
+    * documented default; the spec requires MediaBox, corrupt files
+    * degrade predictably).
+    */
+  def splitPagesWords(bytes: Array[Byte], xTol: Double = 3.0, yTol: Double = 3.0): Seq[PdfWord] = {
+    val text = new String(bytes, StandardCharsets.ISO_8859_1)
+    val objects = preparedObjects(text)
+    val byNum = objects.map(o => o.num -> o).toMap
+    val fontCache = scala.collection.mutable.HashMap.empty[Int, PdfFont]
+    val out = ArrayBuffer.empty[PdfWord]
+    var pageNo = 0
+    for (o <- objects if isPageDict(o.dict)) {
+      pageNo += 1
+      val body = o.dict
+      val fonts = fontsOf(body, byNum, fontCache)
+      val pageH = inheritFromAncestors(body, byNum)(d =>
+        MediaBoxRe.findFirstMatchIn(d).flatMap(m =>
+          for (b <- m.group(2).toDoubleOption; t <- m.group(4).toDoubleOption) yield t - b))
+        .getOrElse(792.0)
+      val refs: Seq[Int] = ContentsArrRe.findFirstMatchIn(body) match {
+        case Some(arr) => RefRe.findAllMatchIn(arr.group(1)).flatMap(_.group(1).toIntOption).toSeq
+        case None => ContentsRefRe.findFirstMatchIn(body).flatMap(_.group(1).toIntOption).toSeq
+      }
+      val streams: Seq[String] =
+        (if (refs.nonEmpty) refs.flatMap(byNum.get) else Seq(o))
+          .flatMap(c => c.stream.flatMap(decodeContent(c.dict, _)))
+      val chars = positionedChars(streams.mkString("\n"), fonts)
+      groupWordsDevice(chars, xTol, yTol).zipWithIndex.foreach {
+        case ((t, x0, y0, x1, y1), idx) =>
+          out += PdfWord(pageNo, idx, t, x0, pageH - y1, x1, pageH - y0)
+      }
+    }
+    out.toSeq
   }
 }
