@@ -270,6 +270,16 @@ object SparkEntry {
         s"1 0 0 1 320 684 Tm (eps$id) Tj " +
         "1 0 0 1 320 668 Tm (zeta) Tj ET")
 
+  /** Pinned BPE fixture vocabulary — lock-step with
+    * tools/make_bpe_fixtures.py VOCAB (the independent Python anchor
+    * whose per-word counts the q_token_count_bpe_merged /
+    * q_token_budget_bpe oracles embed).
+    */
+  private val BpeVocab: Array[String] = Array(
+    "the", "and", "thing", "nation", "another", "rating",
+    "there", "hand", "ordering", "that", "inner", "trend",
+    "data", "king", "motion", "hat")
+
   /** One-page PDF whose single content stream is `content` verbatim
     * (the inline-image variants' shared scaffolding).
     */
@@ -579,6 +589,40 @@ object SparkEntry {
     "q_token_count_bpe" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextStats.bpeTokenCount(col("text")).as("n_tokens_bpe"))),
+    // REAL merged-BPE token counting (the pre-token count above is the
+    // approximation): planted vocabulary texts run the actual merge
+    // loop over the committed public-format merge table; the oracle
+    // joins the INDEPENDENT Python-derived per-word counts
+    // (tools/make_bpe_fixtures.py) as VALUES
+    "q_token_count_bpe_merged" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val text = (0 until 8).map(k => BpeVocab(((id + 3 * k) % 16).toInt)).mkString(" ")
+          (id, graft.functions.Bpe.countTokens(text))
+        }
+        .toDF("doc_id", "n_tokens_merged")
+        .orderBy("doc_id")
+    }),
+
+    // a budget operator under MERGED counts: budgetPrefix with the
+    // real tokenizer threaded through — budgets count BPE tokens, not
+    // pre-token approximations
+    "q_token_budget_bpe" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val text = (0 until 8).map(k => BpeVocab(((id + 3 * k) % 16).toInt)).mkString(" ")
+          (id, text, graft.functions.Bpe.countTokens(text))
+        }
+        .toDF("doc_id", "text", "n_tok")
+        .withColumn("priority", col("doc_id") % 7)
+      val budget = planted.agg(sum(col("n_tok"))).first().getLong(0) / 2
+      Corpus.budgetPrefix(planted, "doc_id", "priority", "text", budget,
+          tokenCounter = Some(graft.functions.Bpe.countTokens _))
+        .orderBy("doc_id")
+    }),
+
     // document fingerprinting: md5 of normalized text
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1727,6 +1771,46 @@ object SparkEntry {
         """SELECT doc_id, CAST(length(string_split(text, ' ')) AS INT) AS n_tokens, n_chars FROM documents""",
       "q_token_count_bpe" ->
         s"""SELECT doc_id, ${TextStats.bpeTokenCountSql("text")} AS n_tokens_bpe FROM documents""",
+      // per-word merged counts below are the PYTHON anchor's output
+      // (tools/make_bpe_fixtures.py over the committed merges.txt),
+      // pasted verbatim — the Scala merge loop never feeds the oracle.
+      // Planted text for doc d = vocab[(d + 3k) % 16], k = 0..7; the
+      // first word counts bare, the rest space-prefixed (the GPT-2
+      // pre-tokenizer's ' ?' prefix)
+      "q_token_count_bpe_merged" ->
+        """WITH v(idx, bare, spaced) AS (VALUES
+             (0, 1, 2), (1, 1, 2), (2, 2, 3), (3, 4, 5),
+             (4, 4, 5), (5, 3, 4), (6, 2, 3), (7, 2, 3),
+             (8, 4, 5), (9, 2, 3), (10, 3, 4), (11, 3, 3),
+             (12, 3, 4), (13, 2, 3), (14, 3, 4), (15, 2, 3)),
+           k(k) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7))
+           SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                  CAST(SUM(CASE WHEN k.k = 0 THEN v.bare ELSE v.spaced END) AS INT) AS n_tokens_merged
+           FROM documents d, k JOIN v ON v.idx = (d.doc_id + 3 * k.k) % 16
+           GROUP BY d.doc_id ORDER BY doc_id""",
+
+      "q_token_budget_bpe" ->
+        """WITH v(idx, bare, spaced) AS (VALUES
+             (0, 1, 2), (1, 1, 2), (2, 2, 3), (3, 4, 5),
+             (4, 4, 5), (5, 3, 4), (6, 2, 3), (7, 2, 3),
+             (8, 4, 5), (9, 2, 3), (10, 3, 4), (11, 3, 3),
+             (12, 3, 4), (13, 2, 3), (14, 3, 4), (15, 2, 3)),
+           k(k) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7)),
+           meta AS (
+             SELECT d.doc_id, CAST(d.doc_id % 7 AS BIGINT) AS priority,
+                    CAST(SUM(CASE WHEN k.k = 0 THEN v.bare ELSE v.spaced END) AS BIGINT) AS n_tokens
+             FROM documents d, k JOIN v ON v.idx = (d.doc_id + 3 * k.k) % 16
+             GROUP BY d.doc_id),
+           budget AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS b FROM meta),
+           cum AS (
+             SELECT doc_id, priority, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY priority DESC, doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             FROM meta)
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, priority, n_tokens, cum_tokens,
+             cum_tokens <= (SELECT b FROM budget) AS in_budget
+           FROM cum ORDER BY doc_id""",
+
       "q_fingerprint" ->
         """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint FROM documents""",
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -461,16 +461,26 @@ object Corpus {
     * every document.
     */
   def budgetPrefix(docs: DataFrame, idCol: String, priorityCol: String,
-      textCol: String, budgetTokens: Long): DataFrame = {
+      textCol: String, budgetTokens: Long,
+      tokenCounter: Option[String => Int] = None): DataFrame = {
     // priority keeps its input type (no silent long truncation of
     // fractional scores) and orders DESC via a SortOrder, not
     // arithmetic negation (which would overflow Long.MinValue and bar
     // non-numeric priorities); null text counts as "" (one empty
     // token — the split convention everywhere else in this family),
-    // null priorities sort last.
+    // null priorities sort last. `tokenCounter` swaps the whitespace
+    // approximation for a real tokenizer (e.g. Bpe.countTokens) — the
+    // count stays a map-side projection either way, the running-total
+    // plan is untouched.
+    val tokens: Column = tokenCounter match {
+      case None => size(split(coalesce(col(textCol), lit("")), " ")).cast("long")
+      case Some(f) =>
+        val u = udf((s: String) => f(if (s == null) "" else s))
+        u(col(textCol)).cast("long")
+    }
     val meta = docs.select(col(idCol).cast("long").as("doc_id"),
       col(priorityCol).as("priority"),
-      size(split(coalesce(col(textCol), lit("")), " ")).cast("long").as("n_tokens"))
+      tokens.as("n_tokens"))
     Positional.withRunningTotal(meta,
         Seq(col("priority").desc_nulls_last, col("doc_id").asc),
         "n_tokens", "cum_tokens")

@@ -177,7 +177,8 @@ object TrainFormat {
     * re-derives the suffix sums with that self-join aggregation, an
     * algorithm this plan never runs.
     */
-  def contextTrim(turns: DataFrame, budget: Int): DataFrame = {
+  def contextTrim(turns: DataFrame, budget: Int,
+      tokenCounter: Option[String => Int] = None): DataFrame = {
     val wSuf = Window.partitionBy("conv_id").orderBy(col("turn_idx").desc)
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     turns
@@ -185,7 +186,7 @@ object TrainFormat {
         // null text counts as ONE empty token (the Corpus.budgetPrefix
         // convention): without the coalesce the null tok silently
         // leaves the window sum, undercounting every suffix above it
-        size(split(coalesce(col("text"), lit("")), " ")).as("tok"))
+        tokCol(tokenCounter).as("tok"))
       .withColumn("suffix_tokens", sum(col("tok").cast("long")).over(wSuf))
       .withColumn("kept", col("suffix_tokens") <= budget)
   }
@@ -210,7 +211,25 @@ object TrainFormat {
     * mapPartitions walk with state reset on conversation change —
     * one shuffle, zero group buffering.
     */
-  def packSamples(turns: DataFrame, budget: Int): DataFrame = {
+  /** Token-count column shared by the budget operators: whitespace
+    * split by default, a real tokenizer (e.g. `Bpe.countTokens`) when
+    * threaded in. Null text is coalesced to "" first, then counted by
+    * the active counter's own rule — ONE empty token under the
+    * whitespace split (the Corpus.budgetPrefix convention), ZERO under
+    * a real tokenizer ("" has no pre-tokens); either way the count is
+    * never null, so window sums can't undercount and the packing
+    * encoder can't NPE.
+    */
+  private def tokCol(tokenCounter: Option[String => Int]): org.apache.spark.sql.Column =
+    tokenCounter match {
+      case None => size(split(coalesce(col("text"), lit("")), " "))
+      case Some(f) =>
+        val u = udf((s: String) => f(if (s == null) "" else s))
+        u(col("text")).cast("int")
+    }
+
+  def packSamples(turns: DataFrame, budget: Int,
+      tokenCounter: Option[String => Int] = None): DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._
     turns
@@ -218,7 +237,7 @@ object TrainFormat {
         // same null convention as contextTrim — and here a null tok
         // would crash the task outright (non-nullable Int in the
         // tuple encoder), not just miscount
-        size(split(coalesce(col("text"), lit("")), " ")).as("tok"))
+        tokCol(tokenCounter).as("tok"))
       .repartition(col("conv_id"))
       .sortWithinPartitions("conv_id", "turn_idx")
       .as[(String, Int, Int)]

@@ -315,6 +315,27 @@ class TrainFormatSpec extends AnyFunSuite {
     assert(pack == Seq((0, 0, 2), (1, 1, 1), (2, 1, 1)))
   }
 
+  test("a real tokenizer threads through contextTrim and packSamples budgets") {
+    import spark.implicits._
+    // merged-BPE counts (committed merge table, Python-anchored):
+    // "the and" = 1 + 2 = 3, "thing" = 2, "nation" = 4 — the budgets
+    // below split differently than the whitespace counts (2, 1, 1)
+    // would, proving the counter is live and not the approximation
+    val df = Seq(("c", 0, "the and"), ("c", 1, "thing"), ("c", 2, "nation"))
+      .toDF("conv_id", "turn_idx", "text")
+    val bpe = Some(graft.functions.Bpe.countTokens _)
+    val trim = TrainFormat.contextTrim(df, 6, tokenCounter = bpe)
+      .orderBy("turn_idx").select("turn_idx", "suffix_tokens", "kept")
+      .as[(Int, Long, Boolean)].collect().toSeq
+    // suffix sums in MERGED tokens: turn2=4, turn1=6, turn0=9
+    assert(trim == Seq((0, 9L, false), (1, 6L, true), (2, 4L, true)))
+    val pack = TrainFormat.packSamples(df, 5, tokenCounter = bpe)
+      .orderBy("turn_idx").select("turn_idx", "sample_idx", "tok")
+      .as[(Int, Int, Int)].collect().toSeq
+    // toks 3,2,4: turn1 fits (3+2=5 ≤ 5), turn2 overflows → sample 1
+    assert(pack == Seq((0, 0, 3), (1, 0, 2), (2, 1, 4)))
+  }
+
   test("plan shape: one conv_id exchange each, no global funnel") {
     import spark.implicits._
     val df = (0 until 40)
