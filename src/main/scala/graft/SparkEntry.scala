@@ -1589,6 +1589,44 @@ object SparkEntry {
       }
     }),
 
+    // sharded export under the driver gate: write with the md5 shard
+    // key (the DuckDB-twinnable 32-bit md5-prefix idiom shared with
+    // dsirBucket), re-load through the manifest-VERIFYING reader, and
+    // report each row's placement as read FROM DISK (the loader's
+    // shard partition column) plus the manifest's per-shard row count
+    // — wrong placement, a wrong manifest, or a load that drops a
+    // shard all hash-mismatch against the closed-form oracle
+    "q_shard_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q_shard")
+      try {
+        val d = docs(s, dir).filter(col("doc_id") < 500)
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+        val manifest = graft.sources.Serializers.writeShardedJsonl(
+          d, "doc_id", tmp.toString, 5, shardBy = "md5")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType)))
+        // eager collect before the finally-delete: bounded at the 500
+        // filtered docs by construction (the q_checkpoint eager-
+        // aggregation convention for temp-dir queries)
+        val placed = graft.sources.Serializers.readShardedJsonl(s, tmp.toString, schema)
+          .select(col("doc_id"), col("shard").cast("int").as("shard"))
+          .as[(Long, Int)].collect().toSeq
+        val rowsByShard = manifest.map { case (sh, rows, _) => sh -> rows }.toMap
+        placed.map { case (id, sh) => (id, sh, rowsByShard(sh)) }
+          .toDF("doc_id", "shard", "shard_rows")
+          .orderBy("doc_id")
+      } finally {
+        val st = java.nio.file.Files.walk(tmp)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally st.close()
+      }
+    }),
+
     // LMSequenceClassifierService slot under the driver gate: the
     // page-level heuristic classifier plugs into the pipeline's
     // per-turn hook (ExtractConfig.sequenceClassifier — a model
@@ -2347,6 +2385,18 @@ object SparkEntry {
       // token budget: window running sum vs Spark's distributed
       // prefix-sum stamping; budget = half the corpus tokens, derived
       // identically on both sides
+      // placement = md5-prefix hash of the decimal id, mod 5; per-shard
+      // rows by a count window — the export, manifest, and verified
+      // load must all agree with this arithmetic
+      "q_shard_manifest" ->
+        """WITH p AS (
+             SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS INT) AS shard
+             FROM documents WHERE doc_id < 500)
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, shard,
+                  CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_rows
+           FROM p ORDER BY doc_id""",
+
       "q_token_budget" ->
         """WITH meta AS (
              SELECT doc_id, CAST(n_chars AS BIGINT) AS priority,

@@ -40,14 +40,27 @@ object Serializers {
     * @return (shard, rows, bytes) as written to the manifest
     */
   def writeShardedJsonl(df: DataFrame, idCol: String, outDir: String,
-      nShards: Int): Seq[(Int, Long, Long)] = {
+      nShards: Int, shardBy: String = "xxhash64"): Seq[(Int, Long, Long)] = {
     require(nShards > 0, "writeShardedJsonl: nShards must be positive")
     require(!df.columns.contains("shard"),
       "writeShardedJsonl: input already has a 'shard' column — rename " +
         "it first; the export uses 'shard' as its partition key and " +
         "withColumn would silently clobber the caller's data")
     val spark = df.sparkSession
-    df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(nShards)).cast("int"))
+    // shard key: xxhash64 (default — one codegen'd hash, no string
+    // materialization) or "md5" (the 32-bit md5-prefix idiom shared
+    // with dsirBucket — exactly expressible in DuckDB, which is what
+    // puts the placement under the q_shard_manifest driver oracle;
+    // both are deterministic functions of the id, so re-exports place
+    // identically)
+    val key: org.apache.spark.sql.Column = shardBy match {
+      case "xxhash64" => xxhash64(col(idCol))
+      case "md5" =>
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"writeShardedJsonl: unknown shardBy '$other' (xxhash64|md5)")
+    }
+    df.withColumn("shard", pmod(key, lit(nShards)).cast("int"))
       .repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").json(outDir)
     import spark.implicits._

@@ -50,6 +50,29 @@ class SinkSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("md5 shard key places by the md5-prefix idiom; unknown keys are rejected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_md5").toString
+    try {
+      val docs = (0L until 120L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      val manifest = Serializers.writeShardedJsonl(docs, "doc_id", dir, 5, shardBy = "md5")
+      assert(manifest.map(_._2).sum == 120L)
+      val back = Serializers.readShardedJsonl(spark, dir, schema)
+      // placement IS conv(substr(md5(id-as-string),1,8),16,10) % 5 —
+      // the DuckDB-twinnable arithmetic q_shard_manifest oracles
+      val misplaced = back
+        .withColumn("expect",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(5)).cast("int"))
+        .filter(col("shard") =!= col("expect")).count()
+      assert(misplaced == 0L)
+      intercept[IllegalArgumentException] {
+        Serializers.writeShardedJsonl(docs, "doc_id", dir, 5, shardBy = "sha1")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("writeShardedJsonl on an empty input writes an all-zero manifest, and it loads back") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_empty").toString
