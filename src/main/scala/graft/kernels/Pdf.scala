@@ -1911,7 +1911,7 @@ object Pdf {
     * INSIDE entropy data or segment payloads cannot end it early.
     * None on any malformation or truncation (caller skips the image).
     */
-  private def jpegScanLength(content: String, from: Int): Option[Int] = {
+  private[graft] def jpegScanLength(content: String, from: Int): Option[Int] = {
     val n = content.length
     def u(i: Int): Int = content.charAt(i) & 0xff
     if (from + 2 > n || u(from) != 0xff || u(from + 1) != 0xd8) return None
