@@ -88,4 +88,56 @@ object Stream {
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
+
+  /** Streaming ingest with HISTORY dedup — the streaming twin of the
+    * q_pipeline_e2e batch composition, via `foreachBatch`:
+    *
+    *  1. stateless quality gate (Gopher verdict — pure Columns, no
+    *     state store, no shuffle);
+    *  2. first-occurrence dedup WITHIN the micro-batch (md5 keyed —
+    *     `incrementalDedup` only answers "seen in history?", so
+    *     intra-batch copies are collapsed here);
+    *  3. [[graft.operators.Dedup.incrementalDedup]] against the
+    *     history AS OF THIS BATCH — the Bloom prefilter is rebuilt
+    *     from `historyDir` each micro-batch, so batch N's survivors
+    *     are visible to batch N+1 without any stream-side state;
+    *  4. fresh, quality-passing rows append to `historyDir` (the
+    *     history IS the output corpus).
+    *
+    * State lives entirely in the history store: the streaming side
+    * carries no state operator, so a restart resumes from the sink
+    * checkpoint and the history without replaying verdicts. At scale
+    * the per-batch history read is one parquet scan narrowed to the
+    * text column (the Bloom build), amortized by micro-batch size.
+    */
+  def ingestWithHistoryDedup(docs: DataFrame, idCol: String, textCol: String,
+      historyDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(historyDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val history: DataFrame =
+          if (fs.exists(new org.apache.hadoop.fs.Path(historyDir)))
+            spark.read.parquet(historyDir)
+          else batch.limit(0)
+        val passing = batch
+          .filter(graft.operators.TextStats.gopherCols(col(textCol)).ok)
+          // intra-batch first occurrence by arrival id: min_by keeps
+          // the lowest id per text hash (map-side combinable — the
+          // canonicalSurvivors shape, no per-key sort task)
+          .withColumn("__h", md5(col(textCol)))
+        val firstIds = passing.groupBy(col("__h"))
+          .agg(min(col(idCol)).as(idCol)).drop("__h")
+        val batchUnique = passing.join(firstIds, Seq(idCol), "leftsemi").drop("__h")
+        val flags = graft.operators.Dedup.incrementalDedup(
+          batchUnique, history, idCol, textCol)
+        batchUnique
+          .join(flags.filter(!col("is_dup")).select(col(idCol)), Seq(idCol), "leftsemi")
+          .write.mode("append").parquet(historyDir)
+        ()
+      }
+      .start()
 }

@@ -356,6 +356,56 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(!streamed(2)._2)
   }
 
+  test("foreachBatch ingest: history Bloom refreshes per batch, stream equals batch fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // Gopher gate needs ≥50 words — repeat a stopword-bearing sentence
+    val base = ("the quick brown fox jumps with and that for his team " * 6).trim
+    val tA = base
+    val tB = base.replace("fox", "cat")
+    val tC = base.replace("fox", "dog")
+    val bad = "# # # # #"
+    val b1 = Seq((1L, tA), (2L, tA), (3L, bad), (4L, tB))
+    val b2 = Seq((5L, tA), (6L, tC), (7L, tB), (8L, bad))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.Stream.ingestWithHistoryDedup(
+        mem.toDF().toDF("id", "text"), "id", "text",
+        s"$tmp/history", s"$tmp/ckpt")
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      // batch 1: intra-batch dup (2) collapsed to first arrival (1),
+      // quality reject (3) gone
+      val afterB1 = spark.read.parquet(s"$tmp/history")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(afterB1 == Seq(1L, 4L))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val afterB2 = spark.read.parquet(s"$tmp/history")
+        .select("id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+      // batch 2: 5 and 7 are HISTORY dups (batch 1's survivors were
+      // visible through the refreshed Bloom), 8 fails quality — only
+      // the fresh text C lands
+      assert(afterB2.map(_._1) == Seq(1L, 4L, 6L))
+      assert(afterB2.map(_._2).toSet == Set(tA, tB, tC))
+      // batch twin: the same two batches folded through the BATCH
+      // incrementalDedup must keep the identical id set
+      val hist1 = b1.toDF("id", "text")
+        .filter(graft.operators.TextStats.gopherCols(col("text")).ok)
+        .groupBy("text").agg(min("id").as("id"))
+      val flags2 = graft.operators.Dedup.incrementalDedup(
+        b2.toDF("id", "text").filter(graft.operators.TextStats.gopherCols(col("text")).ok),
+        hist1, "id", "text")
+      val batchKept = hist1.select("id").as[Long].collect().toSet ++
+        flags2.filter(!col("is_dup")).select("id").as[Long].collect().toSet
+      assert(batchKept == Set(1L, 4L, 6L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("streaming language id over the extraction stream equals batch") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft_lang_in").toString
