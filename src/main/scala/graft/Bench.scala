@@ -95,10 +95,96 @@ object Bench {
     (n, sec)
   }
 
+  /** Dedup family at 18 M-doc scale (VERDICT r6 next-round #5) —
+    * env-gated one-off artifact mode (`SPARK_GRAFT_DEDUP_SF1=1`):
+    * a PLANTED corpus of clusters × 3 identical copies runs the full
+    * composition LSH candidates → min-label components (rounds
+    * recorded) → canonical survivors at two sizes (default 1.8 M and
+    * 18 M docs), so round count (must stay flat — cluster diameter is
+    * 1) and wall growth (must stay ~linear) are measurements. The
+    * planted structure makes correctness checkable at scale: every
+    * canonical id is the cluster's first copy (id % 3 == 0) and the
+    * cluster count is docs/3 (a tiny band-collision tolerance is
+    * allowed and RECORDED — collisions merge clusters, never split).
+    * Prints one JSON line and exits (the per-round driver bench is
+    * untouched).
+    */
+  private def dedupAtScale(cpus: Int): Unit = {
+    val nBig = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "18000000").toLong
+    val nSmall = nBig / 10
+    val spark = session(cpus, cpus * 8)
+    import org.apache.spark.sql.DataFrame
+    def planted(n: Long): DataFrame = {
+      // 4 md5-hex words per doc (131 chars), identical across a
+      // cluster's 3 copies, pseudo-random across clusters — the
+      // char-3-gram shingle sets of different clusters then overlap
+      // only by chance (cross-cluster Jaccard ~1e-2, far below the
+      // 0.8 verify threshold), while copies agree on 64/64 minhashes.
+      // Pure Column arithmetic, no driver data.
+      val base = (col("id") / 3).cast("long")
+      val words = (0 until 4).map(j =>
+        md5(concat(base.cast("string"), lit("_" + j))))
+      spark.range(n).select(col("id").cast("long").as("doc_id"),
+        concat_ws(" ", words: _*).as("text"))
+    }
+    def measure(n: Long): (Long, Double, Int, Double, Long, Double, Long) = {
+      val docs = planted(n).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      docs.count() // materialize outside the timed stages
+      val t0 = System.nanoTime()
+      // the full verified-pair path: band-bucket join + signature-
+      // agreement filter (the operating point the sparse-growth bench
+      // block documents), so accidental band collisions between
+      // unrelated clusters are filtered here, not absorbed into
+      // components
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", jaccardThreshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val nPairs = pairs.count()
+      val lshSec = (System.nanoTime() - t0) / 1e9
+      val nodes = docs.select(col("doc_id").as("id"))
+      val t1 = System.nanoTime()
+      val (labels, rounds) = graft.operators.Dedup.componentsWithRounds(
+        nodes, pairs, maxIter = 20)
+      val nClusters = labels.select("label").distinct().count()
+      val compSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val surv = graft.operators.Dedup.canonicalSurvivors(
+        nodes.withColumn("weight", lit(1.0)), pairs)
+      val badCanon = surv.filter(col("is_canonical") && col("id") % 3 =!= 0).count()
+      val survSec = (System.nanoTime() - t2) / 1e9
+      require(badCanon == 0L,
+        s"canonical pick broke the planted invariant at n=$n ($badCanon bad)")
+      val expect = n / 3
+      require(nClusters <= expect && nClusters >= (expect * 999L) / 1000L,
+        s"cluster count $nClusters vs planted $expect at n=$n")
+      docs.unpersist(); pairs.unpersist()
+      (nPairs, lshSec, rounds, compSec, nClusters, survSec, expect - nClusters)
+    }
+    val (p1, l1, r1, c1, k1, s1, m1) = measure(nSmall)
+    val (p2, l2, r2, c2, k2, s2, m2) = measure(nBig)
+    def g(a: Double, b: Double) = if (a > 0) f"${b / a}%.2f" else "-1"
+    println(
+      s"""{"metric":"dedup_at_scale","unit":"sec","cpus":$cpus,""" +
+        s""""docs_small":$nSmall,"docs_big":$nBig,"docs_growth":10.00,""" +
+        s""""pairs_small":$p1,"pairs_big":$p2,""" +
+        s""""lsh_sec_small":${f"$l1%.1f"},"lsh_sec_big":${f"$l2%.1f"},""" +
+        s""""lsh_wall_growth":${g(l1, l2)},""" +
+        s""""components_rounds_small":$r1,"components_rounds_big":$r2,""" +
+        s""""components_sec_small":${f"$c1%.1f"},"components_sec_big":${f"$c2%.1f"},""" +
+        s""""components_wall_growth":${g(c1, c2)},""" +
+        s""""clusters_small":$k1,"clusters_big":$k2,""" +
+        s""""band_collision_merges_small":$m1,"band_collision_merges_big":$m2,""" +
+        s""""survivors_sec_small":${f"$s1%.1f"},"survivors_sec_big":${f"$s2%.1f"},""" +
+        s""""survivors_wall_growth":${g(s1, s2)},"canonical_invariant_ok":true}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "360").toInt
+    if (sys.env.get("SPARK_GRAFT_DEDUP_SF1").contains("1")) { dedupAtScale(cpus); return }
 
     // ---- per-query timings ----
     var spark = session(cpus)
