@@ -149,8 +149,11 @@ object Bench {
       val nClusters = labels.select("label").distinct().count()
       val compSec = (System.nanoTime() - t1) / 1e9
       val t2 = System.nanoTime()
-      val surv = graft.operators.Dedup.canonicalSurvivors(
-        nodes.withColumn("weight", lit(1.0)), pairs)
+      // survivor selection ALONE: reuse the labels already computed
+      // above (canonicalSurvivors would re-run the whole propagation
+      // and the timing would conflate the two stages)
+      val surv = graft.operators.Dedup.canonicalFromLabels(
+        labels.withColumn("weight", lit(1.0)))
       val badCanon = surv.filter(col("is_canonical") && col("id") % 3 =!= 0).count()
       val survSec = (System.nanoTime() - t2) / 1e9
       require(badCanon == 0L,

@@ -2254,6 +2254,10 @@ object Pdf {
       } else if (c == '\'' || c == '"') {
         // single-char show-text operators (move-and-show)
         emit(); i += 1
+      } else if (c == '%') {
+        // comments are whitespace (§7.2.4): a '(string)' inside one is
+        // comment text, not a pending show-text operand
+        while (i < n && stream.charAt(i) != '\n' && stream.charAt(i) != '\r') i += 1
       } else if (c == '/') {
         // name token: remember it so a following Tf can select the font
         val s = i + 1
@@ -2491,6 +2495,63 @@ object Pdf {
         defaultWidth = 500.0)
     }
 
+  /** End index (exclusive, just past the terminating `EI`) of an
+    * inline image whose `BI` token ends at `biEnd` — the POSITIONED
+    * walker's skip. Reuses the image-extraction path's delimiting
+    * rules in priority order: PDF-2.0 `/L` declared length; the exact
+    * computed length for UNFILTERED payloads (`ceil(w·ch·bpc/8)·h` —
+    * binary data may contain ' EI ' runs, so scanning first would
+    * truncate early and execute image bytes as text operators);
+    * otherwise the whitespace-delimited EI scan. Stream end when
+    * undelimitable — parsing binary as operators would corrupt the
+    * page's text state, so the tail drops, the image path's
+    * skip-beats-garbage contract.
+    */
+  private def inlineImageEnd(stream: String, biEnd: Int): Int = {
+    val idM = IdTokenRe.pattern.matcher(stream)
+    if (!idM.find(biEnd)) return stream.length
+    val parms = stream.substring(biEnd, idM.start)
+    val dataStart = idM.end
+    def afterEi(from: Int): Int = {
+      // EiTokenRe wants the preceding whitespace in-match — back up one
+      // so a payload ending exactly at `from` with its EI delimiter
+      // space already consumed still matches
+      val eiM = EiTokenRe.pattern.matcher(stream)
+      if (eiM.find(math.max(0, from - 1))) eiM.end(1) else stream.length
+    }
+    val lOpt = InlineLenRe.findFirstMatchIn(parms).flatMap(_.group(1).toIntOption)
+      .filter(l => l >= 0 && dataStart.toLong + l <= stream.length)
+    lOpt match {
+      case Some(l) => afterEi(dataStart + l)
+      case None =>
+        val unfiltered = InlineFilterRe.findFirstMatchIn(parms).isEmpty
+        def dim(key: String): Option[Int] =
+          InlineDimRe(key).findFirstMatchIn(parms).flatMap(_.group(1).toIntOption)
+        val isMask = boolParam(parms, "/IM") || boolParam(parms, "/ImageMask")
+        val ch: Option[Int] =
+          if (isMask) Some(1)
+          else InlineCsRe.findFirstMatchIn(parms).map(_.group(1)).flatMap {
+            case "/G" | "/DeviceGray" | "/I" | "/Indexed" => Some(1)
+            case "/RGB" | "/DeviceRGB" => Some(3)
+            case "/CMYK" | "/DeviceCMYK" => Some(4)
+            case _ => None
+          }
+        val exact: Option[Long] =
+          if (!unfiltered) None
+          else for {
+            w <- dim("w"); h <- dim("h")
+            bpc <- if (isMask) Some(1) else dim("bpc").orElse(Some(8))
+            c <- ch
+            len = ((w.toLong * c * bpc + 7) / 8) * h
+            if len > 0 && dataStart + len <= stream.length
+          } yield len
+        exact match {
+          case Some(len) => afterEi(dataStart + len.toInt)
+          case None => afterEi(dataStart)
+        }
+    }
+  }
+
   /** One positioned glyph in DEVICE space (PDF y-up, origin bottom
     * left); box = the em square on the baseline (y from baseline to
     * baseline+size — the approximation when no font-program
@@ -2603,6 +2664,12 @@ object Pdf {
 
     val stack = ArrayBuffer.empty[Tok]
     var arrBuf: ArrayBuffer[Tok] = null // non-null while inside [ … ]
+    // nesting guard: arrays don't legally nest in text operands, but a
+    // hostile stream's inner '[' must not RESET the buffer (tokens
+    // already collected would vanish and the inner ']' would close the
+    // array early, spilling the tail onto the operand stack) — nested
+    // content degrades to a flattened array instead
+    var arrDepth = 0
     def pushTok(t: Tok): Unit = if (arrBuf ne null) arrBuf += t else stack += t
     def popNums(k: Int): Array[Double] = {
       // the LAST k numeric operands before the operator, in order
@@ -2670,10 +2737,20 @@ object Pdf {
           so.foreach(s => pushTok(TStr(s)))
           i = ni
         }
-      } else if (c == '[') { arrBuf = ArrayBuffer.empty[Tok]; i += 1 }
-      else if (c == ']') {
-        if (arrBuf ne null) { stack += TArr(arrBuf.toVector); arrBuf = null }
+      } else if (c == '[') {
+        if (arrDepth == 0) arrBuf = ArrayBuffer.empty[Tok]
+        arrDepth += 1
         i += 1
+      } else if (c == ']') {
+        if (arrDepth > 0) {
+          arrDepth -= 1
+          if (arrDepth == 0 && (arrBuf ne null)) { stack += TArr(arrBuf.toVector); arrBuf = null }
+        }
+        i += 1
+      } else if (c == '%') {
+        // comments are whitespace (§7.2.4) — strings/numbers inside
+        // them must not become live operands
+        while (i < n && stream.charAt(i) != '\n' && stream.charAt(i) != '\r') i += 1
       } else if (c == '/') {
         val s = i + 1
         i += 1
@@ -2693,11 +2770,10 @@ object Pdf {
         while (i < n && (stream.charAt(i).isLetter || stream.charAt(i) == '*')) i += 1
         val w = stream.substring(s, i)
         if (w == "BI") {
-          // inline image: skip past the next whitespace-delimited EI
-          var j = stream.indexOf("EI", i)
-          while (j >= 0 && !(j > 0 && Character.isWhitespace(stream.charAt(j - 1)) &&
-              (j + 2 >= n || isDelim(stream.charAt(j + 2))))) j = stream.indexOf("EI", j + 1)
-          i = if (j < 0) n else j + 2
+          // inline image: skip it with the extraction path's exact
+          // delimiting rules (see inlineImageEnd) so payload bytes
+          // can't execute as text operators or truncate the page
+          i = inlineImageEnd(stream, i)
           stack.clear()
         } else op(w)
       } else i += 1

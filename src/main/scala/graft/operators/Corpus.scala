@@ -466,21 +466,15 @@ object Corpus {
     // priority keeps its input type (no silent long truncation of
     // fractional scores) and orders DESC via a SortOrder, not
     // arithmetic negation (which would overflow Long.MinValue and bar
-    // non-numeric priorities); null text counts as "" (one empty
-    // token — the split convention everywhere else in this family),
-    // null priorities sort last. `tokenCounter` swaps the whitespace
-    // approximation for a real tokenizer (e.g. Bpe.countTokens) — the
-    // count stays a map-side projection either way, the running-total
-    // plan is untouched.
-    val tokens: Column = tokenCounter match {
-      case None => size(split(coalesce(col(textCol), lit("")), " ")).cast("long")
-      case Some(f) =>
-        val u = udf((s: String) => f(if (s == null) "" else s))
-        u(col(textCol)).cast("long")
-    }
+    // non-numeric priorities); null priorities sort last. Token
+    // counting (incl. the null-text convention and the optional real
+    // tokenizer) is THE shared TextStats.tokenCountCol — one
+    // definition across budgetPrefix/contextTrim/packSamples, so the
+    // budgets cannot desynchronize. The count stays a map-side
+    // projection either way; the running-total plan is untouched.
     val meta = docs.select(col(idCol).cast("long").as("doc_id"),
       col(priorityCol).as("priority"),
-      tokens.as("n_tokens"))
+      TextStats.tokenCountCol(tokenCounter, col(textCol)).cast("long").as("n_tokens"))
     Positional.withRunningTotal(meta,
         Seq(col("priority").desc_nulls_last, col("doc_id").asc),
         "n_tokens", "cum_tokens")

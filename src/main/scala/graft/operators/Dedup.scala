@@ -464,9 +464,17 @@ object Dedup {
     * @param pairs (id_a, id_b) near-dup pairs
     */
   def canonicalSurvivors(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
-    val labeled = components(nodes.select("id"), pairs, maxIter)
-      .join(nodes.select(col("id").cast("long").as("id"), col("weight")), Seq("id"))
+      maxIter: Int = 20): DataFrame =
+    canonicalFromLabels(
+      components(nodes.select("id"), pairs, maxIter)
+        .join(nodes.select(col("id").cast("long").as("id"), col("weight")), Seq("id")))
+
+  /** The argmax stage alone, over an ALREADY-LABELED frame
+    * `(id, label, weight)` — callers that computed components
+    * themselves (e.g. to record round counts) reuse the labels instead
+    * of paying a second propagation.
+    */
+  def canonicalFromLabels(labeled: DataFrame): DataFrame = {
     val wMax = labeled.groupBy("label").agg(max(col("weight")).as("w_max"))
     val winner = labeled.join(wMax, Seq("label"))
       .where(col("weight") <=> col("w_max"))

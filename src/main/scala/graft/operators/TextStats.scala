@@ -82,6 +82,24 @@ object TextStats {
     s"CAST(len(regexp_extract_all($col, '" +
       BpeTokenPattern.replace("'", "''") + s"')) AS INT)"
 
+  /** THE token-count Column for every budget operator (budgetPrefix,
+    * contextTrim, packSamples) — one definition so the null-text
+    * convention cannot desynchronize the budgets: whitespace split by
+    * default, a real tokenizer (e.g. `Bpe.countTokens`) when threaded
+    * in. Null text coalesces to "" first, then counts by the active
+    * counter's own rule — ONE empty token under the whitespace split,
+    * ZERO under a real tokenizer ("" has no pre-tokens); never null,
+    * so window sums can't undercount and typed encoders can't NPE.
+    * INT-typed; callers widen as needed.
+    */
+  def tokenCountCol(counter: Option[String => Int], text: Column): Column =
+    counter match {
+      case None => size(split(coalesce(text, lit("")), " "))
+      case Some(f) =>
+        val u = udf((s: String) => f(if (s == null) "" else s))
+        u(text).cast("int")
+    }
+
   def quality(df: DataFrame, textCol: String): DataFrame = {
     val toks = size(split(col(textCol), " "))
     val meanLen100 = floor((length(col(textCol)) - toks + 1) * 100 / toks).cast("long")

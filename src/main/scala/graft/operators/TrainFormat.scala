@@ -191,14 +191,21 @@ object TrainFormat {
       .withColumn("kept", col("suffix_tokens") <= budget)
   }
 
+  /** The ONE budget token-count column — see TextStats.tokenCountCol
+    * for the null/"" convention (shared with Corpus.budgetPrefix).
+    */
+  private def tokCol(tokenCounter: Option[String => Int]): org.apache.spark.sql.Column =
+    TextStats.tokenCountCol(tokenCounter, col("text"))
+
   /** Greedy per-conversation sequence packing.
     *
     * Walks each conversation's turns in `turn_idx` order keeping a
     * running token total; when adding the next turn would exceed
     * `budget`, a new sample starts with that turn. Token counts are
     * whitespace tokens (`size(split(text, ' '))` — the q_token_count
-    * parity idiom), and the walk is the exact recurrence the DuckDB
-    * recursive-CTE oracle replays:
+    * parity idiom) unless a real `tokenCounter` is threaded in, and
+    * the walk is the exact recurrence the DuckDB recursive-CTE oracle
+    * replays:
     *
     *   turn 0:  sample = 0, acc = tok
     *   turn i:  acc + tok > budget  →  sample += 1, acc = tok
@@ -211,23 +218,6 @@ object TrainFormat {
     * mapPartitions walk with state reset on conversation change —
     * one shuffle, zero group buffering.
     */
-  /** Token-count column shared by the budget operators: whitespace
-    * split by default, a real tokenizer (e.g. `Bpe.countTokens`) when
-    * threaded in. Null text is coalesced to "" first, then counted by
-    * the active counter's own rule — ONE empty token under the
-    * whitespace split (the Corpus.budgetPrefix convention), ZERO under
-    * a real tokenizer ("" has no pre-tokens); either way the count is
-    * never null, so window sums can't undercount and the packing
-    * encoder can't NPE.
-    */
-  private def tokCol(tokenCounter: Option[String => Int]): org.apache.spark.sql.Column =
-    tokenCounter match {
-      case None => size(split(coalesce(col("text"), lit("")), " "))
-      case Some(f) =>
-        val u = udf((s: String) => f(if (s == null) "" else s))
-        u(col("text")).cast("int")
-    }
-
   def packSamples(turns: DataFrame, budget: Int,
       tokenCounter: Option[String => Int] = None): DataFrame = {
     val spark = turns.sparkSession

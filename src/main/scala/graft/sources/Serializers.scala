@@ -56,7 +56,12 @@ object Serializers {
     val key: org.apache.spark.sql.Column = shardBy match {
       case "xxhash64" => xxhash64(col(idCol))
       case "md5" =>
-        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+        // null ids coalesce to "" BEFORE hashing: md5(null) is null →
+        // pmod null → Hive's default partition dir, whose non-numeric
+        // name would NPE the manifest count pass (xxhash64 hashes
+        // nulls to its seed, so only this path needs the guard)
+        conv(substring(md5(coalesce(col(idCol).cast("string"), lit(""))), 1, 8), 16, 10)
+          .cast("long")
       case other => throw new IllegalArgumentException(
         s"writeShardedJsonl: unknown shardBy '$other' (xxhash64|md5)")
     }

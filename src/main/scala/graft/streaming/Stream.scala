@@ -131,7 +131,12 @@ object Stream {
           .withColumn("__h", md5(col(textCol)))
         val firstIds = passing.groupBy(col("__h"))
           .agg(min(col(idCol)).as(idCol)).drop("__h")
-        val batchUnique = passing.join(firstIds, Seq(idCol), "leftsemi").drop("__h")
+        // the leftsemi keeps every row bearing a winning id — an
+        // at-least-once source can deliver the SAME row twice in one
+        // batch, so collapse to one row per id (byte-identical rows,
+        // deterministic pick) before the history append
+        val batchUnique = passing.join(firstIds, Seq(idCol), "leftsemi")
+          .dropDuplicates(idCol).drop("__h")
         val flags = graft.operators.Dedup.incrementalDedup(
           batchUnique, history, idCol, textCol)
         batchUnique

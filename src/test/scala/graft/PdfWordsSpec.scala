@@ -236,4 +236,40 @@ class PdfWordsSpec extends AnyFunSuite {
     val pages = Pdf.splitPages(onePage("BT /F1 10 Tf 100 500 Td (A B) Tj (C) Tj ET"))
     assert(pages.head.text == "A B C")
   }
+
+  test("% comments are whitespace: operands inside them never go live") {
+    // the comment's (x) and numbers must not displace the real
+    // operands in either walker (§7.2.4)
+    val content = "BT /F1 10 Tf 100 500 Td (A) % draft (x) 9 9\nTj ET"
+    val ws = words(content)
+    assert(ws.map(_.text) == Seq("A"))
+    assertBox(ws.head, "A", 100.0, 282.0, 105.0, 292.0)
+    assert(Pdf.splitPages(onePage(content)).head.text == "A")
+  }
+
+  test("a hostile nested array degrades to a flattened TJ, never a scrambled stack") {
+    val ws = words("BT /F1 10 Tf 100 500 Td [(A) [(B)] (C)] TJ ET")
+    // all three strings show, in order, abutting (no adjustments)
+    assert(ws.map(_.text) == Seq("ABC"))
+  }
+
+  test("unfiltered inline image payloads delimit by exact computed length") {
+    // 2x2 gray 8bpc = 4 payload bytes, crafted to contain ' EI ' — a
+    // whitespace-scan would truncate inside the payload and execute
+    // the trailing bytes as operators; the exact length (and then the
+    // real EI) must win
+    val ws = words("BT /F1 10 Tf 100 500 Td (A) Tj ET " +
+      "BI /W 2 /H 2 /CS /G /BPC 8 ID  EI  EI " +
+      "BT /F1 10 Tf 200 400 Td (B) Tj ET")
+    assert(ws.map(_.text) == Seq("A", "B"))
+    assertBox(ws(1), "B", 200.0, 382.0, 206.0, 392.0)
+  }
+
+  test("an undelimitable inline image drops the tail, never parses binary as operators") {
+    // filtered payload with no /L and no whitespace-delimited EI: the
+    // walker must not hallucinate words from the payload bytes
+    val ws = words("BT /F1 10 Tf 100 500 Td (A) Tj ET " +
+      "BI /W 2 /H 2 /CS /G /BPC 8 /F /Fl ID ÿ(phantom)þTj")
+    assert(ws.map(_.text) == Seq("A"))
+  }
 }
