@@ -2582,12 +2582,25 @@ object Pdf {
     final case class TArr(items: Vector[Tok]) extends Tok
 
     val out = Vector.newBuilder[PChar]
-    // text state (§9.3); matrices as (a b c d e f) row-major 2x3
+    // text state (§9.3); matrices as (a b c d e f) row-major 2x3,
+    // row-vector convention: [x y 1]·M
     var tlm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     var tm = tlm.clone()
     var tl = 0.0; var tfs = 0.0; var tc = 0.0; var tw = 0.0
     var th = 1.0; var trise = 0.0
     var curFont: Option[PdfFont] = None
+    // graphics state (§8.4): the CTM (`cm`) and its q/Q stack — glyph
+    // boxes render through Tm × CTM, so translated/scaled/rotated
+    // text FRAMES position correctly; advances stay in text space
+    var ctm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val gsStack = scala.collection.mutable.ArrayDeque.empty[Array[Double]]
+    def mult(m1: Array[Double], m2: Array[Double]): Array[Double] = Array(
+      m1(0) * m2(0) + m1(1) * m2(2),
+      m1(0) * m2(1) + m1(1) * m2(3),
+      m1(2) * m2(0) + m1(3) * m2(2),
+      m1(2) * m2(1) + m1(3) * m2(3),
+      m1(4) * m2(0) + m1(5) * m2(2) + m2(4),
+      m1(4) * m2(1) + m1(5) * m2(3) + m2(5))
 
     def td(tx: Double, ty: Double): Unit = {
       // Tlm ← translate(tx,ty) × Tlm; Tm ← Tlm
@@ -2628,14 +2641,15 @@ object Pdf {
       val txt = textOf(code)
       if (txt.nonEmpty) {
         val gw = w0 * tfs * th
+        val trm = mult(tm, ctm)
         var x0 = Double.MaxValue; var y0 = Double.MaxValue
         var x1 = -Double.MaxValue; var y1 = -Double.MaxValue
         var ci = 0
         while (ci < 4) {
           val x = if ((ci & 1) == 0) 0.0 else gw
           val y = trise + (if ((ci & 2) == 0) 0.0 else tfs)
-          val dx = x * tm(0) + y * tm(2) + tm(4)
-          val dy = x * tm(1) + y * tm(3) + tm(5)
+          val dx = x * trm(0) + y * trm(2) + trm(4)
+          val dy = x * trm(1) + y * trm(3) + trm(5)
           if (dx < x0) x0 = dx
           if (dx > x1) x1 = dx
           if (dy < y0) y0 = dy
@@ -2714,7 +2728,12 @@ object Pdf {
               }
             case _ => ()
           }
-        case _ => () // graphics operators: operands consumed, no effect
+        case "cm" =>
+          val v = popNums(6)
+          if (v != null) ctm = mult(v, ctm)
+        case "q" => gsStack.append(ctm.clone())
+        case "Q" => if (gsStack.nonEmpty) ctm = gsStack.removeLast()
+        case _ => () // other graphics operators: operands consumed, no effect
       }
       stack.clear()
     }
@@ -2794,18 +2813,21 @@ object Pdf {
     * (greedy chain over the sorted tops, gap > `yTol` starts a line —
     * pdfplumber's `cluster_objects`), then within a line (sorted by
     * x0) a whitespace char or an x-gap > `xTol` ends the word. Word
-    * box = the union of its member char boxes. Device space in, device
-    * space out.
+    * box = the union of its member char boxes. Input and output are
+    * TOP-ORIGIN display coordinates (y0 = top < y1 = bottom) — the
+    * caller applies the device→display flip and any page `/Rotate`
+    * BEFORE grouping, so lines cluster in the orientation a reader
+    * (and pdfplumber's display-space extract_words) sees.
     */
-  private def groupWordsDevice(chars: Seq[PChar], xTol: Double, yTol: Double): Vector[(String, Double, Double, Double, Double)] = {
+  private def groupWordsTop(chars: Seq[PChar], xTol: Double, yTol: Double): Vector[(String, Double, Double, Double, Double)] = {
     if (chars.isEmpty) return Vector.empty
-    val sorted = chars.sortBy(c => (-c.y1, c.x0))
+    val sorted = chars.sortBy(c => (c.y0, c.x0))
     val lines = ArrayBuffer.empty[ArrayBuffer[PChar]]
     var lastTop = Double.NaN
     for (c <- sorted) {
-      if (lines.isEmpty || math.abs(c.y1 - lastTop) > yTol) lines += ArrayBuffer(c)
+      if (lines.isEmpty || math.abs(c.y0 - lastTop) > yTol) lines += ArrayBuffer(c)
       else lines.last += c
-      lastTop = c.y1
+      lastTop = c.y0
     }
     val words = Vector.newBuilder[(String, Double, Double, Double, Double)]
     for (line <- lines) {
@@ -2829,15 +2851,19 @@ object Pdf {
 
   private val MediaBoxRe =
     """/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s*\]""".r
+  private val RotateRe = """/Rotate\s+(-?\d+)""".r
 
   /** Positioned words of every page (reference `PdfPlumberTextDetector`,
     * extern/pdftext.py:90-107): the [[positionedChars]] walk over the
     * page's concatenated content streams (§7.8.2: the split into
-    * streams is arbitrary — text state carries across), grouped
-    * pdfplumber-style, flipped to top-origin with the page height from
-    * the inheritable `/MediaBox` (US Letter 792 when absent —
-    * documented default; the spec requires MediaBox, corrupt files
-    * degrade predictably).
+    * streams is arbitrary — text state carries across), mapped to
+    * top-origin DISPLAY coordinates (device flip by the inheritable
+    * `/MediaBox` height — US Letter 792 when absent, corrupt files
+    * degrade predictably — then the inheritable `/Rotate` quarter
+    * turns: 90 → (y, x), 180 → (W−x, y-flip-undone), 270 →
+    * (H−y, W−x); the displayed page swaps W/H on odd quarters), then
+    * grouped pdfplumber-style IN display space so lines cluster the
+    * way a reader sees them.
     */
   def splitPagesWords(bytes: Array[Byte], xTol: Double = 3.0, yTol: Double = 3.0): Seq[PdfWord] = {
     val text = new String(bytes, StandardCharsets.ISO_8859_1)
@@ -2850,10 +2876,16 @@ object Pdf {
       pageNo += 1
       val body = o.dict
       val fonts = fontsOf(body, byNum, fontCache)
-      val pageH = inheritFromAncestors(body, byNum)(d =>
+      val (pageW, pageH) = inheritFromAncestors(body, byNum)(d =>
         MediaBoxRe.findFirstMatchIn(d).flatMap(m =>
-          for (b <- m.group(2).toDoubleOption; t <- m.group(4).toDoubleOption) yield t - b))
-        .getOrElse(792.0)
+          for {
+            l <- m.group(1).toDoubleOption; b <- m.group(2).toDoubleOption
+            r <- m.group(3).toDoubleOption; t <- m.group(4).toDoubleOption
+          } yield (r - l, t - b)))
+        .getOrElse((612.0, 792.0))
+      val rot = inheritFromAncestors(body, byNum)(d =>
+        RotateRe.findFirstMatchIn(d).flatMap(_.group(1).toIntOption))
+        .map(r => ((r % 360) + 360) % 360).getOrElse(0)
       val refs: Seq[Int] = ContentsArrRe.findFirstMatchIn(body) match {
         case Some(arr) => RefRe.findAllMatchIn(arr.group(1)).flatMap(_.group(1).toIntOption).toSeq
         case None => ContentsRefRe.findFirstMatchIn(body).flatMap(_.group(1).toIntOption).toSeq
@@ -2861,10 +2893,19 @@ object Pdf {
       val streams: Seq[String] =
         (if (refs.nonEmpty) refs.flatMap(byNum.get) else Seq(o))
           .flatMap(c => c.stream.flatMap(decodeContent(c.dict, _)))
-      val chars = positionedChars(streams.mkString("\n"), fonts)
-      groupWordsDevice(chars, xTol, yTol).zipWithIndex.foreach {
-        case ((t, x0, y0, x1, y1), idx) =>
-          out += PdfWord(pageNo, idx, t, x0, pageH - y1, x1, pageH - y0)
+      // device (PDF y-up) box → top-origin display box under /Rotate:
+      // derived from the quarter-turn image maps (90 CW: (X,Y)→(H−Y,X)
+      // in display coords); axis-aligned boxes stay axis-aligned
+      def display(c: PChar): PChar = rot match {
+        case 90 => PChar(c.text, c.y0, c.x0, c.y1, c.x1)
+        case 180 => PChar(c.text, pageW - c.x1, c.y0, pageW - c.x0, c.y1)
+        case 270 => PChar(c.text, pageH - c.y1, pageW - c.x1, pageH - c.y0, pageW - c.x0)
+        case _ => PChar(c.text, c.x0, pageH - c.y1, c.x1, pageH - c.y0)
+      }
+      val chars = positionedChars(streams.mkString("\n"), fonts).map(display)
+      groupWordsTop(chars, xTol, yTol).zipWithIndex.foreach {
+        case ((t, x0, top, x1, bottom), idx) =>
+          out += PdfWord(pageNo, idx, t, x0, top, x1, bottom)
       }
     }
     out.toSeq

@@ -90,18 +90,32 @@ object Dedup {
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       jaccardThreshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // persisted: consumed by the band explode AND the two signature
+    // join-backs (the incrementalDedup histKeys convention — stays
+    // alive while the returned plan is). ~300 B/doc, tiny next to the
+    // corpus the map stage would otherwise re-scan three times.
     val sigs = signatures(df, idCol, textCol, k, numHashes).select("id", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sigs.select(col("id"), col("sig"),
+    // the band self-join shuffles (band, hash, id) ONLY — carrying the
+    // 64-element signatures through the join and the distinct
+    // multiplies the exchange bytes ~6× and capsizes the disk at
+    // 10⁷-doc scale (measured: 18 M docs overflowed a 65 GB spill
+    // volume before this split); candidates re-acquire signatures by
+    // two id-keyed hash joins AFTER the distinct collapses band
+    // multiplicity
+    val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select("id_a", "id_b").distinct()
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
 
     val agree = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),

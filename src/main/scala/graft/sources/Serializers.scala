@@ -241,6 +241,29 @@ object Serializers {
       .toDF("path", "page_no", "text")
   }
 
+  /** Positioned-word source — the reference's
+    * `PdfPlumberTextDetector` surface (extern/pdftext.py:90-107) as a
+    * DataFrame: one row per word with its top-origin display-space
+    * box, ready for the geometric pipeline (MatchingService /
+    * TextOrderService — q_pdf_reading_order runs exactly this chain).
+    * Word extraction runs inside the scan stage — no shuffle, the
+    * same 100 TB shape as [[readPdfPages]].
+    */
+  def readPdfWords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        graft.kernels.Pdf.splitPagesWords(bytes).map(w =>
+          (path, w.pageNo, w.wordNo, w.text, w.x0, w.top, w.x1, w.bottom))
+      }
+      .toDF("path", "page_no", "word_no", "text", "x0", "top", "x1", "bottom")
+  }
+
   /** Full `SerializerPdfDoc.load` datapoint parity
     * (custom_serialize.py:646 `make_pdf_page_mapper`): one row per
     * page with `pdf_bytes` a STANDALONE one-page PDF (what the

@@ -36,6 +36,28 @@ class PdfGeomSpec extends AnyFunSuite {
       "alpha" -> 3, "delta" -> 3, "beta3" -> 2, "eps3" -> 2, "gamma" -> 1, "zeta" -> 1))
   }
 
+  test("readPdfWords source: file scan to positioned word rows, no shuffle") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdf_words_src")
+    try {
+      java.nio.file.Files.write(dir.resolve("doc_a.pdf"), SparkEntry.synthPdfTwoColumn(7L))
+      val df = graft.sources.Serializers.readPdfWords(spark, dir.toString)
+      val rows = df.select("word_no", "text", "x0", "top")
+        .as[(Int, String, Double, Double)].collect().sortBy(_._1)
+      assert(rows.map(_._2).toSeq ==
+        Seq("alpha", "delta", "beta7", "eps7", "gamma", "zeta"))
+      assert(rows(0)._3 == 50.0 && rows(1)._3 == 320.0)
+      assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        "word extraction must stay inside the scan stage")
+    } finally {
+      val st = java.nio.file.Files.walk(dir)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally st.close()
+    }
+  }
+
   test("PDF words match to layout blocks by intersection (ioa)") {
     val ws = wordsOf(1L)
     val blocks = IndexedSeq(

@@ -265,6 +265,50 @@ class PdfWordsSpec extends AnyFunSuite {
     assertBox(ws(1), "B", 200.0, 382.0, 206.0, 392.0)
   }
 
+  test("cm translates the text frame; q/Q save and restore the CTM") {
+    val ws = words("q 1 0 0 1 10 20 cm BT /F1 10 Tf 100 500 Td (A) Tj ET Q " +
+      "BT /F1 10 Tf 100 500 Td (B) Tj ET")
+    assert(ws.map(_.text) == Seq("A", "B"), "A sits 20pt higher after the cm, so it reads first")
+    // A: device (110, 520); B: untranslated after Q
+    assertBox(ws.find(_.text == "A").get, "A", 110.0, 262.0, 115.0, 272.0)
+    assertBox(ws.find(_.text == "B").get, "B", 100.0, 282.0, 106.0, 292.0)
+  }
+
+  test("cm scaling scales glyph boxes and positions") {
+    val ws = words("2 0 0 2 0 0 cm BT /F1 10 Tf 100 300 Td (A) Tj ET")
+    // everything doubles: origin (200,600), width 10, height 20
+    assertBox(ws.head, "A", 200.0, 172.0, 210.0, 192.0)
+  }
+
+  /** onePage variant with extra entries on the (inheritable) Pages
+    * node — /Rotate lives there in real writers.
+    */
+  private def onePageRotated(content: String, rotate: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 " +
+      s"/MediaBox [0 0 612 792] /Rotate $rotate >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put(s"5 0 obj $SimpleFont endobj\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("/Rotate maps words to the displayed orientation (inherited from Pages)") {
+    val content = "BT /F1 10 Tf 100 500 Td (A) Tj ET"
+    // device box (100..105, 500..510)
+    val r90 = Pdf.splitPagesWords(onePageRotated(content, 90))
+    assertBox(r90.head, "A", 500.0, 100.0, 510.0, 105.0) // X'=y, top'=x
+    val r180 = Pdf.splitPagesWords(onePageRotated(content, 180))
+    assertBox(r180.head, "A", 507.0, 500.0, 512.0, 510.0) // X'=612−x, top'=y0
+    val r270 = Pdf.splitPagesWords(onePageRotated(content, 270))
+    assertBox(r270.head, "A", 282.0, 507.0, 292.0, 512.0) // X'=792−y, top'=612−x
+    val rNeg = Pdf.splitPagesWords(onePageRotated(content, -90)) // ≡ 270
+    assertBox(rNeg.head, "A", 282.0, 507.0, 292.0, 512.0)
+  }
+
   test("an undelimitable inline image drops the tail, never parses binary as operators") {
     // filtered payload with no /L and no whitespace-delimited EI: the
     // walker must not hallucinate words from the payload bytes
