@@ -136,18 +136,26 @@ object Bench {
       // block documents), so accidental band collisions between
       // unrelated clusters are filtered here, not absorbed into
       // components
-      val pairs = graft.operators.Dedup.minhashLshPairs(
+      val (rawPairs, sigs) = graft.operators.Dedup.minhashLshPairsWithSigs(
         docs, "doc_id", "text", jaccardThreshold = 0.8)
-        .select(col("id_a"), col("id_b"))
+      val pairs = rawPairs.select(col("id_a"), col("id_b"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val nPairs = pairs.count()
       val lshSec = (System.nanoTime() - t0) / 1e9
-      val nodes = docs.select(col("doc_id").as("id"))
+      // disk-lifecycle discipline — at 18 M docs the spill volume is
+      // the binding constraint (measured: two overflows before this):
+      // pairs are materialized, so the multi-GB signature cache and
+      // the doc corpus release NOW; System.gc() nudges the
+      // ContextCleaner to delete the dead stages' shuffle files
+      sigs.unpersist(); docs.unpersist(); System.gc()
+      // the planted corpus IS range(n), so the node set needs no scan
+      val nodes = spark.range(n).select(col("id"))
       val t1 = System.nanoTime()
       val (labels, rounds) = graft.operators.Dedup.componentsWithRounds(
         nodes, pairs, maxIter = 20)
       val nClusters = labels.select("label").distinct().count()
       val compSec = (System.nanoTime() - t1) / 1e9
+      pairs.unpersist(); System.gc() // labels are localCheckpointed
       val t2 = System.nanoTime()
       // survivor selection ALONE: reuse the labels already computed
       // above (canonicalSurvivors would re-run the whole propagation
@@ -161,7 +169,7 @@ object Bench {
       val expect = n / 3
       require(nClusters <= expect && nClusters >= (expect * 999L) / 1000L,
         s"cluster count $nClusters vs planted $expect at n=$n")
-      docs.unpersist(); pairs.unpersist()
+      System.gc()
       (nPairs, lshSec, rounds, compSec, nClusters, survSec, expect - nClusters)
     }
     val (p1, l1, r1, c1, k1, s1, m1) = measure(nSmall)

@@ -2269,7 +2269,14 @@ object Pdf {
         while (i < n && (stream.charAt(i).isLetter || stream.charAt(i) == '*')) i += 1
         val op = stream.substring(s, i)
         if (op == "Tj" || op == "TJ") emit()
-        else {
+        else if (op == "BI") {
+          // inline image: skip by the extraction path's exact
+          // delimiting (same contract as the positioned walker) — a
+          // payload containing '(…) Tj' bytes must not emit phantom
+          // text, and a payload's ' EI ' run must not truncate it
+          i = inlineImageEnd(stream, i)
+          pending.clear()
+        } else {
           if (op == "Tf") curFont = fonts.get(lastName)
           pending.clear()
         }

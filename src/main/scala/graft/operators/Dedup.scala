@@ -88,11 +88,23 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      jaccardThreshold: Double = 0.8): DataFrame = {
+      jaccardThreshold: Double = 0.8): DataFrame =
+    minhashLshPairsWithSigs(df, idCol, textCol, k, numHashes, bands, jaccardThreshold)._1
+
+  /** [[minhashLshPairs]] plus the persisted signature table it built —
+    * callers that MATERIALIZE the pairs (persist + count) should then
+    * `sigs.unpersist()`: at 10⁷-doc scale the ~0.5 KB/doc signature
+    * cache is multiple GB of storage that nothing downstream of the
+    * materialized pairs reads (the dedup_at_scale bench overflowed
+    * its spill volume holding two corpus sizes' caches concurrently).
+    */
+  def minhashLshPairsWithSigs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      jaccardThreshold: Double = 0.8): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     // persisted: consumed by the band explode AND the two signature
     // join-backs (the incrementalDedup histKeys convention — stays
-    // alive while the returned plan is). ~300 B/doc, tiny next to the
+    // alive while the returned plan is). ~0.5 KB/doc, tiny next to the
     // corpus the map stage would otherwise re-scan three times.
     val sigs = signatures(df, idCol, textCol, k, numHashes).select("id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -120,10 +132,11 @@ object Dedup {
     val agree = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    cand.select(col("id_a"), col("id_b"),
+    val pairs = cand.select(col("id_a"), col("id_b"),
         (agree.cast("double") / numHashes).as("jaccard_est"))
       .filter(col("jaccard_est") >= jaccardThreshold)
       .orderBy("id_a", "id_b")
+    (pairs, sigs)
   }
 
   /** The band-collision candidate pairs alone (no verify) — public so

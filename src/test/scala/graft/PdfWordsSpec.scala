@@ -309,6 +309,15 @@ class PdfWordsSpec extends AnyFunSuite {
     assertBox(rNeg.head, "A", 282.0, 507.0, 292.0, 512.0)
   }
 
+  test("plain extractText also skips inline images exactly (no phantom text)") {
+    // payload bytes spell '(ghost) Tj' — the plain walker must not
+    // show them; the word after the image must survive
+    val pages = Pdf.splitPages(onePage("BT /F1 10 Tf (real) Tj ET " +
+      "BI /W 3 /H 1 /CS /G /BPC 8 ID (ghost) Tj EI " +
+      "BT /F1 10 Tf (after) Tj ET"))
+    assert(pages.head.text == "real after")
+  }
+
   test("an undelimitable inline image drops the tail, never parses binary as operators") {
     // filtered payload with no /L and no whitespace-delimited EI: the
     // walker must not hallucinate words from the payload bytes
