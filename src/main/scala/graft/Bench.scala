@@ -112,6 +112,13 @@ object Bench {
   private def dedupAtScale(cpus: Int): Unit = {
     val nBig = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "18000000").toLong
     val nSmall = nBig / 10
+    // MinHash knobs, recorded in the artifact: the 18 M-doc default is
+    // 32 hashes × 8 bands — the SAME rows-per-band (4, so the same
+    // per-band fp profile j⁴) as the operator's 64×16 default with
+    // half the signature bytes; the sandbox spill volume (~94 GB) is
+    // the binding constraint at this scale (64×16 peaked ~100 GB)
+    val nHashes = sys.env.getOrElse("SPARK_GRAFT_DEDUP_HASHES", "32").toInt
+    val nBands = sys.env.getOrElse("SPARK_GRAFT_DEDUP_BANDS", "8").toInt
     val spark = session(cpus, cpus * 8)
     import org.apache.spark.sql.DataFrame
     def planted(n: Long): DataFrame = {
@@ -137,7 +144,8 @@ object Bench {
       // unrelated clusters are filtered here, not absorbed into
       // components
       val (rawPairs, sigs) = graft.operators.Dedup.minhashLshPairsWithSigs(
-        docs, "doc_id", "text", jaccardThreshold = 0.8)
+        docs, "doc_id", "text", numHashes = nHashes, bands = nBands,
+        jaccardThreshold = 0.8)
       val pairs = rawPairs.select(col("id_a"), col("id_b"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val nPairs = pairs.count()
@@ -177,6 +185,7 @@ object Bench {
     def g(a: Double, b: Double) = if (a > 0) f"${b / a}%.2f" else "-1"
     println(
       s"""{"metric":"dedup_at_scale","unit":"sec","cpus":$cpus,""" +
+        s""""num_hashes":$nHashes,"bands":$nBands,""" +
         s""""docs_small":$nSmall,"docs_big":$nBig,"docs_growth":10.00,""" +
         s""""pairs_small":$p1,"pairs_big":$p2,""" +
         s""""lsh_sec_small":${f"$l1%.1f"},"lsh_sec_big":${f"$l2%.1f"},""" +
