@@ -2573,9 +2573,11 @@ object Pdf {
     * plain walker's string-only pending list can't position). Cursor
     * advance per glyph: `(w0·Tfs + Tc + Tw?)·Th` with `w0` from the
     * font metrics; `TJ` number adjustments move `(−adj/1000·Tfs)·Th`.
-    * The CTM (`cm`) is NOT tracked: graft consumes page-space boxes
-    * and the writers this subset targets draw text in unscaled page
-    * space (pdfplumber's default page view reports the same frame).
+    * The CTM IS tracked (`cm` concatenation with the `q`/`Q` graphics
+    * stack): glyph boxes render through Tm × CTM, so translated,
+    * scaled, and rotated text FRAMES position correctly — advances
+    * stay in text space per §9.4.4. The remaining approximation is
+    * the glyph box itself (em square on the baseline, see [[PChar]]).
     * Suppressed codes (unmapped subset/symbolic fonts) still ADVANCE
     * the cursor — their width is real even when their unicode isn't.
     * Inline images (`BI…ID…EI`) skip wholesale so binary payloads
@@ -2858,7 +2860,10 @@ object Pdf {
 
   private val MediaBoxRe =
     """/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s*\]""".r
-  private val RotateRe = """/Rotate\s+(-?\d+)""".r
+  // the value must be DIRECT: '/Rotate 90 0 R' stores the angle in
+  // object 90 — capturing the object number would rotate by it
+  // (MediaBoxRe simply fails to match indirect values; same fallback)
+  private val RotateRe = """/Rotate\s+(-?\d+)(?!\d)(?!\s+\d+\s+R)""".r
 
   /** Positioned words of every page (reference `PdfPlumberTextDetector`,
     * extern/pdftext.py:90-107): the [[positionedChars]] walk over the
@@ -2883,13 +2888,16 @@ object Pdf {
       pageNo += 1
       val body = o.dict
       val fonts = fontsOf(body, byNum, fontCache)
-      val (pageW, pageH) = inheritFromAncestors(body, byNum)(d =>
+      // full box, not just extents: a non-zero lower-left origin
+      // (scanner/imposition output) shifts every coordinate — the
+      // flip is t − y and the x offset is x − l
+      val (boxL, boxB, pageW, pageH) = inheritFromAncestors(body, byNum)(d =>
         MediaBoxRe.findFirstMatchIn(d).flatMap(m =>
           for {
             l <- m.group(1).toDoubleOption; b <- m.group(2).toDoubleOption
             r <- m.group(3).toDoubleOption; t <- m.group(4).toDoubleOption
-          } yield (r - l, t - b)))
-        .getOrElse((612.0, 792.0))
+          } yield (l, b, r - l, t - b)))
+        .getOrElse((0.0, 0.0, 612.0, 792.0))
       val rot = inheritFromAncestors(body, byNum)(d =>
         RotateRe.findFirstMatchIn(d).flatMap(_.group(1).toIntOption))
         .map(r => ((r % 360) + 360) % 360).getOrElse(0)
@@ -2901,13 +2909,18 @@ object Pdf {
         (if (refs.nonEmpty) refs.flatMap(byNum.get) else Seq(o))
           .flatMap(c => c.stream.flatMap(decodeContent(c.dict, _)))
       // device (PDF y-up) box → top-origin display box under /Rotate:
-      // derived from the quarter-turn image maps (90 CW: (X,Y)→(H−Y,X)
-      // in display coords); axis-aligned boxes stay axis-aligned
-      def display(c: PChar): PChar = rot match {
-        case 90 => PChar(c.text, c.y0, c.x0, c.y1, c.x1)
-        case 180 => PChar(c.text, pageW - c.x1, c.y0, pageW - c.x0, c.y1)
-        case 270 => PChar(c.text, pageH - c.y1, pageW - c.x1, pageH - c.y0, pageW - c.x0)
-        case _ => PChar(c.text, c.x0, pageH - c.y1, c.x1, pageH - c.y0)
+      // coordinates rebase to the MediaBox origin first, then the
+      // quarter-turn image maps apply (90 CW: (X,Y)→(H−Y,X) in display
+      // coords); axis-aligned boxes stay axis-aligned
+      def display(c: PChar): PChar = {
+        val (x0, x1) = (c.x0 - boxL, c.x1 - boxL)
+        val (y0, y1) = (c.y0 - boxB, c.y1 - boxB)
+        rot match {
+          case 90 => PChar(c.text, y0, x0, y1, x1)
+          case 180 => PChar(c.text, pageW - x1, y0, pageW - x0, y1)
+          case 270 => PChar(c.text, pageH - y1, pageW - x1, pageH - y0, pageW - x0)
+          case _ => PChar(c.text, x0, pageH - y1, x1, pageH - y0)
+        }
       }
       val chars = positionedChars(streams.mkString("\n"), fonts).map(display)
       groupWordsTop(chars, xTol, yTol).zipWithIndex.foreach {

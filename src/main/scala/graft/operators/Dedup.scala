@@ -89,25 +89,35 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       jaccardThreshold: Double = 0.8): DataFrame =
-    minhashLshPairsWithSigs(df, idCol, textCol, k, numHashes, bands, jaccardThreshold)._1
+    minhashLshPairsImpl(df, idCol, textCol, k, numHashes, bands, jaccardThreshold,
+      persistSigs = false)._1
 
-  /** [[minhashLshPairs]] plus the persisted signature table it built —
-    * callers that MATERIALIZE the pairs (persist + count) should then
-    * `sigs.unpersist()`: at 10⁷-doc scale the ~0.5 KB/doc signature
-    * cache is multiple GB of storage that nothing downstream of the
-    * materialized pairs reads (the dedup_at_scale bench overflowed
-    * its spill volume holding two corpus sizes' caches concurrently).
+  /** [[minhashLshPairs]] with the signature table PERSISTED and
+    * returned — callers that materialize the pairs (persist + count)
+    * must then `sigs.unpersist()`: at 10⁷-doc scale the ~0.5 KB/doc
+    * signature cache is multiple GB of storage that nothing downstream
+    * of the materialized pairs reads (the dedup_at_scale bench
+    * overflowed its spill volume holding two corpus sizes' caches
+    * concurrently). The no-handle [[minhashLshPairs]] deliberately
+    * does NOT persist — a cache entry nobody can release would leak
+    * one signature table per call in a long-running pipeline; it
+    * recomputes the (map-only, shuffle-free) signature stage for each
+    * of its three consumers instead.
     */
   def minhashLshPairsWithSigs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      jaccardThreshold: Double = 0.8): (DataFrame, DataFrame) = {
+      jaccardThreshold: Double = 0.8): (DataFrame, DataFrame) =
+    minhashLshPairsImpl(df, idCol, textCol, k, numHashes, bands, jaccardThreshold,
+      persistSigs = true)
+
+  private def minhashLshPairsImpl(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int, jaccardThreshold: Double,
+      persistSigs: Boolean): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
-    // persisted: consumed by the band explode AND the two signature
-    // join-backs (the incrementalDedup histKeys convention — stays
-    // alive while the returned plan is). ~0.5 KB/doc, tiny next to the
-    // corpus the map stage would otherwise re-scan three times.
-    val sigs = signatures(df, idCol, textCol, k, numHashes).select("id", "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs0 = signatures(df, idCol, textCol, k, numHashes).select("id", "sig")
+    val sigs =
+      if (persistSigs) sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs0
 
     // the band self-join shuffles (band, hash, id) ONLY — carrying the
     // 64-element signatures through the join and the distinct

@@ -197,10 +197,36 @@ class PdfWordsSpec extends AnyFunSuite {
     assertBox(ws(1), "B", 100.0, 302.0, 106.0, 312.0)
   }
 
-  test("MediaBox inherits from the page tree and a non-zero bottom offsets the flip") {
+  test("MediaBox inherits from the page tree; a non-zero origin rebases coordinates") {
+    // box [0 100 612 942]: height 842, bottom 100 — the glyph at
+    // device y 500..510 sits 400..410 above the BOX bottom, so its
+    // top-origin distance from the box top is 842 − 410 = 432 (a flip
+    // by the extent alone would be off by the 100-pt origin)
     val ws = Pdf.splitPagesWords(onePage("BT /F1 10 Tf 100 500 Td (A) Tj ET",
-      mediaBox = "[0 100 612 942]")) // height 842
-    assertBox(ws.head, "A", 100.0, 332.0, 105.0, 342.0)
+      mediaBox = "[0 100 612 942]"))
+    assertBox(ws.head, "A", 100.0, 432.0, 105.0, 442.0)
+    // non-zero left edge rebases x the same way
+    val ws2 = Pdf.splitPagesWords(onePage("BT /F1 10 Tf 100 500 Td (A) Tj ET",
+      mediaBox = "[40 0 652 792]"))
+    assertBox(ws2.head, "A", 60.0, 282.0, 65.0, 292.0)
+  }
+
+  test("an indirect /Rotate reference never reads the object number as the angle") {
+    val out = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val content = "BT /F1 10 Tf 100 500 Td (A) Tj ET"
+    put("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    put("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/MediaBox [0 0 612 792] /Rotate 90 0 R >> endobj\n")
+    put("3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    put(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+    put(s"5 0 obj $SimpleFont endobj\n")
+    put("90 0 obj 180 endobj\n%%EOF\n")
+    // indirect value degrades to unrotated (the MediaBoxRe fallback
+    // convention) — NOT a 90-degree transpose from the object number
+    val ws = Pdf.splitPagesWords(out.toByteArray)
+    assertBox(ws.head, "A", 100.0, 282.0, 105.0, 292.0)
   }
 
   test("BT resets the text matrix between blocks") {
