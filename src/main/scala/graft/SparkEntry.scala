@@ -610,16 +610,22 @@ object SparkEntry {
     // pre-token approximations
     "q_token_budget_bpe" -> ((s, dir) => {
       import s.implicits._
+      val bpe = Some(graft.functions.Bpe.countTokens _)
       val planted = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
         .map { id =>
-          val text = (0 until 8).map(k => BpeVocab(((id + 3 * k) % 16).toInt)).mkString(" ")
-          (id, text, graft.functions.Bpe.countTokens(text))
+          (id, (0 until 8).map(k => BpeVocab(((id + 3 * k) % 16).toInt)).mkString(" "))
         }
-        .toDF("doc_id", "text", "n_tok")
+        .toDF("doc_id", "text")
         .withColumn("priority", col("doc_id") % 7)
-      val budget = planted.agg(sum(col("n_tok"))).first().getLong(0) / 2
+      // one merged-count pass for the budget, one inside the operator
+      // (which runs with the REAL tokenizer threaded through — the
+      // precomputedTokensCol shortcut exists for callers that already
+      // carry counts; CorpusSpec pins its equivalence)
+      val budget = planted
+        .agg(sum(TextStats.tokenCountCol(bpe, col("text"))))
+        .first().getLong(0) / 2
       Corpus.budgetPrefix(planted, "doc_id", "priority", "text", budget,
-          tokenCounter = Some(graft.functions.Bpe.countTokens _))
+          tokenCounter = bpe)
         .orderBy("doc_id")
     }),
 

@@ -462,7 +462,8 @@ object Corpus {
     */
   def budgetPrefix(docs: DataFrame, idCol: String, priorityCol: String,
       textCol: String, budgetTokens: Long,
-      tokenCounter: Option[String => Int] = None): DataFrame = {
+      tokenCounter: Option[String => Int] = None,
+      precomputedTokensCol: Option[String] = None): DataFrame = {
     // priority keeps its input type (no silent long truncation of
     // fractional scores) and orders DESC via a SortOrder, not
     // arithmetic negation (which would overflow Long.MinValue and bar
@@ -470,11 +471,19 @@ object Corpus {
     // counting (incl. the null-text convention and the optional real
     // tokenizer) is THE shared TextStats.tokenCountCol — one
     // definition across budgetPrefix/contextTrim/packSamples, so the
-    // budgets cannot desynchronize. The count stays a map-side
-    // projection either way; the running-total plan is untouched.
+    // budgets cannot desynchronize. When the caller already carries a
+    // count column (e.g. it needed per-doc counts anyway and the
+    // tokenizer is expensive), `precomputedTokensCol` skips the
+    // recount — a real BPE pass over the corpus is the costly stage,
+    // not the running total. The count stays a map-side projection
+    // either way; the running-total plan is untouched.
+    val tokens = precomputedTokensCol match {
+      case Some(c) => coalesce(col(c).cast("long"), lit(0L))
+      case None => TextStats.tokenCountCol(tokenCounter, col(textCol)).cast("long")
+    }
     val meta = docs.select(col(idCol).cast("long").as("doc_id"),
       col(priorityCol).as("priority"),
-      TextStats.tokenCountCol(tokenCounter, col(textCol)).cast("long").as("n_tokens"))
+      tokens.as("n_tokens"))
     Positional.withRunningTotal(meta,
         Seq(col("priority").desc_nulls_last, col("doc_id").asc),
         "n_tokens", "cum_tokens")

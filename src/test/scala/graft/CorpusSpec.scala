@@ -324,6 +324,25 @@ class CorpusSpec extends AnyFunSuite {
       .collect().forall(_.getBoolean(4)))
   }
 
+  test("budgetPrefix: precomputedTokensCol equals the tokenCounter path") {
+    import spark.implicits._
+    val bpe = Some(graft.functions.Bpe.countTokens _)
+    val docs = Seq(
+      (0L, 2L, "the and"), (1L, 2L, "nation"), (2L, 1L, "thing king"))
+      .toDF("doc_id", "prio", "t")
+    val viaCounter = Corpus.budgetPrefix(docs, "doc_id", "prio", "t", 7L,
+      tokenCounter = bpe).orderBy("doc_id").collect().toSeq
+    val withCol = docs.withColumn("n",
+      graft.operators.TextStats.tokenCountCol(bpe, col("t")))
+    val viaPrecomputed = Corpus.budgetPrefix(withCol, "doc_id", "prio", "t", 7L,
+      precomputedTokensCol = Some("n")).orderBy("doc_id").collect().toSeq
+    assert(viaCounter == viaPrecomputed)
+    // merged counts: "the and"=3, "nation"=4, "thing king"=5 → cums
+    // 3,7,12 under (prio DESC, id ASC) → kept, kept(boundary), dropped
+    assert(viaCounter.map(r => (r.getLong(0), r.getBoolean(4))) ==
+      Seq((0L, true), (1L, true), (2L, false)))
+  }
+
   test("mixtureInterleave: exact stride order and prefix proportionality") {
     import spark.implicits._
     val a = (1L to 6L).toDF("doc_id")

@@ -115,7 +115,11 @@ class PdfFuzzSpec extends AnyFunSuite {
     "rc4_setuser" -> resource("rc4_r3_set_user.pdf"),
     "aesv2" -> resource("aesv2_r4_empty_user.pdf"),
     "aesv3" -> resource("aesv3_r6_empty_user.pdf"),
-    "cid" -> resource("cid_nonbmp.pdf"))
+    "cid" -> resource("cid_nonbmp.pdf"),
+    // positioned-text fixtures: the operand-stack walker (matrices,
+    // widths, TJ arrays, Tm placements) sees the same mutation storm
+    "words" -> SparkEntry.synthPdfWords(7L),
+    "columns" -> SparkEntry.synthPdfTwoColumn(3L))
 
   /** One deterministic mutant: 1–3 structural corruptions. */
   private def mutate(base: Array[Byte], rnd: java.util.Random): Array[Byte] = {
@@ -159,10 +163,12 @@ class PdfFuzzSpec extends AnyFunSuite {
   private def drive(name: String, i: Int, bytes: Array[Byte]): Unit =
     try {
       Pdf.splitPages(bytes)
+      Pdf.splitPagesWords(bytes)
       Pdf.extractImages(bytes)
       // emitted pages must themselves re-parse without throwing
       for ((_, page) <- Pdf.emitPages(bytes)) {
         Pdf.splitPages(page)
+        Pdf.splitPagesWords(page)
         Pdf.extractImages(page)
       }
     } catch {
