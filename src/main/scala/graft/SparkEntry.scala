@@ -1184,6 +1184,33 @@ object SparkEntry {
         .select("doc_id", "is_dup")
     }),
 
+    // incremental NEAR-dup vs history: planted construction — history
+    // docs carry 4-md5-word texts keyed on their id; odd batch docs
+    // are a history text plus a short tail (char-shingle Jaccard
+    // ~0.94, signature agreement far above the 0.8 gate), even batch
+    // docs are fresh (cross Jaccard ~1e-2, never a band candidate) —
+    // so verdicts AND best-match ids are closed-form
+    "q_dedup_incremental_near" -> ((s, dir) => {
+      import s.implicits._
+      def w(seed: String): String =
+        (0 until 4).map { j =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${seed}_$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }.mkString(" ")
+      val hist = docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(i => (i, w(s"hist_$i"))).toDF("doc_id", "text")
+      val batch = docs(s, dir).filter(col("doc_id") >= 300 && col("doc_id") < 800)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { j =>
+          val t = if (j % 2 == 1) w(s"hist_${(j * 7) % 300}") + " tailz"
+                  else w(s"fresh_$j")
+          (j, t)
+        }.toDF("doc_id", "text")
+      Dedup.incrementalNearDup(batch, hist, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup family ----
     // near-dup input: docs < 200 plus exact copies shifted by 10000
     "q_dedup_minhash" -> ((s, dir) => {
@@ -2545,6 +2572,18 @@ object SparkEntry {
         """SELECT d.doc_id,
              (d.text IN (SELECT text FROM documents WHERE doc_id % 2 = 0)) AS is_dup
            FROM documents d""",
+
+      // near-dup verdicts and best-match ids stated by the planted
+      // construction: odd batch docs were BUILT as a history text plus
+      // a tail (their best match is the source, agreement ~0.94 ≥ 0.8
+      // with ~6σ margin over 64 hashes), even docs were built fresh
+      // (cross-Jaccard ~1e-2 — never a band candidate)
+      "q_dedup_incremental_near" ->
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             doc_id % 2 = 1 AS is_neardup,
+             CASE WHEN doc_id % 2 = 1 THEN CAST((doc_id * 7) % 300 AS BIGINT) END AS hist_id
+           FROM documents WHERE doc_id >= 300 AND doc_id < 800
+           ORDER BY doc_id""",
 
       // quota sampling: identical integer Lehmer-hash arithmetic, CASE
       // rate table, row_number window for the exact-quota verdict

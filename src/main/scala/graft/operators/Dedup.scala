@@ -113,7 +113,6 @@ object Dedup {
   private def minhashLshPairsImpl(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, bands: Int, jaccardThreshold: Double,
       persistSigs: Boolean): (DataFrame, DataFrame) = {
-    val rowsPerBand = numHashes / bands
     val sigs0 = signatures(df, idCol, textCol, k, numHashes).select("id", "sig")
     val sigs =
       if (persistSigs) sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -126,10 +125,7 @@ object Dedup {
     // volume before this split); candidates re-acquire signatures by
     // two id-keyed hash joins AFTER the distinct collapses band
     // multiplicity
-    val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded = bandKeys(sigs, numHashes, bands)
 
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
@@ -163,12 +159,22 @@ object Dedup {
       k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
     bandCandidates(signatures(df, idCol, textCol, k, numHashes), numHashes, bands)
 
-  private def bandCandidates(withSig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** `(id, band, band_hash)` rows of a signature frame — THE banding
+    * expression (xxhash64 over each band's signature slice, seeded by
+    * the band index), shared by every LSH consumer so band keys can't
+    * drift between the self-join, the pairs path, and the incremental
+    * history probe.
+    */
+  private def bandKeys(withSig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val banded = withSig.select(col("id"),
+    withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  private def bandCandidates(withSig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val banded = bandKeys(withSig, numHashes, bands)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
@@ -454,6 +460,57 @@ object Dedup {
     misses.unionByName(hits).select(col(idCol), col("bloom_hit"), col("is_dup"))
   }
 
+  /** Incremental NEAR-duplicate detection vs an ingested history — the
+    * fuzzy sibling of [[incrementalDedup]] (which answers only exact
+    * byte-identity). Each batch document is flagged when its MinHash
+    * signature agrees with some history document's on ≥
+    * `jaccardThreshold` of the hash functions, found through the
+    * banded candidate join (the [[minhashLshPairs]] operating point,
+    * with the SAME [[bandKeys]] expression, so the self-join and the
+    * history probe can't drift). Emits every batch row:
+    * `(idCol, is_neardup, hist_id)` with `hist_id` the BEST matching
+    * history document (max agreement, ties to the lowest id) or null.
+    *
+    * Scale shape: both sides band map-only; the probe is ONE
+    * (band, hash) equi-join whose shuffled rows carry three scalars;
+    * verification re-acquires signatures by id-keyed joins only for
+    * the candidates (the pairs-path discipline). A standing ingest
+    * loop should materialize the history's banded keys once and reuse
+    * them across batches — this one-shot shape recomputes them, which
+    * is the right call for a daily batch and the wrong one inside a
+    * per-minute foreachBatch (note for callers).
+    */
+  def incrementalNearDup(batch: DataFrame, history: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val batchSigs = signatures(batch, idCol, textCol, k, numHashes).select("id", "sig")
+    val histSigs = signatures(history, idCol, textCol, k, numHashes).select("id", "sig")
+    val cand = bandKeys(batchSigs, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("id").as("batch_id"))
+      .join(bandKeys(histSigs, numHashes, bands)
+        .select(col("band"), col("band_hash"), col("id").as("hist_id")),
+        Seq("band", "band_hash"))
+      .select("batch_id", "hist_id").distinct()
+      .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("sig_a")), Seq("batch_id"))
+      .join(histSigs.select(col("id").as("hist_id"), col("sig").as("sig_b")), Seq("hist_id"))
+    val agree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    // best match per batch doc: max agreement, ties to the LOWEST
+    // history id — struct max with the negated id makes it one
+    // map-side-combinable aggregation (the canonicalFromLabels shape)
+    val nearest = cand
+      .select(col("batch_id"), col("hist_id"),
+        (agree.cast("double") / numHashes).as("est"))
+      .filter(col("est") >= jaccardThreshold)
+      .groupBy("batch_id")
+      .agg(max(struct(col("est"), (-col("hist_id")).as("neg_id"))).as("w"))
+      .select(col("batch_id"), (-col("w.neg_id")).cast("long").as("hist_id"))
+    batch.select(col(idCol).cast("long").as("__bid"))
+      .join(nearest.withColumnRenamed("batch_id", "__bid"), Seq("__bid"), "left")
+      .select(col("__bid").as(idCol),
+        col("hist_id").isNotNull.as("is_neardup"), col("hist_id"))
+  }
 
   /** Connected components over a near-dup pair graph → one canonical
     * keeper per cluster: the step a production dedup pipeline runs

@@ -55,6 +55,29 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.forall(pairs.contains))
   }
 
+  test("incrementalNearDup: mutated copies flag with their source, fresh and empty-history don't") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val hist = Seq((10L, base), (20L, base + " completely different trailing material here"),
+      (30L, "unrelated history text about winter weather patterns and storms"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base + " tail"), // near-dup of 10 (and of 20's prefix — 10 is closer)
+      (2L, "entirely fresh content regarding summer gardening techniques"),
+      (3L, base)) // exact copy of 10 → agreement 1.0
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(batch, hist, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out(0) == ((1L, true, 10L)))
+    assert(out(1) == ((2L, false, -1L)))
+    assert(out(2) == ((3L, true, 10L)))
+    // empty history: everything fresh, no NPE, every batch row present
+    val empty = Dedup.incrementalNearDup(batch, hist.limit(0), "doc_id", "text")
+      .collect()
+    assert(empty.length == 3 && empty.forall(!_.getBoolean(1)))
+  }
+
   test("canonicalSurvivors: per-cluster (weight DESC, id ASC) argmax, singletons survive") {
     import spark.implicits._
     val nodes = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L)).toDF("id", "weight")
