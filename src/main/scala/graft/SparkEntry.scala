@@ -1208,6 +1208,10 @@ object SparkEntry {
           (j, t)
         }.toDF("doc_id", "text")
       Dedup.incrementalNearDup(batch, hist, "doc_id", "text")
+        // −1 sentinel instead of null: NaN-vs-NaN never hash-compares
+        // equal in the float-coerced driver comparator
+        .select(col("doc_id"), col("is_neardup"),
+          coalesce(col("hist_id"), lit(-1L)).as("hist_id"))
         .orderBy("doc_id")
     }),
 
@@ -2581,7 +2585,7 @@ object SparkEntry {
       "q_dedup_incremental_near" ->
         """SELECT CAST(doc_id AS BIGINT) AS doc_id,
              doc_id % 2 = 1 AS is_neardup,
-             CASE WHEN doc_id % 2 = 1 THEN CAST((doc_id * 7) % 300 AS BIGINT) END AS hist_id
+             CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id * 7) % 300 ELSE -1 END AS BIGINT) AS hist_id
            FROM documents WHERE doc_id >= 300 AND doc_id < 800
            ORDER BY doc_id""",
 
