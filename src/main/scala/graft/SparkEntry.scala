@@ -1283,15 +1283,25 @@ object SparkEntry {
     // ---- dataflow operators, batch 2 ----
     // JoinData positional zip (dataflow/common.py:255): stops at
     // shortest; distributed zipWithIndex — no global single-task window
+    // projected to the sort keys before the RDD-boundary zip (same
+    // pruning rationale as q_batch — the stamp pass was carrying all
+    // 9 order + 8 customer columns to emit 3)
     "q_zip_join" -> ((s, dir) =>
       graft.operators.Positional.zipJoin(
-          s.read.parquet(s"$dir/orders.parquet"), Seq("o_orderkey"),
-          s.read.parquet(s"$dir/customer.parquet"), Seq("c_custkey"))
+          s.read.parquet(s"$dir/orders.parquet").select("o_orderkey"), Seq("o_orderkey"),
+          s.read.parquet(s"$dir/customer.parquet").select("c_custkey"), Seq("c_custkey"))
         .select("rn", "o_orderkey", "c_custkey")),
-    // BatchData (common.py:316): fixed-size batches + per-batch aggregate
+    // BatchData (common.py:316): fixed-size batches + per-batch aggregate.
+    // Project to the three consumed columns BEFORE the positional
+    // operator: its range-partition + offset-stamp passes cross an RDD
+    // boundary that materializes external Rows, which defeats column
+    // pruning (guide §2.3 "project before the exchange") — the full
+    // 16-column lineitem rows were being serialized for a 3-column
+    // aggregate. Same rows, same batch ids, same aggregate.
     "q_batch" -> ((s, dir) =>
       graft.operators.Positional.withBatchId(
-          lineitem(s, dir), Seq("l_orderkey", "l_linenumber"), 1000)
+          lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"),
+          Seq("l_orderkey", "l_linenumber"), 1000)
         .groupBy("batch_id")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))),
     // RepeatedData (common.py:173): finite repeat ×3

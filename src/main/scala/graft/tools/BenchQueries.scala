@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch (not part of the driver contract): replicate Bench.scala's
+  * per-query timing protocol — same session shape (local[cpus],
+  * shuffle.partitions = cpus*4), same warm-then-time `.count()` — over
+  * all queries or a named subset, with N timed samples per query so a
+  * VM burst is visible as spread instead of corrupting a single
+  * reading. Prints one JSON line (median per query) plus per-sample
+  * arrays on stderr.
+  *
+  * Usage: runMain graft.tools.BenchQueries [samples] [query ...]
+  */
+object BenchQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val samples = if (args.nonEmpty) args(0).toInt else 3
+    val names: Seq[String] =
+      if (args.length > 1) args.drop(1).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-benchq-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus * 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try { graft.SparkEntry.queries("x1_extract")(spark, sfDir).count() }
+    catch { case _: Throwable => () }
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { graft.SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable => System.err.println(s"[benchq] $name FAILED: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = names.map { name =>
+      try { graft.SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable => System.err.println(s"[benchq] warm $name FAILED: $e") }
+      val ts = (1 to samples).map(_ => timeOne(name))
+      System.err.println(f"[benchq] $name samples=${ts.map(t => f"$t%.3f").mkString(",")}")
+      name -> ts.sorted.apply(ts.length / 2)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"benchq","queries":$qs,"total_query_sec":${f"${results.map(_._2).sum}%.3f"},"sf":"$sfDir","samples":$samples}""")
+    spark.stop()
+  }
+}
