@@ -129,11 +129,27 @@ object Checkpoint {
     if (Files.exists(markerPath(outDir, k))) return ChunkResult(k, 0L, skipped = true)
     import spark.implicits._
     val part = bucketedChunkReader(spark, srcDir, k)
+    // Scale-adaptive parallelism for the chunk job: partitions derive
+    // from the chunk's on-disk byte size at the configured scan split
+    // size (spark.sql.files.maxPartitionBytes), clamped to the session
+    // shuffle width — NOT the global shuffle width unconditionally. A
+    // chunk is input/numChunks, so the global width over-partitions
+    // every chunk by ~numChunks× and each chunk write then commits
+    // that many near-empty output files (guide: aim for ~128 MB-1 GB
+    // files; small files cost listing + open + commit overhead twice).
+    val chunkPartitions: Option[Int] = scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(s"$srcDir/chunk=$k")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(p).getLength
+      val split = spark.sessionState.conf.filesMaxPartitionBytes
+      val width = spark.sessionState.conf.numShufflePartitions
+      math.max(1L, math.min(width.toLong, (bytes + split - 1) / split)).toInt
+    }.toOption
     // metrics observed on the write job itself — no re-read of the
     // written files (the Iceberg analogue stores these in snapshot
     // summary properties)
     val obs = Observation(s"chunk_${k}_${metricsSeq.incrementAndGet()}")
-    Extract.run(part, cfg).observe(obs,
+    Extract.run(part, cfg, numPartitions = chunkPartitions).observe(obs,
         count(lit(1)).as("rows"),
         coalesce(sum(col("metrics.wordCount")), lit(0L)).as("words"),
         coalesce(sum(when(col("metrics.parseFailed"), 1L).otherwise(0L)), lit(0L)).as("parse_failures"))
@@ -199,7 +215,31 @@ object Checkpoint {
     }
     checkOrRecordSchema(outDir, adopting = stagedNumChunks(outDir).nonEmpty)
     stage(turns, outDir, numChunks, cfg)
-    (0 until numChunks).map(k => runChunk(turns.sparkSession, outDir, k, cfg))
+    runChunksOverlapped(0 until numChunks,
+      k => runChunk(turns.sparkSession, outDir, k, cfg))
+  }
+
+  /** Run independent per-chunk jobs a few at a time from a small
+    * driver-side thread pool (guide §2.6 "overlap independent jobs"):
+    * Spark schedules concurrent jobs FIFO, so the next chunk's tasks
+    * back-fill executors freed by the current chunk's tail instead of
+    * idling behind its last task — and with size-derived per-chunk
+    * partition counts a small chunk no longer serializes the whole
+    * run. 2-4 in flight is the guide's plenty; chunks are idempotent
+    * and write disjoint dirs/markers, so concurrency does not change
+    * the end state. Results return in chunk order; the first failure
+    * propagates (remaining submitted chunks finish their idempotent
+    * writes or are discarded on retry).
+    */
+  private def runChunksOverlapped(ks: Seq[Int], run: Int => ChunkResult): Seq[ChunkResult] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(4, math.max(1, ks.size)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val futures = ks.map(k => pool.submit(new java.util.concurrent.Callable[ChunkResult] {
+        override def call(): ChunkResult = run(k)
+      }))
+      futures.map(_.get())
+    } finally pool.shutdown()
   }
 
   /** Entries in `outDir` that belong to SOME prior checkpoint run —
@@ -311,7 +351,7 @@ object Checkpoint {
     // of markers/chunks by the leftover guard above)
     checkOrRecordSchema(outDir, adopting = resuming &&
       priorOutputEntries(outDir).exists(n => n.startsWith("_DONE_") || n.startsWith("chunk=")))
-    chunks.map(k => runChunkFrom(spark, srcDir, outDir, k, cfg))
+    runChunksOverlapped(chunks, k => runChunkFrom(spark, srcDir, outDir, k, cfg))
   }
 
   def readOutput(spark: SparkSession, outDir: String): Dataset[ExtractedTurn] = {

@@ -636,14 +636,22 @@ object Dedup {
     // constrain edges to the node set once, up front — two joins one
     // time instead of one join per round
     val nodeIds = nodes.select(col("id").cast("long").as("id"))
+    // localCheckpoint(true) instead of persist()+count(): same eager
+    // materialization + lineage truncation, but the materialization
+    // runs through AQE, which COALESCES the distinct's shuffle output
+    // before storing — a persisted plan is pinned at the configured
+    // shuffle width (AQE leaves cached partitioning alone by default),
+    // so every one of the loop's per-round reads was scheduling one
+    // task per configured partition over a near-empty cache. Blocks
+    // are reclaimed by the ContextCleaner when the frame goes out of
+    // scope (the componentsLargeSmallStar lifecycle note).
     val edges = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .unionByName(pairs.select(col("id_b").cast("long").as("a"), col("id_a").cast("long").as("b")))
       .join(nodeIds.select(col("id").as("a")), "a")
       .join(nodeIds.select(col("id").as("b")), "b")
       .select("a", "b")
       .distinct()
-      .persist()
-    edges.count()
+      .localCheckpoint(true)
     // localCheckpoint per round truncates the lineage — without it the
     // plan nests one join+agg level per iteration and Catalyst analysis
     // time grows superlinearly (the classic iterative-DataFrame trap)
@@ -676,7 +684,8 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
-    edges.unpersist()
+    // (edges is localCheckpointed, not persisted — its blocks release
+    // via the ContextCleaner once this frame is unreachable)
     // no silent loss: a cutoff at maxIter would return FRAGMENTED
     // cluster labels that look valid — fail loudly instead (near-dup
     // graphs have shallow diameters; hitting this means the input is

@@ -151,22 +151,43 @@ object Similarity {
     * component signs come from splitmix64(planeId, i) — deterministic
     * pseudo-random Rademacher hyperplanes, reproducible everywhere.
     */
+  /** The Rademacher sign matrix of [[srpBuckets]], memoized per JVM:
+    * the sign of plane component (planeId, i) is a pure function of
+    * the indices, but the splitmix64 avalanche was being recomputed
+    * per VECTOR — tables × planes × dim hash evaluations per row, ~5×
+    * the cost of the projection arithmetic itself. One computation per
+    * (planes, tables, dim) triple per executor JVM; bucket values are
+    * bit-identical (same splitmix64, same indices).
+    */
+  private val srpSignCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Boolean]]]()
+
+  private def srpSigns(planes: Int, tables: Int, dim: Int): Array[Array[Boolean]] =
+    srpSignCache.computeIfAbsent((planes, tables, dim), _ =>
+      Array.tabulate(tables * planes) { plane =>
+        val planeId = plane.toLong
+        Array.tabulate(dim) { i =>
+          var z = (planeId << 32) | i.toLong
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= z >>> 31
+          (z & 1L) == 1L
+        }
+      })
+
   def srpBuckets(v: Array[Double], planes: Int, tables: Int): Array[Long] = {
+    val signs = srpSigns(planes, tables, v.length)
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0L
       var p = 0
       while (p < planes) {
-        val planeId = (t * planes + p).toLong
+        val s = signs(t * planes + p)
         var proj = 0.0
         var i = 0
         while (i < v.length) {
-          var z = (planeId << 32) | i.toLong
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^= z >>> 31
-          proj += (if ((z & 1L) == 1L) v(i) else -v(i))
+          proj += (if (s(i)) v(i) else -v(i))
           i += 1
         }
         if (proj > 0) bucket |= (1L << p)
