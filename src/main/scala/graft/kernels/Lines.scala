@@ -52,8 +52,12 @@ object Lines {
     val out = mutable.ListBuffer.empty[LineIdxResult]
     var numberRow = 1
     while (numberRow <= numberRows) {
-      // word indices of this row, sorted by ulx (order.py:466-469)
-      val perRow = rowBuckets(numberRow).result().sortBy(wi => boxes(wi).ulx)
+      // word indices of this row, sorted by ulx (order.py:466-469;
+      // the stable List sort is kept for tie order, then copied to an
+      // array — the loop below indexes perRow(idx) per gap comparison,
+      // which on the List was an O(idx) traversal, O(n²) per row)
+      val perRow: Array[Int] =
+        rowBuckets(numberRow).result().sortBy(wi => boxes(wi).ulx).toArray
 
       def emitMerged(wis: Seq[Int]): Unit =
         out += LineIdxResult(mergeBoxes(wis.map(boxes(_))), wis.toList)

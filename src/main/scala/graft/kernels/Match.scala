@@ -44,6 +44,30 @@ object Match {
         c += 1
       }
       out.toList
+    } else if (rule == "ioa" && maxParentOnly && !useWeightedIntersections) {
+      // match.py:141-151 fused: the per-child argmax needs one row of
+      // the IoA matrix at a time, so the full nC×nP matrix (one array
+      // allocation per child per call, on the per-word hot path) is
+      // never materialized — same arithmetic, same first-max-wins
+      // order, same output pairs.
+      val out = mutable.ListBuffer.empty[(Int, Int)]
+      var c = 0
+      while (c < nC) {
+        val childArea = area(children(c))
+        var best = -1
+        var bestV = 0.0
+        var p = 0
+        while (p < nP) {
+          val raw = if (childArea <= 0.0) 0.0
+                    else intersectionArea(parents(p), children(c)) / childArea
+          val v = if (raw < threshold) 0.0 else raw
+          if (v > bestV) { bestV = v; best = p }
+          p += 1
+        }
+        if (best >= 0) out += ((c, best))
+        c += 1
+      }
+      out.toList
     } else {
       // ioa matrix transposed: m(c)(p) = |parent_p ∩ child_c| / |child_c|
       val m = Array.ofDim[Double](nC, nP)

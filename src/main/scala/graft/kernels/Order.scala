@@ -84,9 +84,39 @@ object Order {
     // (ported literally, including the inverted lookup).
     val sortedOrig: Array[Int] =
       rowUpper.indices.sortBy(i => rowUpper(i)).toArray // position -> orig idx
-    val order = (0 until n).sortBy(i => (sortedOrig(wordRow(i)), boxes(i).cx))
+    // stable sort by (row position, x-center) via a comparator over
+    // precomputed key arrays — sortBy re-evaluates its key function
+    // (allocating a boxed tuple) at EVERY comparison, which was a
+    // measured kernel hot spot; java.util.Arrays.sort on a boxed
+    // index array is the same TimSort (stable) and Double.compare is
+    // the same total order Ordering.Double uses. Output identical.
+    val rowKey = new Array[Int](n)
+    val cxKey = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      rowKey(i) = sortedOrig(wordRow(i))
+      cxKey(i) = boxes(i).cx
+      i += 1
+    }
+    val order = new Array[Integer](n)
+    i = 0
+    while (i < n) { order(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val ai = a.intValue; val bi = b.intValue
+        val c = java.lang.Integer.compare(rowKey(ai), rowKey(bi))
+        if (c != 0) c else java.lang.Double.compare(cxKey(ai), cxKey(bi))
+      }
+    })
     val numberRows = rowUpper.length
-    order.zipWithIndex.map { case (wi, i) => (i + 1, numberRows - wordRow(wi), wi) }.toList
+    val outB = List.newBuilder[(Int, Int, Int)]
+    i = 0
+    while (i < n) {
+      val wi = order(i).intValue
+      outB += ((i + 1, numberRows - wordRow(wi), wi))
+      i += 1
+    }
+    outB.result()
   }
 
   /** order.py:135 `group_lines_into_lines` — sort line annotations by

@@ -176,15 +176,23 @@ object Segment {
     val yCursors = mutable.Map.empty[Place, Double]
     val rendered = mutable.ArrayBuffer.empty[SegBlock]
 
-    for (b <- blocksOut) {
+    val blockIt = blocksOut.iterator
+    while (blockIt.hasNext) {
+      val b = blockIt.next()
       val x0 = b.placement.x * PageWidth
       val colW = math.max(CharW * 2, b.placement.w * PageWidth)
       val startY = if (b.placement.top >= 0.0) b.placement.top * 1000.0 else TopMargin
+      // while-loop over runs with plain local vars: a `for (run <- …)`
+      // foreach closure capturing x/y/lineCount lifts them to boxed
+      // Double/IntRefs — a measured per-word allocation cost in the
+      // render loop. Identical arithmetic and output.
       var y = yCursors.getOrElse(b.placement, startY)
       var x = x0
       var lineCount = 1
       val words = mutable.ArrayBuffer.empty[SegWord]
-      for (run <- b.runs) {
+      val runIt = b.runs.iterator
+      while (runIt.hasNext) {
+        val run = runIt.next()
         if (run.isLineBreakBefore && x > x0) { y += LineH; x = x0; lineCount += 1 }
         var i = run.begin
         while (i < run.end) {

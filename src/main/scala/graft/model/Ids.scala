@@ -72,32 +72,57 @@ object Ids {
     */
   final class AnnIdBuilder(turnId: String) {
     private val md = MessageDigest.getInstance("MD5")
-    private val turnIdBytes = turnId.getBytes(StandardCharsets.UTF_8)
-    private val digits = new Array[Byte](11)
+    // the whole message is assembled into ONE reusable buffer and fed
+    // to the digest in a single update: the previous per-piece updates
+    // (namespace, turnId, kind, digits, '_', digits — six engineUpdate
+    // calls of a few bytes each) spent more time in the digest's
+    // buffer management than in the compression itself (measured).
+    // Bytes are identical — UTF-8 of a concatenation IS the
+    // concatenation of UTF-8 (IdsSpec pins the CPython vectors).
+    private var buf: Array[Byte] = _
+    private val prefixLen: Int = {
+      val t = turnId.getBytes(StandardCharsets.UTF_8)
+      buf = new Array[Byte](16 + t.length + 64)
+      System.arraycopy(NamespaceDns, 0, buf, 0, 16)
+      System.arraycopy(t, 0, buf, 16, t.length)
+      16 + t.length
+    }
 
-    private def updateInt(v: Int): Unit = {
+    private def ensure(n: Int): Unit =
+      if (n > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(n, buf.length * 2))
+
+    /** Append v's decimal digits at `at`; returns the new end offset. */
+    private def putInt(v: Int, at: Int): Int = {
       // widen before negating: -Int.MinValue overflows back to itself,
-      // which would skip the digit loop and digest only "-"
+      // which would skip the digit loop and emit only "-"
       var x = v.toLong
-      var p = digits.length
-      if (x == 0) { p -= 1; digits(p) = '0' }
-      else {
-        val neg = x < 0
-        if (neg) x = -x
-        while (x > 0) { p -= 1; digits(p) = ('0' + x % 10).toByte; x /= 10 }
-        if (neg) { p -= 1; digits(p) = '-' }
+      var p = at
+      if (x == 0) { buf(p) = '0'; return p + 1 }
+      val neg = x < 0
+      if (neg) { buf(p) = '-'; p += 1; x = -x }
+      val start = p
+      while (x > 0) { buf(p) = ('0' + x % 10).toByte; p += 1; x /= 10 }
+      // digits were emitted lowest-first — reverse in place
+      var lo = start
+      var hi = p - 1
+      while (lo < hi) {
+        val t = buf(lo); buf(lo) = buf(hi); buf(hi) = t
+        lo += 1; hi -= 1
       }
-      md.update(digits, p, digits.length - p)
+      p
     }
 
     def annId(kind: String, begin: Int, end: Int): String = {
+      val kb = kind.getBytes(StandardCharsets.UTF_8)
+      ensure(prefixLen + kb.length + 23) // 2×(sign+10 digits) + '_'
+      var p = prefixLen
+      System.arraycopy(kb, 0, buf, p, kb.length)
+      p += kb.length
+      p = putInt(begin, p)
+      buf(p) = '_'
+      p = putInt(end, p + 1)
       md.reset()
-      md.update(NamespaceDns)
-      md.update(turnIdBytes)
-      md.update(kind.getBytes(StandardCharsets.UTF_8))
-      updateInt(begin)
-      md.update('_'.toByte)
-      updateInt(end)
+      md.update(buf, 0, p)
       hexDigest(md)
     }
   }

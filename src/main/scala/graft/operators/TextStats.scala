@@ -138,9 +138,25 @@ object TextStats {
     */
   def langIdScala(text: String): String = {
     if (text == null || text.isEmpty) return "und"
-    val scores = Markers.map { case (lang, ms) => lang -> ms.map(markerCountScala(text, _)).sum }
-    val max = scores.map(_._2).max
-    if (max == 0) "und" else scores.find(_._2 == max).get._1
+    // pad ONCE — markerCountScala pads internally, so the naive map
+    // was copying the whole text once per marker (8× per turn on the
+    // extraction hot path). Same counts, same first-wins argmax.
+    val padded = " " + text + " "
+    var bestLang = "und"
+    var best = 0
+    val it = Markers.iterator
+    while (it.hasNext) {
+      val (lang, ms) = it.next()
+      var s = 0
+      val mit = ms.iterator
+      while (mit.hasNext) {
+        val m = mit.next()
+        var i = padded.indexOf(m)
+        while (i >= 0) { s += 1; i = padded.indexOf(m, i + m.length) }
+      }
+      if (s > best) { best = s; bestLang = lang }
+    }
+    bestLang
   }
 
   /** Rolling polynomial fingerprint over tokens (document
