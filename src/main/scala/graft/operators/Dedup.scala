@@ -238,6 +238,8 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  private val labelSumSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Count of agreeing MinHash slots between two signatures — the
     * value `aggregate(zip_with(a, b, equal), 0, +)` computes, as one
     * primitive loop: the higher-order-function pair evaluates
@@ -353,13 +355,21 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Normalized distinct shingle arrays as a Column. */
-  private def shingleCol(textCol: String, k: Int) = {
-    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
-      i => norm.substr(i, lit(k))))
-  }
+  /** Normalized distinct shingle arrays as a Column — the same value
+    * the old pure-Column expression produced (lower + \s+→' ' + k-char
+    * shingles, first-occurrence distinct, whole-norm for short texts;
+    * null text stays null), via the [[shinglesOf]] kernel: the
+    * transform/substr/array_distinct tree evaluated interpreted with a
+    * per-shingle hash-set insert, and the expression is duplicated
+    * into every plan branch that touches shingles (tokens, both
+    * self-join sides, both verify joins), so its cost was paid ~5×
+    * per document per query.
+    */
+  private val shingleArrUdf = udf((t: String, k: Int) =>
+    if (t == null) null else shinglesOf(t, k))
+
+  private def shingleCol(textCol: String, k: Int) =
+    shingleArrUdf(col(textCol), lit(k))
 
   /** PPJoin-style prefix-filtered candidate pairs for exact n-gram
     * Jaccard (public so DedupRecallSpec can count candidates).
@@ -654,31 +664,49 @@ object Dedup {
       .localCheckpoint(true)
     // localCheckpoint per round truncates the lineage — without it the
     // plan nests one join+agg level per iteration and Catalyst analysis
-    // time grows superlinearly (the classic iterative-DataFrame trap)
+    // time grows superlinearly (the classic iterative-DataFrame trap).
+    // The seed stays lazy here: it is checkpointed (with its sum
+    // observed) below only when there are edges to propagate.
     var labels = nodes.select(col("id").cast("long").as("id"), col("id").cast("long").as("label"))
-      .localCheckpoint(true)
     // convergence via the label-sum invariant: min-propagation is
     // MONOTONE (every node's label can only decrease), so the sum of
     // labels strictly decreases until the fixed point — equal sums ⇔
     // no label changed. One decimal aggregation per round replaces the
     // join-based changed-count (decimal(38,0) is exact and overflow-
     // safe up to ~1e38 total, far beyond 1e12 nodes × 2^63 ids).
+    // The aggregation rides the checkpoint materialization itself as
+    // an observe() metric (accumulator-filled during the same job) —
+    // a separate per-round sum job over the checkpointed labels was
+    // pure scheduling overhead; the scan-based fallback covers any
+    // execution path that skips the metric.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v
     }
+    val obsPrefix = s"__graft_components_sum_${Dedup.labelSumSeq.incrementAndGet()}"
+    def checkpointWithSum(df: DataFrame, round: Int): (DataFrame, java.math.BigDecimal) = {
+      val name = s"${obsPrefix}_$round"
+      val withObs = df.observe(name, sum(col("label").cast("decimal(38,0)")))
+      val cp = withObs.localCheckpoint(true)
+      val observed = withObs.queryExecution.observedMetrics.get(name)
+        .map(r => Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO))
+      (cp, observed.getOrElse(labelSum(cp)))
+    }
     var iter = 0
     var converged = edges.isEmpty
-    // skip the seed aggregation entirely on the singleton-only path
-    var prevSum = if (converged) java.math.BigDecimal.ZERO else labelSum(labels)
+    var prevSum = java.math.BigDecimal.ZERO
+    if (!converged) {
+      val (seeded, seedSum) = checkpointWithSum(
+        nodes.select(col("id").cast("long").as("id"), col("id").cast("long").as("label")), 0)
+      labels = seeded
+      prevSum = seedSum
+    }
     while (iter < maxIter && !converged) {
       val prop = edges
         .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
         .select(col("b").as("id"), col("la").as("label"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
+      val (next, nextSum) = checkpointWithSum(
+        labels.unionByName(prop).groupBy("id").agg(min("label").as("label")), iter + 1)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
