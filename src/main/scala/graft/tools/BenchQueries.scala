@@ -30,14 +30,23 @@ object BenchQueries {
     spark.sparkContext.setLogLevel("WARN")
     try { graft.SparkEntry.queries("x1_extract")(spark, sfDir).count() }
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_NOOP=1: time with the noop sink (guide §1.4 — every
+    // column of every row computed and discarded) instead of count(),
+    // which can prune. The frozen Bench times count(); default matches
+    // it for comparability.
+    val noop = sys.env.get("SPARK_GRAFT_NOOP").contains("1")
+    def runOnce(name: String): Unit = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
+    }
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { graft.SparkEntry.queries(name)(spark, sfDir).count() }
+      try { runOnce(name) }
       catch { case e: Throwable => System.err.println(s"[benchq] $name FAILED: $e") }
       (System.nanoTime() - t0) / 1e9
     }
     val results = names.map { name =>
-      try { graft.SparkEntry.queries(name)(spark, sfDir).count() }
+      try { runOnce(name) }
       catch { case e: Throwable => System.err.println(s"[benchq] warm $name FAILED: $e") }
       val ts = (1 to samples).map(_ => timeOne(name))
       System.err.println(f"[benchq] $name samples=${ts.map(t => f"$t%.3f").mkString(",")}")
