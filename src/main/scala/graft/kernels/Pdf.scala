@@ -2740,6 +2740,11 @@ object Pdf {
         case "cm" =>
           val v = popNums(6)
           if (v != null) ctm = mult(v, ctm)
+        // q/Q save/restore ONLY the CTM. Per ISO 32000-1 §8.4.1 the
+        // text-state parameters (Tf font+size, Tc, Tw, Tz, TL, Ts) are
+        // also graphics state, but pdfminer/pdfplumber let them survive
+        // Q — this walker deliberately matches that reference behavior
+        // (a 'q /F2 24 Tf … Q' stream keeps the inner font after Q).
         case "q" => gsStack.append(ctm.clone())
         case "Q" => if (gsStack.nonEmpty) ctm = gsStack.removeLast()
         case _ => () // other graphics operators: operands consumed, no effect

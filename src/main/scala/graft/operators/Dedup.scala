@@ -478,7 +478,22 @@ object Dedup {
     *         the id downstream. Null text is definitively new.
     */
   def incrementalDedup(batch: DataFrame, history: DataFrame, idCol: String,
-      textCol: String, fpp: Double = 0.03): DataFrame = {
+      textCol: String, fpp: Double = 0.03): DataFrame =
+    incrementalDedupWithHandles(batch, history, idCol, textCol, fpp)._1
+
+  /** [[incrementalDedup]] plus the frames it PERSISTED, so a standing
+    * caller can release them (the minhashLshPairsWithSigs precedent):
+    * Spark's CacheManager holds cached plans until an explicit
+    * unpersist, so a long-running loop that calls the no-handle
+    * variant per micro-batch accumulates two cached frames per batch —
+    * one of them the full (growing) history key set. Unpersist the
+    * handles as soon as the returned flags have materialized
+    * downstream; one-shot callers can keep using [[incrementalDedup]]
+    * (its caches release when the session's plans go out of scope).
+    */
+  def incrementalDedupWithHandles(batch: DataFrame, history: DataFrame,
+      idCol: String, textCol: String, fpp: Double = 0.03)
+      : (DataFrame, Seq[DataFrame]) = {
     val spark = batch.sparkSession
     import org.apache.spark.storage.StorageLevel
     // persisted: consumed by the sizing count, the Bloom build, AND the
@@ -495,8 +510,8 @@ object Dedup {
     val expected = histKeys.count()
     if (expected == 0L) {
       histKeys.unpersist()
-      return batch.select(col(idCol), lit(false).as("bloom_hit"),
-        lit(false).as("is_dup"))
+      return (batch.select(col(idCol), lit(false).as("bloom_hit"),
+        lit(false).as("is_dup")), Nil)
     }
     val bloom = histKeys.stat.bloomFilter("__h", expected, fpp)
     val bf = spark.sparkContext.broadcast(bloom)
@@ -517,7 +532,8 @@ object Dedup {
       .join(histKeys.withColumn("__in_hist", lit(true)), Seq("__h"), "left")
       .withColumn("is_dup", coalesce(col("__in_hist"), lit(false)))
       .drop("__in_hist")
-    misses.unionByName(hits).select(col(idCol), col("bloom_hit"), col("is_dup"))
+    (misses.unionByName(hits).select(col(idCol), col("bloom_hit"), col("is_dup")),
+      Seq(histKeys, keyed))
   }
 
   /** Incremental NEAR-duplicate detection vs an ingested history — the
@@ -554,15 +570,19 @@ object Dedup {
       .join(batchSigs.select(col("id").as("batch_id"), col("sig").as("sig_a")), Seq("batch_id"))
       .join(histSigs.select(col("id").as("hist_id"), col("sig").as("sig_b")), Seq("hist_id"))
     // best match per batch doc: max agreement, ties to the LOWEST
-    // history id — struct max with the negated id makes it one
-    // map-side-combinable aggregation (the canonicalFromLabels shape)
+    // history id — struct max with the BITWISE-COMPLEMENTED id makes
+    // it one map-side-combinable aggregation (the canonicalFromLabels
+    // shape). ~x is a monotone-DECREASING bijection on Long with no
+    // overflow edge — arithmetic negation maps Long.MinValue to itself
+    // (the budgetPrefix comment's forbidden edge), the complement does
+    // not, and ~(~x) == x recovers the id exactly.
     val nearest = cand
       .select(col("batch_id"), col("hist_id"),
         (sigAgreeUdf(col("sig_a"), col("sig_b")).cast("double") / numHashes).as("est"))
       .filter(col("est") >= jaccardThreshold)
       .groupBy("batch_id")
-      .agg(max(struct(col("est"), (-col("hist_id")).as("neg_id"))).as("w"))
-      .select(col("batch_id"), (-col("w.neg_id")).cast("long").as("hist_id"))
+      .agg(max(struct(col("est"), bitwise_not(col("hist_id")).as("neg_id"))).as("w"))
+      .select(col("batch_id"), bitwise_not(col("w.neg_id")).cast("long").as("hist_id"))
     batch.select(col(idCol).cast("long").as("__bid"))
       .join(nearest.withColumnRenamed("batch_id", "__bid"), Seq("__bid"), "left")
       .select(col("__bid").as(idCol),

@@ -137,11 +137,18 @@ object Stream {
         // deterministic pick) before the history append
         val batchUnique = passing.join(firstIds, Seq(idCol), "leftsemi")
           .dropDuplicates(idCol).drop("__h")
-        val flags = graft.operators.Dedup.incrementalDedup(
+        // WithHandles + unpersist after the append materializes: the
+        // SQL CacheManager holds cached plans until an explicit
+        // release, so the no-handle variant would leak two cached
+        // frames PER MICRO-BATCH — one of them the full (growing)
+        // history key set — unbounded executor storage growth on a
+        // standing stream
+        val (flags, cached) = graft.operators.Dedup.incrementalDedupWithHandles(
           batchUnique, history, idCol, textCol)
-        batchUnique
+        try batchUnique
           .join(flags.filter(!col("is_dup")).select(col(idCol)), Seq(idCol), "leftsemi")
           .write.mode("append").parquet(historyDir)
+        finally cached.foreach(_.unpersist())
         ()
       }
       .start()
