@@ -232,15 +232,37 @@ object Order {
       ioaColumnThreshold: Double = 0.9
   ): Seq[(Int, String)] = {
     if (anns.isEmpty) return Nil
-    val rel: Map[String, BBox] =
-      anns.map { case (id, b) => id -> b.toRelative(pageWidth, pageHeight) }.toMap
-    val sortedAnns = anns.sortBy { case (id, _) => (rel(id).cy, rel(id).cx) }
+    // Index-keyed hot path (the groupWordsIntoLinesIdx precedent): the
+    // string-keyed Map lookups and per-COMPARISON sort-key evaluation
+    // (sortBy re-evaluates its key function each comparison — for the
+    // final per-column sort that was one BigDecimal-allocating
+    // pyRound2 pair per comparison) are replaced by key arrays
+    // computed once per annotation and the same stable TimSort
+    // (Double.compare is the total order Ordering[Double] uses).
+    // Algorithm, tie-breaks and output are identical.
+    val n = anns.length
+    val relArr = new Array[BBox](n)
+    var i = 0
+    while (i < n) { relArr(i) = anns(i)._2.toRelative(pageWidth, pageHeight); i += 1 }
+    // sortedAnns: original indices, stable-sorted by (cy, cx)
+    val order = new Array[Integer](n)
+    i = 0
+    while (i < n) { order(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val ba = relArr(a.intValue); val bb = relArr(b.intValue)
+        val c = java.lang.Double.compare(ba.cy, bb.cy)
+        if (c != 0) c else java.lang.Double.compare(ba.cx, bb.cx)
+      }
+    })
 
     val columns = mutable.ArrayBuffer.empty[MBox]
-    // (columnIdx, annId)
-    var readingBlocks = mutable.ListBuffer.empty[(Int, String)]
-    for ((id, _) <- sortedAnns) {
-      val box = rel(id)
+    // (columnIdx, annIdx)
+    var readingBlocks = mutable.ListBuffer.empty[(Int, Int)]
+    var oi = 0
+    while (oi < n) {
+      val ai = order(oi).intValue
+      val box = relArr(ai)
       var columnFound = false
       var idx = 0
       while (idx < columns.length && !columnFound) {
@@ -254,7 +276,7 @@ object Order {
         val fifth = math.abs(box.lry - col.uly) < heightTolerance * box.height
         if ((first && (fourth || fifth)) || (second && (fourth || fifth)) ||
             (third && (fourth || fifth))) {
-          readingBlocks += ((idx, id))
+          readingBlocks += ((idx, ai))
           col.ulx = math.min(box.ulx, col.ulx)
           col.uly = math.min(box.uly, col.uly)
           col.lrx = math.max(box.lrx, col.lrx)
@@ -265,8 +287,9 @@ object Order {
       }
       if (!columnFound) {
         columns += new MBox(box.ulx, box.uly, box.lrx, box.lry)
-        readingBlocks += ((columns.length - 1, id))
+        readingBlocks += ((columns.length - 1, ai))
       }
+      oi += 1
     }
 
     val consolidated = consolidateColumns(columns.toIndexedSeq, ioaColumnThreshold)
@@ -286,39 +309,50 @@ object Order {
       }
     }
 
-    readingBlocks = readingBlocks.map { case (c, id) => (consolidated.getOrElse(c, c), id) }
+    readingBlocks = readingBlocks.map { case (c, ai) => (consolidated.getOrElse(c, c), ai) }
 
     val columnsBox = connectedComponents(consolidatedColumns.toIndexedSeq)
     val columnsDict: Map[Int, Int] = columnsBox.zipWithIndex.map { case ((origIdx, _), k) => origIdx -> k }.toMap
 
     val blocks = readingBlocks.toList
-      .map { case (c, id) => (columnsDict.getOrElse(c, consolidated.getOrElse(c, c)), id) }
+      .map { case (c, ai) => (columnsDict.getOrElse(c, consolidated.getOrElse(c, c)), ai) }
       .sortBy(_._1)
-    val maxBlockNumber = if (columnsDict.isEmpty) 0 else columnsDict.values.max
-    val sortedBlocks = mutable.ListBuffer.empty[(Int, String)]
-    for (idx <- 0 to maxBlockNumber) {
-      val filtered = blocks.filter(_._1 == idx)
-      sortedBlocks ++= sortAnnsGroupedByBlocks(filtered, sortedAnns, rel)
+    // rounded sort keys of the per-column block sort, once per ann
+    val rUly = new Array[Double](n)
+    val rUlx = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      rUly(i) = pyRound2(relArr(i).uly)
+      rUlx(i) = pyRound2(relArr(i).ulx)
+      i += 1
     }
-    sortedBlocks.toList.zipWithIndex.map { case ((_, id), i) => (i + 1, id) }
-  }
-
-  /** order.py:351 `_sort_anns_grouped_by_blocks` — within one column
-    * sort blocks by rounded (uly, ulx), preserving the caller's ann
-    * ordering on ties.
-    */
-  private def sortAnnsGroupedByBlocks(
-      block: Seq[(Int, String)],
-      anns: Seq[(String, BBox)],
-      rel: Map[String, BBox]
-  ): List[(Int, String)] = {
-    if (block.isEmpty) return Nil
-    val annIds = block.map(_._2).toSet
-    val blockNumber = block.head._1
-    anns
-      .collect { case (id, _) if annIds.contains(id) => id }
-      .sortBy(id => (pyRound2(rel(id).uly), pyRound2(rel(id).ulx)))
-      .map(id => (blockNumber, id))
-      .toList
+    val maxBlockNumber = if (columnsDict.isEmpty) 0 else columnsDict.values.max
+    val sortedBlocks = mutable.ListBuffer.empty[Int]
+    val member = new Array[Boolean](n)
+    for (idx <- 0 to maxBlockNumber) {
+      val inBlock = blocks.filter(_._1 == idx)
+      if (inBlock.nonEmpty) {
+        java.util.Arrays.fill(member, false)
+        inBlock.foreach { case (_, ai) => member(ai) = true }
+        // collect members in sortedAnns order (the tie order the
+        // reference preserves), then stable-sort by rounded (uly, ulx)
+        val group = new java.util.ArrayList[Integer]()
+        var k = 0
+        while (k < n) {
+          val ai = order(k)
+          if (member(ai.intValue)) group.add(ai)
+          k += 1
+        }
+        group.sort(new java.util.Comparator[Integer] {
+          override def compare(a: Integer, b: Integer): Int = {
+            val c = java.lang.Double.compare(rUly(a.intValue), rUly(b.intValue))
+            if (c != 0) c else java.lang.Double.compare(rUlx(a.intValue), rUlx(b.intValue))
+          }
+        })
+        var g = 0
+        while (g < group.size()) { sortedBlocks += group.get(g).intValue; g += 1 }
+      }
+    }
+    sortedBlocks.toList.zipWithIndex.map { case (ai, j) => (j + 1, anns(ai)._1) }
   }
 }
