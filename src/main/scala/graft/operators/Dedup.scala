@@ -780,13 +780,28 @@ object Dedup {
     */
   def componentsLargeSmallStarWithRounds(nodes: DataFrame, pairs: DataFrame,
       maxIter: Int = 30): (DataFrame, Int) = {
-    var edges = pairs.select(
+    // row counts ride the checkpoint materializations as observe()
+    // metrics (the componentsWithRounds label-sum pattern) — separate
+    // count() jobs over the freshly checkpointed frames were pure
+    // scheduling overhead; the scan fallback covers any path that
+    // skips the metric.
+    val obsPrefix = s"__graft_lss_count_${Dedup.labelSumSeq.incrementAndGet()}"
+    var obsRound = 0
+    def checkpointWithCount(df: DataFrame): (DataFrame, Long) = {
+      obsRound += 1
+      val name = s"${obsPrefix}_$obsRound"
+      val withObs = df.observe(name, count(lit(1)))
+      val cp = withObs.localCheckpoint(true)
+      val n = withObs.queryExecution.observedMetrics.get(name)
+        .map(_.getLong(0)).getOrElse(cp.count())
+      (cp, n)
+    }
+    var (edges, edgeCount) = checkpointWithCount(pairs.select(
         greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("a"),
         least(col("id_a").cast("long"), col("id_b").cast("long")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .filter(col("a") =!= col("b")).distinct())
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0L
     while (iter < maxIter && !converged) {
       // ---- large-star ----
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
@@ -799,20 +814,21 @@ object Dedup {
         .localCheckpoint(true)
       // ---- small-star (edges already point larger → smaller) ----
       val ssMin = large.groupBy("a").agg(min("b").as("m"))
-      val small = large.join(ssMin, "a").filter(col("b") =!= col("m"))
-        .select(col("b").as("edge_a"), col("m").as("edge_b"))
-        .unionByName(ssMin.select(col("a").as("edge_a"), col("m").as("edge_b")))
-        .select(col("edge_a").as("a"), col("edge_b").as("b"))
-        .distinct()
-        .localCheckpoint(true)
-      // exact set equality, cheaply: counts (already materialized by
-      // localCheckpoint) differ → changed; equal counts + one empty
-      // one-sided except ⇒ sets equal — at scale most rounds shrink
-      // the edge count and skip the except join entirely
+      val (small, smallCount) = checkpointWithCount(
+        large.join(ssMin, "a").filter(col("b") =!= col("m"))
+          .select(col("b").as("edge_a"), col("m").as("edge_b"))
+          .unionByName(ssMin.select(col("a").as("edge_a"), col("m").as("edge_b")))
+          .select(col("edge_a").as("a"), col("edge_b").as("b"))
+          .distinct())
+      // exact set equality, cheaply: counts (observed on the
+      // materializations above) differ → changed; equal counts + one
+      // empty one-sided except ⇒ sets equal — at scale most rounds
+      // shrink the edge count and skip the except join entirely
       val changed =
-        if (edges.count() != small.count()) 1L
+        if (edgeCount != smallCount) 1L
         else small.except(edges).count()
       edges = small
+      edgeCount = smallCount
       converged = changed == 0
       iter += 1
     }
