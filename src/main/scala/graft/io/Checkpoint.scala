@@ -137,13 +137,23 @@ object Checkpoint {
     // every chunk by ~numChunks× and each chunk write then commits
     // that many near-empty output files (guide: aim for ~128 MB-1 GB
     // files; small files cost listing + open + commit overhead twice).
+    // FLOOR: bytes alone can collapse a CPU-heavy chunk (small parquet
+    // footprint, expensive extractTurn rows) to one task, serializing
+    // its whole extraction on one core — so the floor keeps the
+    // overlapPoolSize concurrent chunk jobs jointly able to fill the
+    // machine (cores / pool each). At real scale bytes/split dominates
+    // and the floor is inert; it only lifts pathologically small-byte
+    // chunks from 1 task to a handful.
     val chunkPartitions: Option[Int] = scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(s"$srcDir/chunk=$k")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val bytes = fs.getContentSummary(p).getLength
       val split = spark.sessionState.conf.filesMaxPartitionBytes
       val width = spark.sessionState.conf.numShufflePartitions
-      math.max(1L, math.min(width.toLong, (bytes + split - 1) / split)).toInt
+      val floor = math.max(1,
+        spark.sparkContext.defaultParallelism / overlapPoolSize)
+      math.max(floor.toLong,
+        math.min(width.toLong, (bytes + split - 1) / split)).toInt
     }.toOption
     // metrics observed on the write job itself — no re-read of the
     // written files (the Iceberg analogue stores these in snapshot
@@ -231,14 +241,28 @@ object Checkpoint {
     * propagates (remaining submitted chunks finish their idempotent
     * writes or are discarded on retry).
     */
+  private val overlapPoolSize = 4
+
   private def runChunksOverlapped(ks: Seq[Int], run: Int => ChunkResult): Seq[ChunkResult] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(4, math.max(1, ks.size)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(overlapPoolSize, math.max(1, ks.size)))
     try {
-      import scala.jdk.CollectionConverters._
       val futures = ks.map(k => pool.submit(new java.util.concurrent.Callable[ChunkResult] {
         override def call(): ChunkResult = run(k)
       }))
-      futures.map(_.get())
+      futures.map { f =>
+        try f.get()
+        catch {
+          // rethrow what the chunk actually threw (callers matched the
+          // SparkException the sequential loop used to propagate), and
+          // drop still-queued chunks instead of letting them run on
+          // after the caller has already seen the failure (running
+          // ones finish; chunks are idempotent either way)
+          case e: java.util.concurrent.ExecutionException =>
+            pool.shutdownNow()
+            throw e.getCause
+        }
+      }
     } finally pool.shutdown()
   }
 

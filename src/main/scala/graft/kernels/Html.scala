@@ -56,7 +56,7 @@ object Html {
         } else if (s.charAt(i + 1) == '/') {
           val close = s.indexOf('>', i + 2)
           val end = if (close < 0) n else close + 1
-          val name = s.substring(i + 2, if (close < 0) n else close).trim.toLowerCase
+          val name = s.substring(i + 2, if (close < 0) n else close).trim.toLowerCase(java.util.Locale.ROOT)
           if (name.nonEmpty) out += EndTag(name, i, end)
           i = end
         } else {
@@ -97,7 +97,7 @@ object Html {
     var i = start + 1
     val nameStart = i
     while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-' || s.charAt(i) == ':')) i += 1
-    val name = s.substring(nameStart, i).toLowerCase
+    val name = s.substring(nameStart, i).toLowerCase(java.util.Locale.ROOT)
     val attrs = mutable.Map.empty[String, String]
     var selfClosing = false
     var done = false
@@ -111,7 +111,7 @@ object Html {
         val aStart = i
         while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '=' && s.charAt(i) != '>' &&
           s.charAt(i) != '/') i += 1
-        val aName = s.substring(aStart, i).toLowerCase
+        val aName = s.substring(aStart, i).toLowerCase(java.util.Locale.ROOT)
         while (i < n && s.charAt(i).isWhitespace) i += 1
         if (i < n && s.charAt(i) == '=') {
           i += 1

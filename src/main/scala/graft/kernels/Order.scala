@@ -232,6 +232,22 @@ object Order {
       ioaColumnThreshold: Double = 0.9
   ): Seq[(Int, String)] = {
     if (anns.isEmpty) return Nil
+    // Duplicate ids resolve through id-keyed maps in the Python
+    // reference (last-wins box lookup, block membership by id-set —
+    // every same-id occurrence rides each block containing the id),
+    // which the index-keyed hot path below cannot reproduce. Such
+    // inputs never arise from AnnIdBuilder-driven pipelines over
+    // distinct spans, but they are legal at this API: dispatch them
+    // to the literal port so reference parity holds on every input.
+    val seenIds = new java.util.HashSet[String](anns.length * 2)
+    var di = 0
+    while (di < anns.length) {
+      if (!seenIds.add(anns(di)._1))
+        return orderBlocksById(anns, pageWidth, pageHeight,
+          startingPointTolerance, brokenLineTolerance, heightTolerance,
+          ioaColumnThreshold)
+      di += 1
+    }
     // Index-keyed hot path (the groupWordsIntoLinesIdx precedent): the
     // string-keyed Map lookups and per-COMPARISON sort-key evaluation
     // (sortBy re-evaluates its key function each comparison — for the
@@ -239,7 +255,10 @@ object Order {
     // pyRound2 pair per comparison) are replaced by key arrays
     // computed once per annotation and the same stable TimSort
     // (Double.compare is the total order Ordering[Double] uses).
-    // Algorithm, tie-breaks and output are identical.
+    // With ids unique (guaranteed above), id-keyed and index-keyed
+    // resolution coincide: algorithm, tie-breaks and output are
+    // identical to [[orderBlocksById]] (OrderSpec pins the
+    // equivalence on randomized inputs).
     val n = anns.length
     val relArr = new Array[BBox](n)
     var i = 0
@@ -354,5 +373,108 @@ object Order {
       }
     }
     sortedBlocks.toList.zipWithIndex.map { case (ai, j) => (j + 1, anns(ai)._1) }
+  }
+
+  /** The literal order.py:201 port over id-keyed maps — the hot path
+    * above is the index-keyed rewrite of exactly this body; it remains
+    * the semantics of record for inputs with DUPLICATE ids (last-wins
+    * `rel` lookup, block membership by id — matching Python's
+    * dict-keyed annotation resolution), to which [[orderBlocks]]
+    * dispatches.
+    */
+  private[graft] def orderBlocksById(
+      anns: Seq[(String, BBox)],
+      pageWidth: Double,
+      pageHeight: Double,
+      startingPointTolerance: Double,
+      brokenLineTolerance: Double,
+      heightTolerance: Double,
+      ioaColumnThreshold: Double
+  ): Seq[(Int, String)] = {
+    val rel: Map[String, BBox] =
+      anns.map { case (id, b) => id -> b.toRelative(pageWidth, pageHeight) }.toMap
+    val sortedAnns = anns.sortBy { case (id, _) => (rel(id).cy, rel(id).cx) }
+
+    val columns = mutable.ArrayBuffer.empty[MBox]
+    // (columnIdx, annId)
+    var readingBlocks = mutable.ListBuffer.empty[(Int, String)]
+    for ((id, _) <- sortedAnns) {
+      val box = rel(id)
+      var columnFound = false
+      var idx = 0
+      while (idx < columns.length && !columnFound) {
+        val col = columns(idx)
+        val first = (col.ulx - startingPointTolerance < box.ulx) &&
+          (box.lrx < col.lrx + startingPointTolerance)
+        val second = (box.ulx - startingPointTolerance < col.ulx) &&
+          (col.lrx < box.lrx + startingPointTolerance)
+        val third = math.abs(box.ulx - col.lrx) < brokenLineTolerance
+        val fourth = math.abs(box.uly - col.lry) < heightTolerance * box.height
+        val fifth = math.abs(box.lry - col.uly) < heightTolerance * box.height
+        if ((first && (fourth || fifth)) || (second && (fourth || fifth)) ||
+            (third && (fourth || fifth))) {
+          readingBlocks += ((idx, id))
+          col.ulx = math.min(box.ulx, col.ulx)
+          col.uly = math.min(box.uly, col.uly)
+          col.lrx = math.max(box.lrx, col.lrx)
+          col.lry = math.max(box.lry, col.lry)
+          columnFound = true
+        }
+        idx += 1
+      }
+      if (!columnFound) {
+        columns += new MBox(box.ulx, box.uly, box.lrx, box.lry)
+        readingBlocks += ((columns.length - 1, id))
+      }
+    }
+
+    val consolidated = consolidateColumns(columns.toIndexedSeq, ioaColumnThreshold)
+    // order.py:296-298: dedupe columns via BoundingBox.__eq__ on the
+    // EXACT internal coords (see the hot path's twin comment)
+    val consolidatedColumns = mutable.ArrayBuffer.empty[MBox]
+    val seenKeys = mutable.LinkedHashSet.empty[(Double, Double, Double, Double)]
+    for (idx <- columns.indices) {
+      val target = columns(consolidated(idx))
+      val exactKey = (target.ulx, target.uly, target.lrx, target.lry)
+      if (!seenKeys.contains(exactKey)) {
+        seenKeys += exactKey
+        consolidatedColumns += target
+      }
+    }
+
+    readingBlocks = readingBlocks.map { case (c, id) => (consolidated.getOrElse(c, c), id) }
+
+    val columnsBox = connectedComponents(consolidatedColumns.toIndexedSeq)
+    val columnsDict: Map[Int, Int] = columnsBox.zipWithIndex.map { case ((origIdx, _), k) => origIdx -> k }.toMap
+
+    val blocks = readingBlocks.toList
+      .map { case (c, id) => (columnsDict.getOrElse(c, consolidated.getOrElse(c, c)), id) }
+      .sortBy(_._1)
+    val maxBlockNumber = if (columnsDict.isEmpty) 0 else columnsDict.values.max
+    val sortedBlocks = mutable.ListBuffer.empty[(Int, String)]
+    for (idx <- 0 to maxBlockNumber) {
+      val filtered = blocks.filter(_._1 == idx)
+      sortedBlocks ++= sortAnnsGroupedByBlocks(filtered, sortedAnns, rel)
+    }
+    sortedBlocks.toList.zipWithIndex.map { case ((_, id), i) => (i + 1, id) }
+  }
+
+  /** order.py:351 `_sort_anns_grouped_by_blocks` — within one column
+    * sort blocks by rounded (uly, ulx), preserving the caller's ann
+    * ordering on ties.
+    */
+  private def sortAnnsGroupedByBlocks(
+      block: Seq[(Int, String)],
+      anns: Seq[(String, BBox)],
+      rel: Map[String, BBox]
+  ): List[(Int, String)] = {
+    if (block.isEmpty) return Nil
+    val annIds = block.map(_._2).toSet
+    val blockNumber = block.head._1
+    anns
+      .collect { case (id, _) if annIds.contains(id) => id }
+      .sortBy(id => (pyRound2(rel(id).uly), pyRound2(rel(id).ulx)))
+      .map(id => (blockNumber, id))
+      .toList
   }
 }

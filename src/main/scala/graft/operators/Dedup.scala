@@ -32,9 +32,13 @@ object Dedup {
       i => array_min(transform(sh, s => xxhash64(s, i))))
   }
 
-  /** Normalized distinct char-k-shingles (pure Scala). */
+  /** Normalized distinct char-k-shingles (pure Scala). Locale.ROOT
+    * lowercase: a default-locale mapping would make signatures (and
+    * every dedup verdict derived from them) differ between JVMs — e.g.
+    * tr_TR maps 'I' → 'ı' where every other locale maps 'I' → 'i'.
+    */
   def shinglesOf(text: String, k: Int): Array[String] = {
-    val norm = text.toLowerCase.replaceAll("\\s+", " ")
+    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     if (norm.length <= k) Array(norm)
     else {
       val seen = new java.util.LinkedHashSet[String]()
@@ -199,13 +203,18 @@ object Dedup {
     // OpenHashSet.add). Two cost cuts, both value-exact on the bench
     // inputs:
     //  1. Signature-agreement PREFILTER (only at thresholds >= 0.93
-    //     where its miss bound is far below the banding's own): a pair
-    //     reaches the string-set verify only if its MinHash agreement
-    //     clears (t - 0.25). Per-hash agreement for a pair at jaccard
-    //     j is j, so for j >= t >= 0.93 the miss probability is the
-    //     binomial tail P(agree < (t-0.25)·64) <= Phi(-7.8) ~ 3e-15 —
-    //     orders below the banded-LSH miss (~2e-12 at t=0.95) this
-    //     operator's completeness contract already carries. The
+    //     AND numHashes >= 64, where its miss bound is far below the
+    //     banding's own): a pair reaches the string-set verify only if
+    //     its MinHash agreement clears (t - 0.25). Per-hash agreement
+    //     for a pair at jaccard j is j, so for j >= t >= 0.93 the miss
+    //     probability is the binomial tail P(agree < (t-0.25)·n) <=
+    //     Phi(-0.25·sqrt(n)/sqrt(t(1-t))) — at n = 64 that is
+    //     Phi(-7.8) ~ 3e-15, orders below the banded-LSH miss (~2e-12
+    //     at t=0.95) this operator's completeness contract already
+    //     carries, and the z-score GROWS with n. Below n = 64 the
+    //     bound decays fast (n = 16, t = 0.95: P(Binom(16,.95) < 12)
+    //     ~ 8e-4 — far ABOVE the banding miss), so short signatures
+    //     skip the prefilter rather than silently trade completeness. The
     //     agreement count runs as a primitive-loop UDF over the long
     //     signatures ([[sigAgreeUdf]] — a zip_with/aggregate pair
     //     evaluates interpreted with per-element boxing, measured as
@@ -219,7 +228,7 @@ object Dedup {
     //     dropped outright, halving the per-surviving-pair set work.
     val sigs = withSh.select(col("id"), col("sig"))
     val prefiltered =
-      if (jaccardThreshold >= 0.93)
+      if (jaccardThreshold >= 0.93 && numHashes >= 64)
         cand
           .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
           .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -267,7 +276,7 @@ object Dedup {
       if (i < n) {
         val s = i
         while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
-        val h = XxHash.hashUtf8(text.substring(s, i).toLowerCase, 42L)
+        val h = XxHash.hashUtf8(text.substring(s, i).toLowerCase(java.util.Locale.ROOT), 42L)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -324,7 +333,7 @@ object Dedup {
   def bagHash64(text: String): Long = {
     // lowercase BEFORE sorting — sorting raw-case tokens would order
     // "B" < "a" and hash differently from the same lowercased multiset
-    val toks = text.toLowerCase.trim.split("\\s+")
+    val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
     java.util.Arrays.sort(toks, java.util.Comparator.naturalOrder[String]())
     XxHash.hashUtf8(toks.mkString(" "), 99L)
   }
@@ -355,18 +364,58 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Code-point-exact kernel twin of the retired Column expression
+    * `array_distinct(transform(sequence(1, greatest(len−k+1, 1)),
+    * i => substr(norm, i, k)))` over `lower(regexp_replace(text,
+    * "\\s+", " "))`: Spark's substr/length count Unicode CODE POINTS
+    * where Java's String windows count UTF-16 units, so supplementary
+    * characters (emoji, rare CJK) would shingle differently through
+    * [[shinglesOf]] — and the n-gram family's DuckDB oracles restate
+    * shingles in SQL, which also counts code points. The BMP fast
+    * path (no surrogates — every bench/driver corpus) is the same
+    * loop as [[shinglesOf]]; only texts carrying supplementary chars
+    * pay the code-point copy.
+    */
+  def shinglesOfSql(text: String, k: Int): Array[String] = {
+    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    var hasSupp = false
+    var i = 0
+    while (i < norm.length && !hasSupp) {
+      if (Character.isHighSurrogate(norm.charAt(i))) hasSupp = true
+      i += 1
+    }
+    if (!hasSupp) {
+      if (norm.length <= k) Array(norm)
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var j = 0
+        while (j + k <= norm.length) { seen.add(norm.substring(j, j + k)); j += 1 }
+        seen.toArray(new Array[String](seen.size))
+      }
+    } else {
+      val cps = norm.codePoints().toArray
+      if (cps.length <= k) Array(norm)
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var j = 0
+        while (j + k <= cps.length) { seen.add(new String(cps, j, k)); j += 1 }
+        seen.toArray(new Array[String](seen.size))
+      }
+    }
+  }
+
   /** Normalized distinct shingle arrays as a Column — the same value
     * the old pure-Column expression produced (lower + \s+→' ' + k-char
-    * shingles, first-occurrence distinct, whole-norm for short texts;
-    * null text stays null), via the [[shinglesOf]] kernel: the
-    * transform/substr/array_distinct tree evaluated interpreted with a
-    * per-shingle hash-set insert, and the expression is duplicated
-    * into every plan branch that touches shingles (tokens, both
-    * self-join sides, both verify joins), so its cost was paid ~5×
-    * per document per query.
+    * code-point shingles, first-occurrence distinct, whole-norm for
+    * short texts; null text stays null), via the [[shinglesOfSql]]
+    * kernel: the transform/substr/array_distinct tree evaluated
+    * interpreted with a per-shingle hash-set insert, and the
+    * expression is duplicated into every plan branch that touches
+    * shingles (tokens, both self-join sides, both verify joins), so
+    * its cost was paid ~5× per document per query.
     */
   private val shingleArrUdf = udf((t: String, k: Int) =>
-    if (t == null) null else shinglesOf(t, k))
+    if (t == null) null else shinglesOfSql(t, k))
 
   private def shingleCol(textCol: String, k: Int) =
     shingleArrUdf(col(textCol), lit(k))

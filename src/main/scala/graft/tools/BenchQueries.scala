@@ -39,21 +39,30 @@ object BenchQueries {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       if (noop) df.write.format("noop").mode("overwrite").save() else df.count()
     }
+    // a failed sample must NOT contribute a (typically fast)
+    // elapsed-until-crash reading to the median — it poisons the JSON
+    // line that before/after comparisons are built from; NaN marks it
+    // and any query with a failed sample is excluded from the output
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { runOnce(name) }
-      catch { case e: Throwable => System.err.println(s"[benchq] $name FAILED: $e") }
-      (System.nanoTime() - t0) / 1e9
+      try { runOnce(name); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[benchq] $name FAILED: $e"); Double.NaN
+      }
     }
     val results = names.map { name =>
       try { runOnce(name) }
       catch { case e: Throwable => System.err.println(s"[benchq] warm $name FAILED: $e") }
       val ts = (1 to samples).map(_ => timeOne(name))
       System.err.println(f"[benchq] $name samples=${ts.map(t => f"$t%.3f").mkString(",")}")
-      name -> ts.sorted.apply(ts.length / 2)
+      name -> (if (ts.exists(_.isNaN)) Double.NaN else ts.sorted.apply(ts.length / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"benchq","queries":$qs,"total_query_sec":${f"${results.map(_._2).sum}%.3f"},"sf":"$sfDir","samples":$samples}""")
+    val ok = results.filterNot(_._2.isNaN)
+    results.collect { case (k, v) if v.isNaN =>
+      System.err.println(s"[benchq] $k EXCLUDED from JSON (failed sample)") }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"benchq","queries":$qs,"total_query_sec":${f"${ok.map(_._2).sum}%.3f"},"sf":"$sfDir","samples":$samples}""")
     spark.stop()
   }
 }

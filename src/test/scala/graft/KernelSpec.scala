@@ -126,6 +126,38 @@ class OrderSpec extends AnyFunSuite {
       assert(Order.orderBlocks(p.toList, 1000, 1000).sortBy(_._2) == base)
     }
   }
+  test("index-keyed hot path equals the id-keyed port on unique-id inputs") {
+    // the fast path in orderBlocks is an index-keyed rewrite of
+    // orderBlocksById (the literal order.py:201 port); randomized
+    // layouts pin the claimed equivalence across columns, overlaps
+    // and rounding tie-breaks
+    val rnd = new scala.util.Random(20260822)
+    for (round <- 1 to 40) {
+      val n = 1 + rnd.nextInt(12)
+      val anns = (0 until n).map { i =>
+        val ulx = rnd.nextInt(900); val uly = rnd.nextInt(900)
+        val w = 20 + rnd.nextInt(100 - 19); val h = 20 + rnd.nextInt(81)
+        (s"ann$i", BBox(ulx, uly, math.min(999, ulx + w), math.min(999, uly + h), absCoords = true))
+      }
+      val fast = Order.orderBlocks(anns, 1000, 1000)
+      val legacy = Order.orderBlocksById(anns, 1000, 1000, 0.005, 0.003, 2.0, 0.9)
+      assert(fast == legacy, s"round $round: $anns")
+    }
+  }
+  test("duplicate ids keep the id-keyed reference semantics (last-wins box)") {
+    // order.py resolves annotations through id-keyed dicts: with a
+    // duplicated id, EVERY occurrence uses the LAST occurrence's box.
+    // Here X appears with a top box and again with a bottom box, so
+    // both X entries must read at the bottom position (after A) —
+    // an index-keyed reading would put the first X before A.
+    val anns = Seq(
+      ("X", BBox(50, 100, 950, 250, absCoords = true)),
+      ("A", BBox(50, 400, 950, 550, absCoords = true)),
+      ("X", BBox(50, 700, 950, 850, absCoords = true)))
+    val res = Order.orderBlocks(anns, 1000, 1000)
+    assert(res == Seq((1, "A"), (2, "X"), (3, "X")), res.toString)
+    assert(res == Order.orderBlocksById(anns, 1000, 1000, 0.005, 0.003, 2.0, 0.9))
+  }
 }
 
 class LinesSpec extends AnyFunSuite {

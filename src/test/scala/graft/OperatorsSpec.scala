@@ -42,6 +42,38 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("shinglesOfSql counts code points like the SQL twin; ASCII path equals shinglesOf") {
+    // Spark substr/length (and the DuckDB oracles) count Unicode code
+    // points; Java String windows count UTF-16 units. The n-gram
+    // family's kernel must match the SQL semantics on supplementary
+    // characters (U+1F600 is two UTF-16 units, ONE code point).
+    assert(Dedup.shinglesOfSql("A😀b  c", 3).toSeq ==
+      Seq("a😀b", "😀b ", "b c"))
+    // short-text edge: whole normalized text when <= k code points
+    assert(Dedup.shinglesOfSql("😀b", 3).toSeq == Seq("😀b"))
+    assert(Dedup.shinglesOfSql("", 3).toSeq == Seq(""))
+    // BMP fast path is the same loop as the minhash kernel
+    for (t <- Seq("The quick  brown fox", "a", "ab", "abc", "  ", "aaaa"))
+      assert(Dedup.shinglesOfSql(t, 3).toSeq == Dedup.shinglesOf(t, 3).toSeq)
+  }
+
+  test("signature-agreement prefilter only engages at numHashes >= 64") {
+    import spark.implicits._
+    val d = docsWithDups
+    // the sig_a/sig_b re-join exists only on the prefilter branch: its
+    // miss bound (Phi(-0.25*sqrt(n)/sqrt(t(1-t)))) is only below the
+    // banded-LSH miss at n >= 64, so short signatures must skip it
+    val with64 = Dedup.minhashLshExactPairs(d, "doc_id", "text")
+    val with16 = Dedup.minhashLshExactPairs(d, "doc_id", "text",
+      numHashes = 16, bands = 8)
+    assert(with64.queryExecution.analyzed.toString.contains("sig_a"))
+    assert(!with16.queryExecution.analyzed.toString.contains("sig_a"))
+    // and the short-signature run still returns the full pair set
+    val p64 = with64.as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val p16 = with16.as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(p16 == p64)
+  }
+
   test("simhash identical texts collide, hamming 0") {
     assert(Dedup.simhash64("the quick brown fox") == Dedup.simhash64("the quick brown fox"))
     assert(Dedup.simhash64("THE Quick BROWN fox") == Dedup.simhash64("the quick brown fox"))
