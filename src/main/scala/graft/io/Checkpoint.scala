@@ -141,9 +141,12 @@ object Checkpoint {
     // footprint, expensive extractTurn rows) to one task, serializing
     // its whole extraction on one core — so the floor keeps the
     // overlapPoolSize concurrent chunk jobs jointly able to fill the
-    // machine (cores / pool each). At real scale bytes/split dominates
-    // and the floor is inert; it only lifts pathologically small-byte
-    // chunks from 1 task to a handful.
+    // machine (cores / pool each). Deliberately the FIXED pool
+    // divisor, not the effective chunk count: a wider floor on
+    // near-empty chunks buys nothing but task/file overhead, and a
+    // fewer-than-pool CPU-heavy run still gets cores/pool tasks per
+    // chunk — orders above the 1-task collapse this guards against.
+    // At real scale bytes/split dominates and the floor is inert.
     val chunkPartitions: Option[Int] = scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(s"$srcDir/chunk=$k")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -255,11 +258,14 @@ object Checkpoint {
         catch {
           // rethrow what the chunk actually threw (callers matched the
           // SparkException the sequential loop used to propagate), and
-          // drop still-queued chunks instead of letting them run on
-          // after the caller has already seen the failure (running
-          // ones finish; chunks are idempotent either way)
+          // cancel the not-yet-started chunks instead of letting them
+          // run on after the caller has already seen the failure.
+          // cancel(false), NOT shutdownNow(): interrupting RUNNING
+          // chunk threads would abandon in-flight Spark jobs and can
+          // cut commitMarker's NIO write mid-stream — running chunks
+          // finish their idempotent writes, queued ones never start
           case e: java.util.concurrent.ExecutionException =>
-            pool.shutdownNow()
+            futures.foreach(_.cancel(false))
             throw e.getCause
         }
       }

@@ -32,19 +32,42 @@ object Dedup {
       i => array_min(transform(sh, s => xxhash64(s, i))))
   }
 
-  /** Normalized distinct char-k-shingles (pure Scala). Locale.ROOT
-    * lowercase: a default-locale mapping would make signatures (and
-    * every dedup verdict derived from them) differ between JVMs — e.g.
-    * tr_TR maps 'I' → 'ı' where every other locale maps 'I' → 'i'.
+  /** Normalized distinct char-k-shingles (pure Scala) — THE shingle
+    * kernel of the whole dedup module, semantics-matched to the SQL
+    * engines so every oracle can restate it: Locale.ROOT lowercase (a
+    * default-locale mapping would make verdicts differ between JVMs —
+    * tr_TR maps 'I' → 'ı'), `\s+` → one space, and k-CODE-POINT
+    * windows with first-occurrence distinct — Spark's substr/length
+    * and DuckDB's substring count code points where Java String
+    * windows count UTF-16 units, so supplementary characters (emoji,
+    * rare CJK) must take the code-point branch; BMP text (every
+    * bench/driver corpus) takes the plain fast loop.
     */
   def shinglesOf(text: String, k: Int): Array[String] = {
     val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
-    if (norm.length <= k) Array(norm)
-    else {
-      val seen = new java.util.LinkedHashSet[String]()
-      var i = 0
-      while (i + k <= norm.length) { seen.add(norm.substring(i, i + k)); i += 1 }
-      seen.toArray(new Array[String](seen.size))
+    var hasSupp = false
+    var i = 0
+    while (i < norm.length && !hasSupp) {
+      if (Character.isHighSurrogate(norm.charAt(i))) hasSupp = true
+      i += 1
+    }
+    if (!hasSupp) {
+      if (norm.length <= k) Array(norm)
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var j = 0
+        while (j + k <= norm.length) { seen.add(norm.substring(j, j + k)); j += 1 }
+        seen.toArray(new Array[String](seen.size))
+      }
+    } else {
+      val cps = norm.codePoints().toArray
+      if (cps.length <= k) Array(norm)
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var j = 0
+        while (j + k <= cps.length) { seen.add(new String(cps, j, k)); j += 1 }
+        seen.toArray(new Array[String](seen.size))
+      }
     }
   }
 
@@ -364,50 +387,10 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Code-point-exact kernel twin of the retired Column expression
-    * `array_distinct(transform(sequence(1, greatest(len−k+1, 1)),
-    * i => substr(norm, i, k)))` over `lower(regexp_replace(text,
-    * "\\s+", " "))`: Spark's substr/length count Unicode CODE POINTS
-    * where Java's String windows count UTF-16 units, so supplementary
-    * characters (emoji, rare CJK) would shingle differently through
-    * [[shinglesOf]] — and the n-gram family's DuckDB oracles restate
-    * shingles in SQL, which also counts code points. The BMP fast
-    * path (no surrogates — every bench/driver corpus) is the same
-    * loop as [[shinglesOf]]; only texts carrying supplementary chars
-    * pay the code-point copy.
-    */
-  def shinglesOfSql(text: String, k: Int): Array[String] = {
-    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
-    var hasSupp = false
-    var i = 0
-    while (i < norm.length && !hasSupp) {
-      if (Character.isHighSurrogate(norm.charAt(i))) hasSupp = true
-      i += 1
-    }
-    if (!hasSupp) {
-      if (norm.length <= k) Array(norm)
-      else {
-        val seen = new java.util.LinkedHashSet[String]()
-        var j = 0
-        while (j + k <= norm.length) { seen.add(norm.substring(j, j + k)); j += 1 }
-        seen.toArray(new Array[String](seen.size))
-      }
-    } else {
-      val cps = norm.codePoints().toArray
-      if (cps.length <= k) Array(norm)
-      else {
-        val seen = new java.util.LinkedHashSet[String]()
-        var j = 0
-        while (j + k <= cps.length) { seen.add(new String(cps, j, k)); j += 1 }
-        seen.toArray(new Array[String](seen.size))
-      }
-    }
-  }
-
   /** Normalized distinct shingle arrays as a Column — the same value
     * the old pure-Column expression produced (lower + \s+→' ' + k-char
     * code-point shingles, first-occurrence distinct, whole-norm for
-    * short texts; null text stays null), via the [[shinglesOfSql]]
+    * short texts; null text stays null), via the [[shinglesOf]]
     * kernel: the transform/substr/array_distinct tree evaluated
     * interpreted with a per-shingle hash-set insert, and the
     * expression is duplicated into every plan branch that touches
@@ -415,7 +398,7 @@ object Dedup {
     * its cost was paid ~5× per document per query.
     */
   private val shingleArrUdf = udf((t: String, k: Int) =>
-    if (t == null) null else shinglesOfSql(t, k))
+    if (t == null) null else shinglesOf(t, k))
 
   private def shingleCol(textCol: String, k: Int) =
     shingleArrUdf(col(textCol), lit(k))

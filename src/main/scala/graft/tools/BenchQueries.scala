@@ -51,18 +51,22 @@ object BenchQueries {
           System.err.println(s"[benchq] $name FAILED: $e"); Double.NaN
       }
     }
+    // Locale.ROOT formatting: the f-interpolator uses the JVM default
+    // locale, and a comma-decimal locale would emit invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = names.map { name =>
       try { runOnce(name) }
       catch { case e: Throwable => System.err.println(s"[benchq] warm $name FAILED: $e") }
       val ts = (1 to samples).map(_ => timeOne(name))
-      System.err.println(f"[benchq] $name samples=${ts.map(t => f"$t%.3f").mkString(",")}")
+      System.err.println(s"[benchq] $name samples=${ts.map(fmt).mkString(",")}")
       name -> (if (ts.exists(_.isNaN)) Double.NaN else ts.sorted.apply(ts.length / 2))
     }
     val ok = results.filterNot(_._2.isNaN)
-    results.collect { case (k, v) if v.isNaN =>
-      System.err.println(s"[benchq] $k EXCLUDED from JSON (failed sample)") }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"benchq","queries":$qs,"total_query_sec":${f"${ok.map(_._2).sum}%.3f"},"sf":"$sfDir","samples":$samples}""")
+    results.foreach { case (k, v) =>
+      if (v.isNaN) System.err.println(s"[benchq] $k EXCLUDED from JSON (failed sample)") }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"benchq","queries":$qs,"total_query_sec":${fmt(ok.map(_._2).sum)},"sf":"$sfDir","samples":$samples}""")
     spark.stop()
   }
 }

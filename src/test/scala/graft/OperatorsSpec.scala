@@ -42,19 +42,23 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
-  test("shinglesOfSql counts code points like the SQL twin; ASCII path equals shinglesOf") {
+  test("shinglesOf counts code points like the SQL twins") {
     // Spark substr/length (and the DuckDB oracles) count Unicode code
-    // points; Java String windows count UTF-16 units. The n-gram
-    // family's kernel must match the SQL semantics on supplementary
-    // characters (U+1F600 is two UTF-16 units, ONE code point).
-    assert(Dedup.shinglesOfSql("A😀b  c", 3).toSeq ==
+    // points; Java String windows count UTF-16 units. The shared
+    // dedup shingle kernel must match the SQL semantics on
+    // supplementary characters (U+1F600 is two UTF-16 units, ONE code
+    // point) so every oracle can restate it.
+    assert(Dedup.shinglesOf("A😀b  c", 3).toSeq ==
       Seq("a😀b", "😀b ", "b c"))
     // short-text edge: whole normalized text when <= k code points
-    assert(Dedup.shinglesOfSql("😀b", 3).toSeq == Seq("😀b"))
-    assert(Dedup.shinglesOfSql("", 3).toSeq == Seq(""))
-    // BMP fast path is the same loop as the minhash kernel
-    for (t <- Seq("The quick  brown fox", "a", "ab", "abc", "  ", "aaaa"))
-      assert(Dedup.shinglesOfSql(t, 3).toSeq == Dedup.shinglesOf(t, 3).toSeq)
+    assert(Dedup.shinglesOf("😀b", 3).toSeq == Seq("😀b"))
+    assert(Dedup.shinglesOf("", 3).toSeq == Seq(""))
+    // BMP fast path: normalization + windows + first-occurrence distinct
+    assert(Dedup.shinglesOf("The quick", 3).toSeq ==
+      Seq("the", "he ", "e q", " qu", "qui", "uic", "ick"))
+    assert(Dedup.shinglesOf("aaaa", 3).toSeq == Seq("aaa"))
+    assert(Dedup.shinglesOf("a  b", 3).toSeq == Seq("a b"))
+    assert(Dedup.shinglesOf("ab", 3).toSeq == Seq("ab"))
   }
 
   test("signature-agreement prefilter only engages at numHashes >= 64") {
